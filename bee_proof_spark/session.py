@@ -1,0 +1,101 @@
+"""SparkSession profiles for the bee-proof-spark engine.
+
+Mirrors the reference harness's pinned execution profile (ManifestRunner.java:169-229,
+see SURVEY.md section 4.1): ephemeral local warehouse under ``./bee-proof-tmp``,
+in-memory catalog (the Derby-in-memory metastore equivalent), fail-fast semantics,
+and deterministic conf. Two profiles:
+
+- ``parity``: disables adaptive join rewrites the reference disables
+  (HIVECONVERTJOIN=false -> autoBroadcastJoinThreshold=-1,
+  HIVESKEWJOIN=false -> adaptive.skewJoin off) for plan determinism.
+- ``perf`` (default): lets Catalyst/AQE do its job - broadcast joins, skew
+  handling, partition coalescing. This is the 100 TB posture.
+
+Hive-compat semantics on either profile: ANSI off (Hive-style int division,
+silent-null casts - Spark 4 defaults ANSI on), session timezone UTC.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+TMP_ROOT = "bee-proof-tmp"
+
+#: Conf shared by both profiles. Values are strings per SparkConf convention.
+_COMMON_CONF: dict[str, str] = {
+    # Hive-compat semantics (SURVEY.md section 4.2 "semantic gaps" row).
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    # In-memory catalog = the reference's throwaway Derby metastore
+    # (ManifestRunner.java:195).
+    "spark.sql.catalogImplementation": "in-memory",
+    # Local-mode shuffle sizing; a real cluster would size this to cores*2-3
+    # or rely on AQE coalescing.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Arrow for any pandas interchange (UDF paths).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Keep the UI off in tests/bench.
+    "spark.ui.enabled": "false",
+}
+
+_PERF_CONF: dict[str, str] = {
+    # AQE: runtime coalescing, skew-join splitting, dynamic join selection.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+}
+
+_PARITY_CONF: dict[str, str] = {
+    # HIVECONVERTJOIN=false (ManifestRunner.java:205) - no auto broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # HIVESKEWJOIN=false (ManifestRunner.java:206).
+    "spark.sql.adaptive.skewJoin.enabled": "false",
+    # HIVEMETADATAONLYQUERIES=false (ManifestRunner.java:203).
+    "spark.sql.optimizer.metadataOnly": "false",
+}
+
+
+def build_session(
+    app_name: str = "bee-proof-spark",
+    master: str | None = None,
+    profile: str = "perf",
+    warehouse_dir: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine profile applied.
+
+    ``profile`` is ``"perf"`` (default, AQE on) or ``"parity"``
+    (reference-determinism pins, SURVEY.md section 4.1).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if warehouse_dir is None:
+        warehouse_dir = os.path.join(tempfile.gettempdir(), TMP_ROOT, "warehouse")
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_COMMON_CONF)
+    conf.update(_PERF_CONF if profile == "perf" else _PARITY_CONF)
+    conf["spark.sql.warehouse.dir"] = warehouse_dir
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def reset_tmp_tree(base_dir: str | None = None) -> str:
+    """Delete and recreate the ephemeral warehouse/scratch tree.
+
+    Mirrors the per-run directory reset at ManifestRunner.java:172-175.
+    """
+    base = base_dir or os.path.join(tempfile.gettempdir(), TMP_ROOT)
+    shutil.rmtree(base, ignore_errors=True)
+    for sub in ("warehouse", "scratch", "logs"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    return base
