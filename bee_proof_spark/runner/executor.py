@@ -1,0 +1,209 @@
+"""Sequential fail-fast script execution with dry-run (validate-only) mode.
+
+Re-expresses the reference's execution core Spark-first:
+
+- Sequential statement loop with abort-on-first-error
+  (ManifestRunner.java:54-56, 231-246; CLIIGNOREERRORS=false :194).
+- Dry-run: the reference javassist-blocks 19 Hive exec task classes so data
+  movement prints ``> Skipped!`` and returns 0 while DDL/commands still run
+  and ALL SQL still parses + analyzes (ManifestRunner.java:85-134). Here
+  dry-run is a first-class mode: DDL/commands execute via ``spark.sql``;
+  query/DML statements are validated through ``EXPLAIN EXTENDED`` (Catalyst
+  parse + analyze against the catalog, no execution - verified: EXPLAIN of
+  DML does not move data) and reported as skipped.
+- Output protocol parity: ``>>>>>>>> Processing:  <script>`` (:235),
+  ``> Skipped!`` (:127), ``> Total time:  <ms>ms`` (:262), error text carries
+  Spark's line/pos addressing (README.md:76 shows Hive's equivalent).
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+
+from bee_proof_spark.runner.setcmd import SetProcessor
+from bee_proof_spark.runner.splitter import Statement, split_statements
+from bee_proof_spark.runner.substitution import substitute
+
+
+class StatementError(RuntimeError):
+    """A statement failed to parse/analyze/execute; aborts the run."""
+
+    def __init__(self, script: str, line: int, stmt: str, cause: str):
+        self.script = script
+        self.line = line
+        self.stmt = stmt
+        self.cause = cause
+        super().__init__(f"{script}: statement at line {line} failed: {cause}")
+
+
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(TEMPORARY\s+)?(EXTERNAL\s+)?TABLE\b.*?\bAS\b.*?\bSELECT\b",
+    re.IGNORECASE | re.DOTALL,
+)
+
+#: Exception marker EXPLAIN EXTENDED embeds for analysis failures (observed
+#: Spark 4 behavior: the Analyzed section carries the exception text).
+_EXPLAIN_ERR_RE = re.compile(r"^(org\.apache\.spark\.[\w.]*Exception[^\n]*)", re.MULTILINE)
+
+
+def strip_leading_comments(sql: str) -> str:
+    """Drop leading whitespace, ``--`` line comments, and ``/* */`` blocks."""
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i].isspace():
+            i += 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            break
+    return sql[i:]
+
+
+def classify(stmt: str) -> str:
+    """Classify a statement: 'set' | 'command' | 'ddl' | 'exec'.
+
+    'exec' statements are the ones Hive would run MR/move tasks for - blocked
+    in dry-run. 'ddl'/'command' always execute (metastore/catalog effects only).
+    """
+    stmt = strip_leading_comments(stmt)
+    first = stmt.lstrip().split(None, 1)[0].upper() if stmt.strip() else ""
+    if SetProcessor.matches(stmt):
+        return "set"
+    if first in {"ADD", "LIST", "RESET", "USE", "SHOW", "DESCRIBE", "DESC", "EXPLAIN",
+                 "REFRESH", "CACHE", "UNCACHE"}:
+        return "command"
+    if first in {"CREATE", "DROP", "ALTER", "TRUNCATE", "MSCK"}:
+        # CTAS moves data -> exec; everything else is catalog-only.
+        if first == "CREATE" and _CTAS_RE.match(stmt):
+            return "exec"
+        return "ddl"
+    return "exec"  # SELECT / WITH / VALUES / INSERT / LOAD / ANALYZE / FROM ...
+
+
+class ScriptRunner:
+    """Runs HQL scripts against a SparkSession, reference-harness style."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        execute: bool = False,
+        verbose: bool = True,
+        debug: bool = False,
+        out: Callable[[str], None] | None = None,
+        max_print_rows: int = 1000,
+    ):
+        self.spark = spark
+        self.execute = execute  # False = dry-run (enableHadoop=false default)
+        self.verbose = verbose
+        self.debug = debug
+        self.out = out or print
+        self.max_print_rows = max_print_rows
+        self.setproc = SetProcessor(spark)
+
+    # -- per-script ---------------------------------------------------------
+
+    def run_script(self, path: str, variables: dict[str, str] | None = None) -> int:
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
+        return self.run_text(text, variables, script_name=path)
+
+    def run_text(
+        self,
+        text: str,
+        variables: dict[str, str] | None = None,
+        script_name: str = "<inline>",
+    ) -> int:
+        """Run all statements; returns count executed. Raises StatementError."""
+        count = 0
+        for stmt in split_statements(text):
+            sub = substitute(stmt.text, variables, self.setproc.local_conf)
+            if self.verbose:
+                self.out(sub)
+            self._run_statement(sub, stmt, script_name)
+            count += 1
+        return count
+
+    def _run_statement(self, sql: str, stmt: Statement, script: str) -> None:
+        kind = classify(sql)
+        try:
+            if kind == "set":
+                for ln in self.setproc.process(strip_leading_comments(sql)):
+                    self.out(ln)
+            elif kind in ("command", "ddl"):
+                self.spark.sql(sql).collect()
+            elif self.execute:
+                df = self.spark.sql(sql)
+                if self._is_query(sql):
+                    rows = df.limit(self.max_print_rows + 1).collect()
+                    for r in rows[: self.max_print_rows]:
+                        self.out("\t".join("NULL" if v is None else str(v) for v in r))
+                else:
+                    df.collect()  # force eager DML side effects uniformly
+            else:
+                self._validate_only(sql)
+                self.out("> Skipped!")
+        except StatementError:
+            raise
+        except Exception as ex:  # ParseException, AnalysisException, runtime
+            msg = str(ex).split("\n\tat ")[0].strip()
+            raise StatementError(script, stmt.line, sql, msg) from ex
+
+    @staticmethod
+    def _is_query(sql: str) -> bool:
+        stripped = strip_leading_comments(sql)
+        first = stripped.lstrip().split(None, 1)[0].upper() if stripped.strip() else ""
+        return first in {"SELECT", "WITH", "VALUES", "FROM", "TABLE", "MAP", "REDUCE"}
+
+    def _validate_only(self, sql: str) -> None:
+        """Parse + analyze without data movement (dry-run core).
+
+        EXPLAIN EXTENDED parses and analyzes against the catalog but executes
+        nothing; Spark embeds analysis failures in the output text instead of
+        raising, so we scan for the exception marker and surface it.
+        """
+        try:
+            text = self.spark.sql(f"EXPLAIN EXTENDED {sql}").collect()[0][0]
+        except Exception:
+            # Statement kind not explainable (rare) - fall back to parse-only.
+            self.spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+            return
+        m = _EXPLAIN_ERR_RE.search(text)
+        if m:
+            raise RuntimeError(m.group(1))
+
+    # -- per-manifest -------------------------------------------------------
+
+
+def run_manifest(manifest, spark: SparkSession, out: Callable[[str], None] | None = None) -> None:
+    """Execute a parsed Manifest: sequential tasks, fail-fast, timing line."""
+    out = out or print
+    start = time.monotonic()
+    runner = ScriptRunner(
+        spark,
+        execute=manifest.enable_hadoop,
+        verbose=manifest.verbose_output,
+        debug=manifest.debug_output,
+        out=out,
+    )
+    if manifest.debug_output:
+        out(">>>>>>>> Current Spark Config:")
+        for k, v in sorted(spark.sparkContext.getConf().getAll()):
+            out(f"{k}={v}")
+        out("")
+    try:
+        for task in manifest.tasks:
+            out(f">>>>>>>> Processing:  {task.script}")
+            runner.run_script(task.script, task.variables)
+            out("")
+            out("")
+    finally:
+        elapsed_ms = int((time.monotonic() - start) * 1000)
+        out(f"> Total time:  {elapsed_ms}ms")

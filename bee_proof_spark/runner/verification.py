@@ -1,0 +1,63 @@
+"""Public verification API: the Ruby gem surface, Python-native.
+
+Reference: lib/bee-proof/verification.rb:12-41 (for_release/add_task/run),
+lib/bee-proof/task.rb, lib/bee-proof.rb:30-50 (process launch - replaced by
+an in-process SparkSession; A3/A4 in SURVEY.md section 2-A). The Ruby layer
+defaults verbose/debug to false (verification.rb:19-21) even though the Java
+manifest default is true - we keep that parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from bee_proof_spark.runner.executor import run_manifest
+from bee_proof_spark.runner.manifest import Manifest, Task
+from bee_proof_spark.session import build_session, reset_tmp_tree
+
+#: Known release profiles (pom.xml:28-66). All map to the same Spark engine;
+#: the release is recorded for manifest parity and future conf gating.
+KNOWN_RELEASES = ("emr-3", "emr-4", "emr-5")
+
+
+class Verification:
+    def __init__(self, release: str):
+        if release not in KNOWN_RELEASES:
+            raise ValueError(f"unknown release {release!r}; expected one of {KNOWN_RELEASES}")
+        self.release = release
+        self.tasks: list[Task] = []
+        self.verbose_output = False
+        self.debug_output = False
+
+    @classmethod
+    def for_release(cls, release: str) -> Verification:
+        return cls(release)
+
+    def add_task(self, script_path: str, variables: dict[str, str] | None = None) -> Verification:
+        self.tasks.append(Task(script=script_path, variables=dict(variables or {})))
+        return self
+
+    def manifest(self, enable_hadoop: bool = False) -> Manifest:
+        return Manifest(
+            tasks=list(self.tasks),
+            enable_hadoop=enable_hadoop,
+            verbose_output=self.verbose_output,
+            debug_output=self.debug_output,
+        )
+
+    def run(
+        self,
+        enable_hadoop: bool = False,
+        spark: SparkSession | None = None,
+        out=None,
+    ) -> None:
+        """Run all tasks; raises on first failure (fail-fast, exit-1 parity)."""
+        owns_session = spark is None
+        if owns_session:
+            reset_tmp_tree()
+            spark = build_session(app_name=f"bee-proof-{self.release}")
+        try:
+            run_manifest(self.manifest(enable_hadoop), spark, out=out)
+        finally:
+            if owns_session:
+                spark.stop()

@@ -1,0 +1,236 @@
+"""Harness operator tests (SURVEY.md section 5.2): manifest defaults, statement
+splitting, ${VAR} substitution, dry-run validation, fail-fast ordering,
+emrhive SET shim, output protocol strings."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bee_proof_spark.runner.executor import ScriptRunner, StatementError, classify, run_manifest
+from bee_proof_spark.runner.manifest import Manifest
+from bee_proof_spark.runner.setcmd import SetProcessor
+from bee_proof_spark.runner.splitter import split_statements
+from bee_proof_spark.runner.substitution import substitute
+
+
+# ---------------------------------------------------------------- splitter
+
+def test_split_basic():
+    stmts = split_statements("SELECT 1; SELECT 2;\nSELECT 3")
+    assert [s.text for s in stmts] == ["SELECT 1", "SELECT 2", "SELECT 3"]
+
+
+def test_split_quoted_semicolon():
+    stmts = split_statements("SELECT 'a;b' AS x; SELECT \"c;d\"")
+    assert len(stmts) == 2
+    assert stmts[0].text == "SELECT 'a;b' AS x"
+
+
+def test_split_escaped_quote():
+    stmts = split_statements(r"SELECT 'it\'s; fine'; SELECT 2")
+    assert len(stmts) == 2
+
+
+def test_split_comments():
+    script = "-- leading comment; not a split\nSELECT 1; -- trailing ; comment\nSELECT 2;\n/* block ; comment */ SELECT 3;"
+    stmts = split_statements(script)
+    assert len(stmts) == 3
+    assert stmts[0].text.endswith("SELECT 1")
+
+
+def test_split_comment_only_dropped():
+    assert split_statements("-- nothing here\n;\n  ;") == []
+
+
+def test_split_line_numbers():
+    stmts = split_statements("SELECT 1;\n\nSELECT 2;\n-- c\nSELECT 3")
+    assert [s.line for s in stmts] == [1, 3, 5]
+
+
+def test_split_backtick():
+    stmts = split_statements("SELECT `weird;col` FROM t; SELECT 2")
+    assert len(stmts) == 2
+
+
+# ---------------------------------------------------------------- substitution
+
+def test_substitute_plain_and_namespaced():
+    vars = {"BANANA": "'ripe'", "A": "${B}", "B": "bee"}
+    conf = {"k1": "v1"}
+    assert substitute("SELECT ${BANANA} AS Banana", vars) == "SELECT 'ripe' AS Banana"
+    assert substitute("${hivevar:BANANA}|${hiveconf:k1}", vars, conf) == "'ripe'|v1"
+    assert substitute("${A}", vars) == "bee"  # nested
+
+
+def test_substitute_unresolved_left_verbatim():
+    assert substitute("SELECT ${NOPE}", {}) == "SELECT ${NOPE}"
+
+
+def test_substitute_hivevar_wins_over_conf():
+    assert substitute("${X}", {"X": "var"}, {"X": "conf"}) == "var"
+
+
+# ---------------------------------------------------------------- manifest
+
+def test_manifest_defaults():
+    m = Manifest.from_json('{"tasks": [{"script": "a.hql", "variables": {"K": "1"}}]}')
+    assert m.enable_hadoop is False  # dry-run is the default
+    assert m.verbose_output is True
+    assert m.debug_output is False
+    assert m.tasks[0].script == "a.hql"
+    assert m.tasks[0].variables == {"K": "1"}
+
+
+def test_manifest_roundtrip():
+    m = Manifest.from_json('{"enableHadoop": true, "tasks": []}')
+    assert Manifest.from_json(m.to_json()).enable_hadoop is True
+
+
+def test_manifest_missing_script_key():
+    with pytest.raises(ValueError):
+        Manifest.from_dict({"tasks": [{"variables": {}}]})
+
+
+# ---------------------------------------------------------------- classify
+
+@pytest.mark.parametrize(
+    "sql,kind",
+    [
+        ("SELECT 1", "exec"),
+        ("INSERT INTO t VALUES (1)", "exec"),
+        ("CREATE TABLE t (a INT) USING parquet", "ddl"),
+        ("CREATE TABLE t AS SELECT 1", "exec"),  # CTAS moves data
+        ("CREATE VIEW v AS SELECT 1", "ddl"),
+        ("DROP TABLE t", "ddl"),
+        ("SHOW TABLES", "command"),
+        ("set hive.exec.parallel=true", "set"),
+        ("WITH c AS (SELECT 1) SELECT * FROM c", "exec"),
+        ("-- leading comment\nCREATE TABLE t (a INT)", "ddl"),
+        ("/* block */ SET a=b", "set"),
+    ],
+)
+def test_classify(sql, kind):
+    assert classify(sql) == kind
+
+
+# ---------------------------------------------------------------- SET shim
+
+def test_set_emr_shim(spark):
+    sp = SetProcessor(spark)
+    sp.process("SET hive.optimize.s3.query=true")  # must not raise (A9)
+    assert sp.local_conf["emrhive.hive.optimize.s3.query"] == "true"
+
+
+def test_set_reduce_tasks_maps_to_shuffle_partitions(spark):
+    sp = SetProcessor(spark)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        sp.process("SET mapred.reduce.tasks=7")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_set_get_and_list(spark):
+    sp = SetProcessor(spark)
+    sp.process("SET my.custom.key=abc")
+    assert sp.process("SET my.custom.key") == ["my.custom.key=abc"]
+    assert "my.custom.key=abc" in sp.process("SET")
+
+
+# ---------------------------------------------------------------- executor
+
+@pytest.fixture
+def runner_out():
+    lines = []
+    return lines, lines.append
+
+
+def test_dry_run_validates_and_skips(spark, runner_out, tmp_path):
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=False, verbose=False, out=out)
+    r.run_text(
+        f"""
+        CREATE TABLE dryrun_t (a INT, b STRING) USING parquet LOCATION '{tmp_path}/dryrun_t';
+        SELECT a, upper(b) FROM dryrun_t WHERE a > 1;
+        INSERT INTO dryrun_t VALUES (1, 'x');
+        """
+    )
+    assert lines.count("> Skipped!") == 2  # select + insert skipped, DDL ran
+    assert spark.catalog.tableExists("dryrun_t")
+    assert spark.table("dryrun_t").count() == 0  # insert did NOT run
+    spark.sql("DROP TABLE dryrun_t")
+
+
+def test_dry_run_catches_bad_column(spark, runner_out, tmp_path):
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=False, verbose=False, out=out)
+    script = (
+        f"CREATE TABLE dryrun_e (a INT) USING parquet LOCATION '{tmp_path}/dryrun_e';\n"
+        "SELECT nope FROM dryrun_e;"
+    )
+    with pytest.raises(StatementError) as ei:
+        r.run_text(script)
+    assert "nope" in str(ei.value).lower() or "UNRESOLVED" in str(ei.value)
+    assert ei.value.line == 2  # error addressed to the failing statement's line
+    spark.sql("DROP TABLE dryrun_e")
+
+
+def test_dry_run_catches_syntax_error(spark, runner_out):
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=False, verbose=False, out=out)
+    with pytest.raises(StatementError):
+        r.run_text("SELEC 1")
+
+
+def test_execute_mode_runs_dml(spark, runner_out, tmp_path):
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=True, verbose=False, out=out)
+    r.run_text(
+        f"""
+        CREATE TABLE exec_t (a INT, b STRING) USING parquet LOCATION '{tmp_path}/exec_t';
+        INSERT INTO exec_t VALUES (1, 'x'), (2, 'y');
+        SELECT a, b FROM exec_t ORDER BY a;
+        """
+    )
+    assert spark.table("exec_t").count() == 2
+    assert lines[-2:] == ["1\tx", "2\ty"]  # query results printed
+    spark.sql("DROP TABLE exec_t")
+
+
+def test_fail_fast_stops_following_statements(spark, runner_out, tmp_path):
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=True, verbose=False, out=out)
+    with pytest.raises(StatementError):
+        r.run_text(
+            f"""
+            CREATE TABLE ff_t (a INT) USING parquet LOCATION '{tmp_path}/ff_t';
+            SELECT broken_col FROM ff_t;
+            INSERT INTO ff_t VALUES (99);
+            """
+        )
+    assert spark.table("ff_t").count() == 0  # insert after failure never ran
+    spark.sql("DROP TABLE ff_t")
+
+
+def test_variable_substitution_in_script(spark, runner_out):
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=True, verbose=False, out=out)
+    r.run_text("SELECT ${BANANA} AS Banana", {"BANANA": "'ripe'"})
+    assert lines == ["ripe"]
+
+
+def test_manifest_run_output_protocol(spark, tmp_path):
+    script = tmp_path / "s1.hql"
+    script.write_text("SELECT 1 AS one;")
+    m = Manifest.from_dict(
+        {"tasks": [{"script": str(script), "variables": {}}], "enableHadoop": False,
+         "verboseOutput": False}
+    )
+    lines: list[str] = []
+    run_manifest(m, spark, out=lines.append)
+    assert lines[0] == f">>>>>>>> Processing:  {script}"
+    assert "> Skipped!" in lines
+    assert lines[-1].startswith("> Total time:  ") and lines[-1].endswith("ms")
