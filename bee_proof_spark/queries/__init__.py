@@ -64,7 +64,22 @@ def register(qid: str, oracle: str | None = None, doc: str = ""):
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table (TESTDATA.md: one parquet file per table)."""
+    """Load one fixture table (TESTDATA.md: one parquet file per table).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark rejects
+    by default (PARQUET_TYPE_ILLEGAL) while DuckDB truncates to micros. We
+    read nanos as long (legacy conf) and convert ns -> us with integer
+    division (a double division would lose precision above 2^53 ns).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,1 +1,273 @@
-"""Placeholder - filled in as SURVEY.md section 2 coverage lands."""
+"""Aggregations (SURVEY.md section 2-B): GROUP BY, DISTINCT aggregates,
+HAVING, statistics, collect, ROLLUP/CUBE/GROUPING SETS, approximate sketches.
+
+Scale posture: every query here is partial+final HashAggregate (map-side
+combine) on a low-cardinality key - shuffle volume is O(groups x partitions),
+not O(rows). Statistics are computed from exact decimal power sums on BOTH
+engines so distributed merge order cannot drift the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bee_proof_spark.queries import davg, dsum, o_davg, o_dsum, register, tbl
+
+
+@register(
+    "agg_basic",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS cnt_all,
+           count(nullif(l_discount, 0.0)) AS cnt_nonzero_disc,
+           {o_dsum('l_quantity')} AS sum_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           {o_davg('l_quantity')} AS avg_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(*) vs count(col) null-skip, sum/min/max/avg."""
+    li = tbl(spark, sf_dir, "lineitem")
+    disc = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt_all"),
+        F.count(disc).alias("cnt_nonzero_disc"),
+        dsum("l_quantity", "sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_quantity", "avg_qty"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_suppkey) AS nd_supp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("nd_supp"))
+    )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS nd_supp,
+           count(DISTINCT l_partkey) AS nd_part,
+           cast(sum(DISTINCT cast(l_quantity as decimal(25,6))) as double) AS sum_d_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one query (Catalyst expands the plan)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("nd_supp"),
+        F.countDistinct("l_partkey").alias("nd_part"),
+        F.sum_distinct(F.col("l_quantity").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_d_qty"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+    SELECT l_suppkey, {o_dsum('l_quantity')} AS sum_qty, count(*) AS cnt
+    FROM lineitem GROUP BY l_suppkey
+    HAVING {o_dsum('l_quantity')} > 1000 AND count(*) > 10
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("cnt"))
+        .filter((F.col("sum_qty") > 1000) & (F.col("cnt") > 10))
+    )
+
+
+# Exact power-sum statistics: identical formulas on identical exact inputs on
+# both engines => bit-identical doubles. x and x^2 fit decimal(25,6)/(38,8).
+_STATS_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         cast(sum(cast(l_quantity as decimal(25,6))) as double) AS s1,
+         cast(sum(cast(l_quantity * l_quantity as decimal(25,6))) as double) AS s2,
+         cast(sum(cast(l_extendedprice as decimal(25,6))) as double) AS p1,
+         cast(sum(cast(l_quantity * l_extendedprice as decimal(25,6))) as double) AS qp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round(sqrt((s2 - s1 * s1 / n) / n), 4) AS stddev_pop_qty,
+       round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS stddev_samp_qty,
+       round((s2 - s1 * s1 / n) / n, 4) AS var_pop_qty,
+       round((s2 - s1 * s1 / n) / (n - 1), 4) AS var_samp_qty,
+       round((qp - s1 * p1 / n) / n, 4) AS covar_pop_qty_price
+FROM s
+"""
+
+
+@register("agg_stats", oracle=_STATS_ORACLE)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/covariance via exact decimal power sums (deterministic
+    under any partitioning, unlike streaming moment merges)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(25,6)")).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(25,6)")).cast("double").alias("s2"),
+        F.sum(p.cast("decimal(25,6)")).cast("double").alias("p1"),
+        F.sum((q * p).cast("decimal(25,6)")).cast("double").alias("qp"),
+    )
+    n, s1, s2, p1, qp = (F.col(c) for c in ("n", "s1", "s2", "p1", "qp"))
+    return agg.select(
+        "l_returnflag",
+        F.round(F.sqrt((s2 - s1 * s1 / n) / n), 4).alias("stddev_pop_qty"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 4).alias("stddev_samp_qty"),
+        F.round((s2 - s1 * s1 / n) / n, 4).alias("var_pop_qty"),
+        F.round((s2 - s1 * s1 / n) / (n - 1), 4).alias("var_samp_qty"),
+        F.round((qp - s1 * p1 / n) / n, 4).alias("covar_pop_qty_price"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           list_sort(list(DISTINCT l_linenumber)) AS linenos
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + sort_array (Hive 0.13 collect_set; order normalized)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.sort_array(F.collect_set("l_linenumber")).alias("linenos"),
+    )
+
+
+@register(
+    "agg_global",
+    oracle=f"""
+    SELECT count(*) AS cnt, {o_dsum('l_extendedprice')} AS total_price,
+           min(l_shipdate IS NULL) AS any_null_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate without GROUP BY (single global group)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_extendedprice", "total_price"),
+        F.min(F.col("l_shipdate").isNull()).alias("any_null_ship"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with per-column grouping() (portable across the Hive
+    grouping__id bit-order change - SURVEY.md section 2-B note)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register("agg_percentile_approx")  # rows-only: approximate, engine-specific
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75], 1000).alias("p25_75"),
+    )
+
+
+@register("agg_approx_cd")  # rows-only: HLL++ estimate is engine-specific
+def agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_nd_part")
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT l_returnflag,
+           cast(floor((l_extendedprice - 900.0) / 10500.0) as int) AS bucket,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag, bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_numeric equivalent as a deterministic fixed-width histogram
+    (bucket arithmetic is IEEE-exact, so this upgrades to a sql oracle)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    bucket = F.floor((F.col("l_extendedprice") - 900.0) / 10500.0).cast("int")
+    return li.groupBy("l_returnflag", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

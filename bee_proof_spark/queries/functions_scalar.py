@@ -1,1 +1,443 @@
-"""Placeholder - filled in as SURVEY.md section 2 coverage lands."""
+"""Scalar function families (SURVEY.md section 2-B): one declared query per
+family exercising the listed Hive builtins, all JVM-side Spark functions
+(whole-stage codegen - no Python in the hot path).
+
+DuckDB oracle notes (probed): locate(sub,s) -> strpos(s,sub); space(n) ->
+repeat(' ',n); initcap emulated for single words; regexp_replace needs the
+'g' flag to match Spark's replace-all; double->int CAST rounds in DuckDB but
+truncates in Spark/Hive -> oracle uses trunc()::int; pmod emulated as
+((a % b) + b) % b; transcendentals rounded to 4dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bee_proof_spark.queries import register, tbl
+
+
+@register(
+    "fn_string_basic",
+    oracle="""
+    SELECT p_partkey,
+           concat(p_brand, '/', p_type) AS brand_type,
+           concat_ws('-', p_brand, p_type) AS brand_type_ws,
+           substr(p_name, 1, 5) AS name5,
+           lower(p_brand) AS brand_lc,
+           upper(p_name) AS name_uc,
+           trim('  ' || p_brand || ' ') AS brand_trim,
+           ltrim('  ' || p_brand) AS brand_ltrim,
+           rtrim(p_brand || '  ') AS brand_rtrim,
+           lpad(cast(p_size as varchar), 4, '0') AS size_pad,
+           rpad(p_brand, 12, '.') AS brand_rpad,
+           length(p_name) AS name_len,
+           reverse(p_brand) AS brand_rev,
+           upper(substr(lower(p_type),1,1)) || substr(lower(p_type),2) AS type_initcap,
+           instr(p_name, 'o') AS o_pos,
+           strpos(p_name, 'a') AS a_pos,
+           repeat(p_brand, 2) AS brand2,
+           repeat(' ', 3) || p_brand AS brand_spaced,
+           translate(p_brand, '#', '_') AS brand_tr,
+           ascii(p_brand) AS first_ascii
+    FROM part
+    """,
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = tbl(spark, sf_dir, "part")
+    b, nm, tp = F.col("p_brand"), F.col("p_name"), F.col("p_type")
+    return p.select(
+        "p_partkey",
+        F.concat(b, F.lit("/"), tp).alias("brand_type"),
+        F.concat_ws("-", b, tp).alias("brand_type_ws"),
+        F.substring(nm, 1, 5).alias("name5"),
+        F.lower(b).alias("brand_lc"),
+        F.upper(nm).alias("name_uc"),
+        F.trim(F.concat(F.lit("  "), b, F.lit(" "))).alias("brand_trim"),
+        F.ltrim(F.concat(F.lit("  "), b)).alias("brand_ltrim"),
+        F.rtrim(F.concat(b, F.lit("  "))).alias("brand_rtrim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.rpad(b, 12, ".").alias("brand_rpad"),
+        F.length(nm).alias("name_len"),
+        F.reverse(b).alias("brand_rev"),
+        F.initcap(F.lower(tp)).alias("type_initcap"),
+        F.instr(nm, "o").alias("o_pos"),
+        F.locate("a", nm).alias("a_pos"),
+        F.repeat(b, 2).alias("brand2"),
+        F.concat(F.expr("space(3)"), b).alias("brand_spaced"),
+        F.translate(b, "#", "_").alias("brand_tr"),
+        F.ascii(b).alias("first_ascii"),
+    )
+
+
+@register(
+    "fn_string_regexp",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_novowel,
+           string_split_regex(p_name, '\s+') AS name_words
+    FROM part
+    """,
+)
+def fn_string_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = tbl(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("name_novowel"),
+        F.split("p_name", r"\s+").alias("name_words"),
+    )
+
+
+@register(
+    "fn_string_format",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%08d', o_orderkey) AS key_pad,
+           printf('%s=%.2f', o_orderstatus, o_totalprice) AS status_price,
+           CASE WHEN list_position(string_split('1-URGENT,2-HIGH,3-MEDIUM', ','), o_orderpriority) IS NULL
+                THEN 0 ELSE list_position(string_split('1-URGENT,2-HIGH,3-MEDIUM', ','), o_orderpriority) END AS prio_idx
+    FROM orders
+    """,
+)
+def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf + find_in_set (find_in_set returns 0 when absent - emulated via
+    list_position/CASE on the DuckDB side)."""
+    o = tbl(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.format_string("%08d", "o_orderkey").alias("key_pad"),
+        F.format_string("%s=%.2f", "o_orderstatus", "o_totalprice").alias("status_price"),
+        F.expr("find_in_set(o_orderpriority, '1-URGENT,2-HIGH,3-MEDIUM')").alias("prio_idx"),
+    )
+
+
+@register(
+    "fn_date_extract",
+    oracle="""
+    SELECT event_id,
+           year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+           hour(ts) AS h, minute(ts) AS mi, second(ts) AS s,
+           weekofyear(ts) AS wk,
+           cast(cast(ts as date) as varchar) AS d_str
+    FROM events
+    """,
+)
+def fn_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        F.year(ts).alias("y"),
+        F.month(ts).alias("mo"),
+        F.dayofmonth(ts).alias("d"),
+        F.hour(ts).alias("h"),
+        F.minute(ts).alias("mi"),
+        F.second(ts).alias("s"),
+        F.weekofyear(ts).alias("wk"),
+        F.to_date(ts).cast("string").alias("d_str"),
+    )
+
+
+@register(
+    "fn_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           cast(cast(o_orderdate as date) + 30 as varchar) AS plus30,
+           cast(cast(o_orderdate as date) - 7 as varchar) AS minus7,
+           datediff('day', DATE '1995-01-01', cast(o_orderdate as date)) AS days_since_epoch0,
+           cast(cast(cast(o_orderdate as date) + INTERVAL 2 MONTH as date) as varchar) AS plus2m,
+           cast(last_day(cast(o_orderdate as date)) as varchar) AS eom,
+           cast(cast(date_trunc('month', o_orderdate) as date) as varchar) AS month_start,
+           datediff('month', DATE '1995-01-01', cast(date_trunc('month', o_orderdate) as date)) AS months_since
+    FROM orders
+    """,
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_add/sub, datediff, add_months, last_day, trunc, months_between
+    (via month-truncated anchors so the 31-day fraction rule never fires)."""
+    o = tbl(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("string").alias("plus30"),
+        F.date_sub(d, 7).cast("string").alias("minus7"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch0"),
+        F.add_months(d, 2).cast("string").alias("plus2m"),
+        F.last_day(d).cast("string").alias("eom"),
+        F.trunc(d, "MM").cast("string").alias("month_start"),
+        F.months_between(F.trunc(d, "MM"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("months_since"),
+    )
+
+
+@register(
+    "fn_date_unix",
+    oracle="""
+    SELECT event_id,
+           cast(floor(epoch(ts)) as bigint) AS epoch_s,
+           strftime(to_timestamp(cast(floor(epoch(ts)) as bigint)), '%Y-%m-%d %H:%M:%S') AS ts_str,
+           cast(ts + INTERVAL 5 HOUR as varchar) AS ts_plus5,
+           cast(ts - INTERVAL 5 HOUR as varchar) AS ts_minus5
+    FROM events
+    """,
+)
+def fn_date_unix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unix_timestamp/from_unixtime + fixed-offset from/to_utc_timestamp
+    (fixed +05:00 offset keeps the oracle a pure interval shift)."""
+    e = tbl(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        F.unix_timestamp(ts).alias("epoch_s"),
+        F.from_unixtime(F.unix_timestamp(ts)).alias("ts_str"),
+        F.from_utc_timestamp(ts, "+05:00").cast("string").alias("ts_plus5"),
+        F.to_utc_timestamp(ts, "+05:00").cast("string").alias("ts_minus5"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           cast(floor(l_extendedprice) as bigint) AS price_fl,
+           cast(ceil(l_extendedprice) as bigint) AS price_ce,
+           abs(l_discount - 0.05) AS disc_dev,
+           ((cast(l_orderkey as bigint) % 7) + 7) % 7 AS key_pmod,
+           round(pow(l_quantity, 2), 4) AS qty_sq,
+           round(sqrt(l_quantity), 4) AS qty_sqrt,
+           round(exp(l_discount), 4) AS disc_exp,
+           round(ln(l_quantity + 1), 4) AS qty_ln,
+           round(log2(l_quantity + 1), 4) AS qty_log2,
+           round(log10(l_quantity + 1), 4) AS qty_log10,
+           cast(sign(l_discount - 0.05) as int) AS disc_sign,
+           hex(l_linenumber) AS ln_hex,
+           bin(l_linenumber) AS ln_bin,
+           round(pi(), 4) AS pi_v,
+           round(degrees(l_discount), 4) AS disc_deg,
+           round(radians(l_quantity), 4) AS qty_rad,
+           round(sin(l_discount), 4) AS disc_sin,
+           round(cos(l_discount), 4) AS disc_cos,
+           round(atan(l_discount), 4) AS disc_atan
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    q, disc, price = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price, 1).alias("price_r1"),
+        F.floor(price).alias("price_fl"),
+        F.ceil(price).alias("price_ce"),
+        F.abs(disc - 0.05).alias("disc_dev"),
+        F.pmod(k, F.lit(7)).alias("key_pmod"),
+        F.round(F.pow(q, 2), 4).alias("qty_sq"),
+        F.round(F.sqrt(q), 4).alias("qty_sqrt"),
+        F.round(F.exp(disc), 4).alias("disc_exp"),
+        F.round(F.log(q + 1), 4).alias("qty_ln"),
+        F.round(F.log2(q + 1), 4).alias("qty_log2"),
+        F.round(F.log10(q + 1), 4).alias("qty_log10"),
+        F.signum(disc - 0.05).cast("int").alias("disc_sign"),
+        F.hex(F.col("l_linenumber")).alias("ln_hex"),
+        F.bin(F.col("l_linenumber")).alias("ln_bin"),
+        F.round(F.lit(3.141592653589793), 4).alias("pi_v"),
+        F.round(F.degrees(disc), 4).alias("disc_deg"),
+        F.round(F.radians(q), 4).alias("qty_rad"),
+        F.round(F.sin(disc), 4).alias("disc_sin"),
+        F.round(F.cos(disc), 4).alias("disc_cos"),
+        F.round(F.atan(disc), 4).alias("disc_atan"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 5000 THEN 'rich' ELSE 'modest' END AS wealth,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_or_default,
+           nullif(c_nationkey, 0) AS nation_nz,
+           (nullif(c_acctbal, 0.0) IS NULL) AS bal_isnull,
+           (c_acctbal IS NOT NULL) AS bal_notnull,
+           greatest(c_acctbal, 1000.0) AS bal_floor,
+           least(c_acctbal, 9000.0) AS bal_cap
+    FROM customer
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """if/coalesce/nvl/nullif/isnull/greatest/least/CASE."""
+    c = tbl(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal > 5000, "rich").otherwise("modest").alias("wealth"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT"))
+        .alias("seg_or_default"),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nation_nz"),
+        F.isnull(F.nullif(bal, F.lit(0.0))).alias("bal_isnull"),
+        bal.isNotNull().alias("bal_notnull"),
+        F.greatest(bal, F.lit(1000.0)).alias("bal_floor"),
+        F.least(bal, F.lit(9000.0)).alias("bal_cap"),
+    )
+
+
+@register(
+    "fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           cast(o_orderkey as varchar) AS key_str,
+           trunc(o_totalprice)::bigint AS price_int,
+           cast(cast(o_totalprice as decimal(14,2)) as varchar) AS price_dec_str,
+           try_cast(o_orderpriority as int) AS prio_bad_int,
+           cast(cast(o_orderdate as date) as varchar) AS date_str,
+           cast(o_totalprice as varchar) AS price_str,
+           o_orderkey / 4 AS key_div,
+           o_orderkey // 4 AS key_intdiv
+    FROM orders
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST semantics incl. the Hive traps: double->int truncates (DuckDB
+    rounds -> oracle uses trunc), bad string->int yields NULL with ANSI off
+    (oracle: try_cast), int/int division is double, DIV is integer."""
+    o = tbl(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_totalprice").cast("decimal(14,2)").cast("string").alias("price_dec_str"),
+        # try_cast: NULL on malformed input under BOTH ANSI modes (the driver's
+        # session may run ANSI-on Spark 4 defaults; plain cast would throw).
+        F.col("o_orderpriority").try_cast("int").alias("prio_bad_int"),
+        F.to_date("o_orderdate").cast("string").alias("date_str"),
+        F.col("o_totalprice").cast("string").alias("price_str"),
+        (F.col("o_orderkey") / 4).alias("key_div"),
+        F.expr("o_orderkey div 4").alias("key_intdiv"),
+    )
+
+
+@register(
+    "fn_array_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           [l_quantity, l_discount, l_tax] AS triple,
+           len([l_quantity, l_discount, l_tax]) AS triple_size,
+           list_contains([l_quantity, l_discount, l_tax], 0.0) AS has_zero,
+           list_sort([l_tax, l_quantity, l_discount]) AS sorted_vals,
+           [l_quantity, l_discount, l_tax][1] AS first_elem
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    arr = F.array("l_quantity", "l_discount", "l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        arr.alias("triple"),
+        F.size(arr).alias("triple_size"),
+        F.array_contains(arr, 0.0).alias("has_zero"),
+        F.sort_array(F.array("l_tax", "l_quantity", "l_discount")).alias("sorted_vals"),
+        arr.getItem(0).alias("first_elem"),
+    )
+
+
+@register("fn_map_ops")  # rows-only: map ordering not canonical across engines
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map(), map_keys, map_values, size, element access, str_to_map."""
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"), F.lit("disc"), F.col("l_discount")
+    )
+    return li.select(
+        "l_orderkey",
+        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.size(m).alias("m_size"),
+        m.getItem("qty").alias("qty_val"),
+        F.expr("str_to_map(concat('a:1,b:', l_linenumber), ',', ':')['b']").alias("b_val"),
+    )
+
+
+@register(
+    "fn_json_get",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+           try_cast(json_extract_string(props, '$.k') as int) AS k_int,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    """,
+)
+def fn_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@register(
+    "fn_json_tuple",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k') AS k
+    FROM events
+    """,
+)
+def fn_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple via LATERAL VIEW (Hive syntax runs as-is in Spark SQL)."""
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        "SELECT event_id, t.k FROM events LATERAL VIEW json_tuple(props, 'k') t AS k"
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha2
+    FROM customer
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5/sha2 (Hive's hash() is Hive-specific - documented out of oracle)."""
+    c = tbl(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("c_name").cast("binary"), 256).alias("name_sha2"),
+    )
+
+
+@register("fn_url_misc")  # rows-only: parse_url/xpath absent in DuckDB
+def fn_url_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url + xpath_* over synthesized URLs/XML."""
+    c = tbl(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://example.com/seg/"),
+        F.col("c_mktsegment"),
+        F.lit("?cust="),
+        F.col("c_custkey").cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("cust")).alias("cust_param"),
+        F.expr(
+            "xpath_string(concat('<a><b>', c_mktsegment, '</b></a>'), 'a/b')"
+        ).alias("xml_seg"),
+    )
+
+
+@register("fn_sentences")  # rows-only: tokenizer is locale/engine-specific
+def fn_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.expr("sentences(substring(text, 1, 100))").alias("tokens")
+    )

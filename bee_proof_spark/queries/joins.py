@@ -1,1 +1,224 @@
-"""Placeholder - filled in as SURVEY.md section 2 coverage lands."""
+"""Joins (SURVEY.md section 2-B): all Hive join shapes Spark-first.
+
+Scale posture: dimension sides are explicitly ``broadcast()`` where a real
+cluster should never shuffle them (region/nation/supplier/customer);
+fact-to-fact joins stay shuffle sort-merge and AQE is free to upgrade them.
+The reference disables Hive's auto map-join for determinism
+(HIVECONVERTJOIN=false, ManifestRunner.java:205) - semantics are unaffected,
+so we keep the fast plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bee_proof_spark.queries import register, tbl
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT n_nationkey, n_name, s_suppkey
+    FROM nation LEFT OUTER JOIN supplier ON n_nationkey = s_nationkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = tbl(spark, sf_dir, "nation")
+    s = tbl(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "left").select(
+        "n_nationkey", "n_name", "s_suppkey"
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT n_nationkey, n_name, s_suppkey
+    FROM supplier RIGHT OUTER JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = tbl(spark, sf_dir, "nation")
+    s = tbl(spark, sf_dir, "supplier")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "n_nationkey", "n_name", "s_suppkey"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+    SELECT c_nationkey, s_nationkey, n_cust, n_supp
+    FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        tbl(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        tbl(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        "c_nationkey", "s_nationkey", "n_cust", "n_supp"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "region")
+        .crossJoin(tbl(spark, sf_dir, "nation"))
+        .select("r_name", "n_name")
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'F')
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI JOIN - Hive's EXISTS idiom; no right columns, no dup blowup."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderstatus = 'P')
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left anti join (NULL-safe, unlike NOT IN with NULLs):
+    customers with no pending orders (nonempty at every fixture SF)."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_broadcast_hint",
+    oracle="""
+    SELECT c_custkey, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive /*+ MAPJOIN(t) */ == Spark broadcast(): same rows, map-side plan.
+
+    At 100 TB this is the difference between a 25-row broadcast and shuffling
+    the full fact side.
+    """
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+
+
+@register(
+    "join_theta_band",
+    oracle="""
+    SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+    FROM supplier JOIN customer
+      ON c_acctbal > s_acctbal - 10 AND c_acctbal < s_acctbal + 10
+    """,
+)
+def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band predicate (Hive: cross + WHERE). Plans as
+    BroadcastNestedLoopJoin with the small side broadcast."""
+    s = tbl(spark, sf_dir, "supplier")
+    c = tbl(spark, sf_dir, "customer")
+    cond = (c.c_acctbal > s.s_acctbal - 10) & (c.c_acctbal < s.s_acctbal + 10)
+    return s.join(c, cond).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+
+@register(
+    "join_multiway_star",
+    oracle="""
+    SELECT r_name, o_orderpriority, count(*) AS cnt
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, o_orderpriority
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained star join: fact -> orders shuffle join, dims broadcast."""
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "join_selfjoin",
+    oracle="""
+    SELECT a.o_custkey AS custkey, count(*) AS n_pairs
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    GROUP BY a.o_custkey
+    """,
+)
+def join_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join with aliases: ordered order-pairs per customer."""
+    o = tbl(spark, sf_dir, "orders")
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .groupBy(F.col("a.o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

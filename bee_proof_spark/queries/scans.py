@@ -1,1 +1,275 @@
-"""Placeholder - filled in as SURVEY.md section 2 coverage lands."""
+"""Scans / sources / sinks (SURVEY.md section 2-B): parquet/csv/json/orc
+roundtrips, CTAS, INSERT OVERWRITE/INTO, dynamic partitioned writes, external
+tables, views.
+
+Each sink query WRITES to a scratch dir (recreated per call) and reads back;
+the oracle describes the end state via the source views. RCFile/SequenceFile
+are documented out of scope (no native Spark writer - SURVEY section 2-B
+seq_rcfile_note); Hive ACID UPDATE/DELETE/MERGE likewise (INSERT OVERWRITE is
+the Spark-native rewrite pattern).
+
+Scale posture: all writers are parallel executor-side writers (one file per
+partition); dynamic partitioning uses partitionBy which is the Hive
+dynamic-partition INSERT equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bee_proof_spark.queries import register, tbl
+
+
+def _scratch(name: str) -> str:
+    """Fresh deterministic scratch dir for a sink query."""
+    path = os.path.join(tempfile.gettempdir(), "bee-proof-tmp", "sinks", name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED AS PARQUET scan; projection prunes to 4 columns at the reader."""
+    return tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@register(
+    "scan_pushdown_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    WHERE l_quantity = 50 AND l_returnflag = 'N'
+    """,
+)
+def scan_pushdown_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter lands in the parquet scan as PushedFilters (asserted in
+    tests/test_plans.py), skipping row groups via min/max stats at scale."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") == 50) & (F.col("l_returnflag") == "N"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+_CSV_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       cast(cast(o_orderdate as date) as varchar) AS o_date_str
+FROM orders
+"""
+
+
+@register("roundtrip_csv", oracle=_CSV_ORACLE)
+def roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTFILE/OpenCSVSerde equivalent: write csv, read back with explicit
+    schema (schema-on-read, as Hive DDL declares it)."""
+    path = _scratch("csv")
+    src = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.to_date("o_orderdate").cast("string").alias("o_date_str"),
+    )
+    src.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_date_str", T.StringType()),
+        ]
+    )
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
+_JSON_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+"""
+
+
+@register("roundtrip_json", oracle=_JSON_ORACLE)
+def roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JsonSerDe equivalent: write json lines, read back with schema."""
+    path = _scratch("json")
+    src = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    src.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
+
+
+_ORC_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+@register("roundtrip_orc", oracle=_ORC_ORACLE)
+def roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED AS ORC roundtrip (Hive 0.11+)."""
+    path = _scratch("orc")
+    src = (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    )
+    src.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+_CTAS_ORACLE = """
+SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("ctas_table", oracle=_CTAS_ORACLE)
+def ctas_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT into the session catalog + read back."""
+    path = _scratch("ctas")
+    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_src")
+    spark.sql("DROP TABLE IF EXISTS bps_ctas")
+    spark.sql(
+        f"""
+        CREATE TABLE bps_ctas USING parquet LOCATION '{path}/t' AS
+        SELECT l_returnflag, count(*) AS cnt FROM lineitem_src GROUP BY l_returnflag
+        """
+    )
+    return spark.table("bps_ctas")
+
+
+_OVERWRITE_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("insert_overwrite", oracle=_OVERWRITE_ORACLE)
+def insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE TABLE: second write replaces the first entirely."""
+    path = _scratch("overwrite")
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
+    spark.sql("DROP TABLE IF EXISTS bps_ovr")
+    spark.sql(
+        f"CREATE TABLE bps_ovr (o_orderkey BIGINT, o_totalprice DOUBLE) "
+        f"USING parquet LOCATION '{path}/t'"
+    )
+    spark.sql(
+        "INSERT OVERWRITE TABLE bps_ovr "
+        "SELECT o_orderkey, o_totalprice FROM orders_src WHERE o_orderstatus = 'O'"
+    )
+    spark.sql(
+        "INSERT OVERWRITE TABLE bps_ovr "
+        "SELECT o_orderkey, o_totalprice FROM orders_src WHERE o_orderstatus = 'F'"
+    )
+    return spark.table("bps_ovr")
+
+
+_APPEND_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+@register("insert_into_append", oracle=_APPEND_ORACLE)
+def insert_into_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO TABLE appends (oracle: UNION ALL of both inserts)."""
+    path = _scratch("append")
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
+    spark.sql("DROP TABLE IF EXISTS bps_app")
+    spark.sql(
+        f"CREATE TABLE bps_app (o_orderkey BIGINT, o_totalprice DOUBLE) "
+        f"USING parquet LOCATION '{path}/t'"
+    )
+    spark.sql(
+        "INSERT INTO TABLE bps_app "
+        "SELECT o_orderkey, o_totalprice FROM orders_src WHERE o_orderstatus = 'O'"
+    )
+    spark.sql(
+        "INSERT INTO TABLE bps_app "
+        "SELECT o_orderkey, o_totalprice FROM orders_src WHERE o_orderstatus = 'P'"
+    )
+    return spark.table("bps_app")
+
+
+_DYNPART_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+FROM lineitem
+"""
+
+
+@register("write_partitioned_dynamic", oracle=_DYNPART_ORACLE)
+def write_partitioned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-partition INSERT: partitionBy writes one dir per key value
+    (hive-style layout); read back re-attaches partition columns."""
+    path = _scratch("dynpart")
+    src = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    src.write.mode("overwrite").partitionBy("l_returnflag", "l_linestatus").parquet(path)
+    return spark.read.parquet(path)
+
+
+_EXTERNAL_ORACLE = """
+SELECT s_suppkey, s_name, s_acctbal FROM supplier
+"""
+
+
+@register("external_table_scan", oracle=_EXTERNAL_ORACLE)
+def external_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE EXTERNAL TABLE ... LOCATION over pre-existing files."""
+    path = _scratch("external")
+    tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/files")
+    spark.sql("DROP TABLE IF EXISTS bps_ext")
+    spark.sql(f"CREATE TABLE bps_ext USING parquet LOCATION '{path}/files'")
+    return spark.table("bps_ext")
+
+
+_VIEW_ORACLE = """
+SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("create_view_query", oracle=_VIEW_ORACLE)
+def create_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW then query through it."""
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer_src")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW bps_seg_view AS "
+        "SELECT c_mktsegment, count(*) AS n FROM customer_src GROUP BY c_mktsegment"
+    )
+    return spark.sql("SELECT c_mktsegment, n FROM bps_seg_view")
+
+
+@register("ddl_lifecycle")  # rows-only: catalog effects, no DuckDB oracle
+def ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE/ALTER/DESCRIBE/SHOW/DROP lifecycle smoke (dry-run surface)."""
+    path = _scratch("ddl")
+    spark.sql("DROP TABLE IF EXISTS bps_ddl")
+    spark.sql(
+        f"CREATE TABLE bps_ddl (a INT, b STRING) USING parquet LOCATION '{path}/t' "
+        "COMMENT 'lifecycle smoke'"
+    )
+    spark.sql("ALTER TABLE bps_ddl ADD COLUMNS (c DOUBLE)")
+    described = spark.sql("DESCRIBE TABLE bps_ddl").select("col_name", "data_type")
+    spark.sql("DROP TABLE bps_ddl")
+    return described

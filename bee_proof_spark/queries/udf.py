@@ -1,1 +1,127 @@
-"""Placeholder - filled in as SURVEY.md section 2 coverage lands."""
+"""UDF / UDAF / UDTF surface (SURVEY.md section 2-B): the Spark-native
+replacement for Hive's CREATE FUNCTION + GenericUDF/UDAF/UDTF classes.
+
+Performance posture: pandas_udf / applyInPandas move data via Arrow batches
+(the fast Python path); the row-at-a-time udf_python_scalar exists to cover
+the capability and is deliberately NOT used anywhere else.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from bee_proof_spark.queries import register, tbl
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (capability only - the slow path)."""
+
+    @F.udf(returnType=StringType())
+    def qty_band(q: float) -> str:
+        return "low" if q < 10 else ("mid" if q < 30 else "high")
+
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select("l_orderkey", "l_linenumber", qty_band("l_quantity").alias("qty_band"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF over Arrow batches (IEEE ops -> exact oracle)."""
+
+    @F.pandas_udf(DoubleType())
+    def net_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@register(
+    "udaf_pandas_agg",
+    oracle="""
+    SELECT l_returnflag,
+           cast(sum(cast(l_quantity as decimal(25,6))) as double) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as a GROUPED_AGG pandas UDF. Quantities are whole
+    numbers (exact in double), so pandas' sum matches the decimal oracle."""
+
+    @F.pandas_udf("double")
+    def total_qty(q: pd.Series) -> float:
+        return float(q.sum())
+
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(total_qty("l_quantity").alias("total_qty"))
+
+
+@register(
+    "udtf_group_apply",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn <= 2
+    """,
+)
+def udtf_group_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group table function via applyInPandas (UDTF equivalent): emit the
+    top-2 priced rows per return flag. Oracle = window top-k."""
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True],
+        ).head(2)
+        return out[["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"]]
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        top2,
+        schema="l_returnflag string, l_orderkey bigint, l_linenumber int, l_extendedprice double",
+    )
+
+
+@register(
+    "udf_sql_register",
+    oracle="""
+    SELECT c_custkey, c_acctbal * 2 AS doubled FROM customer
+    """,
+)
+def udf_sql_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.udf.register makes a Python fn SQL-visible (CREATE TEMPORARY
+    FUNCTION parity), then it is called from SQL text."""
+    spark.udf.register("bps_double", lambda x: x * 2, DoubleType())
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer_udf_src")
+    return spark.sql(
+        "SELECT c_custkey, bps_double(c_acctbal) AS doubled FROM customer_udf_src"
+    )
