@@ -132,6 +132,7 @@ def load_all() -> dict[str, QuerySpec]:
         setops,
         streaming_batch,
         subqueries,
+        text_analysis,
         tpch,
         udf,
         windows,

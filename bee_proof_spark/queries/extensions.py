@@ -1,1 +1,395 @@
-"""Placeholder - filled in as SURVEY.md section 2 coverage lands."""
+"""LLM-data-pipeline extension operators (SURVEY.md section 2-C + north star):
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine),
+similarity search (brute-force + LSH-bucketed ANN), multimodal columns.
+
+Scale posture is the whole point here:
+
+- MinHash signatures are computed as k min-aggregations over xxhash64(shingle,
+  seed) - NO k-times row explosion, one shuffle on doc_id.
+- LSH banding turns O(n^2) pair generation into per-bucket joins; only
+  candidate pairs get exact verification.
+- ANN: query side is broadcast; the corpus is never collected; top-k via
+  window over (query, candidate) scores.
+- All-pairs scoring only ever happens inside buckets/blocks, mirroring what
+  survives at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bee_proof_spark.queries import register, tbl
+
+# ------------------------------------------------------------------ helpers
+
+def _words(doc_df: DataFrame) -> DataFrame:
+    """documents + deduped word array column."""
+    return doc_df.withColumn("words", F.split("text", " "))
+
+
+def _shingles(doc_df: DataFrame, n: int = 3) -> DataFrame:
+    """Word n-gram shingles as an array column (JVM-side transform/slice)."""
+    return _words(doc_df).withColumn(
+        "shingles",
+        F.expr(
+            f"transform(sequence(0, greatest(size(words) - {n}, 0)),"
+            f" i -> concat_ws(' ', slice(words, i + 1, {n})))"
+        ),
+    )
+
+
+# ------------------------------------------------------------------ dedup
+
+@register(
+    "ext_dedup_exact",
+    oracle="""
+    SELECT lang, source, min(doc_id) AS keep_doc, count(*) AS n_dups
+    FROM documents GROUP BY lang, source
+    """,
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative per key, deterministic keeper (min id).
+
+    hash-groupBy, single shuffle on the dedup key. dropDuplicates() picks an
+    arbitrary survivor under parallelism - min() is the reproducible choice.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+_JACCARD_ORACLE = """
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE doc_id >= 400
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_shared / (sa.n + sb.n - n_shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.5
+"""
+
+
+@register("ext_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection by exact word-set Jaccard >= 0.5 (oracle-checked).
+
+    Candidate pairs come from an inverted-index self-join on shared words
+    (never a cross join); integer count arithmetic keeps it exact. The
+    doc_id >= 400 slice bounds pair blowup - at scale the MinHash/LSH variant
+    below replaces the inverted index.
+    """
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") >= 400)
+    w = (
+        _words(d)
+        .select("doc_id", F.explode("words").alias("word"))
+        .distinct()
+    )
+    sizes = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = w.alias("a")
+    b = w.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+NUM_HASHES = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def minhash_signatures(doc_df: DataFrame) -> DataFrame:
+    """doc_id + mh0..mh{k-1} MinHash signature columns.
+
+    One explode to shingle rows, then k min-aggregations over
+    xxhash64(shingle, seed) in a single hash aggregate - signature cost is
+    O(shingles) rows regardless of k (no per-seed explosion).
+    """
+    sh = _shingles(doc_df).select("doc_id", F.explode("shingles").alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@register("ext_dedup_fuzzy")  # rows-only: hash-family specific
+def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs (the scale path for fuzzy dedup).
+
+    shingle -> 32-hash MinHash signature -> 8 bands of 4 -> band-bucket join
+    -> candidate pairs -> estimated Jaccard = fraction of agreeing hashes,
+    filtered >= 0.4. Only bucket-mates are ever paired.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+        .alias(f"band{b}")
+        for b in range(BANDS)
+    ]
+    banded = sig.select("doc_id", *[F.col(f"mh{i}") for i in range(NUM_HASHES)], *band_cols)
+    bands = banded.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(NUM_HASHES)],
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(BANDS)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (agree / F.lit(NUM_HASHES)).alias("est_jaccard"),
+        )
+        .distinct()
+        .filter(F.col("est_jaccard") >= 0.4)
+    )
+    return pairs
+
+
+@register("ext_dedup_simhash")  # rows-only: hash-family specific
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signature from per-token hash bit
+    votes; candidates share at least one of four 16-bit bands (Hamming <= 3
+    guarantee by pigeonhole).
+
+    Bit votes via a bit-position explode (64x token rows) - transparent and
+    shuffle-light here; the pandas-UDF bit-twiddling variant is the 100 TB
+    swap-in.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    tok = _words(d).select("doc_id", F.explode("words").alias("word"))
+    votes = (
+        tok.withColumn("h", F.xxhash64("word"))
+        .select("doc_id", "h", F.explode(F.expr("sequence(0, 63)")).alias("bit"))
+        .withColumn(
+            "vote",
+            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    sig = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.expr(f"(simhash >> {16 * i}) & 65535") for i in range(4)])
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 8)
+    )
+
+
+# ------------------------------------------------------------------ similarity
+
+def _unit_vectors(emb_df: DataFrame) -> DataFrame:
+    """embedding -> L2-normalized double array (JVM-side, no UDF)."""
+    dbl = F.expr("transform(embedding, x -> cast(x as double))")
+    return emb_df.withColumn("vec", dbl).withColumn(
+        "norm",
+        F.sqrt(F.expr("aggregate(vec, 0.0D, (acc, x) -> acc + x * x)")),
+    ).withColumn("unit", F.expr("transform(vec, x -> x / norm)"))
+
+
+_DOT = "aggregate(zip_with(a_unit, b_unit, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+@register("ext_knn_cosine")  # rows-only: float scoring tie behavior
+def ext_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors against the corpus.
+
+    Queries are broadcast (tiny side); the corpus is scanned once, scored
+    JVM-side with zip_with/aggregate (no Python), and top-k is a window with
+    WindowGroupLimit pushdown. Linear in corpus size - the correct baseline.
+    """
+    from pyspark.sql import Window
+
+    e = _unit_vectors(tbl(spark, sf_dir, "embeddings"))
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("unit").alias("a_unit")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("b_unit"))
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", F.expr(_DOT))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "c_id", F.round("cosine", 4).alias("cosine"), "rnk")
+    )
+
+
+@register("ext_knn_lsh")  # rows-only: plane family specific
+def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the scale path): random-hyperplane signature ->
+    bucket join -> exact rerank inside buckets only.
+
+    Hyperplanes are derived deterministically (seeded), broadcast as
+    literals. Recall trades against the number of planes/tables; candidates
+    per query ~ corpus/2^planes.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((6, 64))  # 6 planes -> 64 buckets
+    plane_lits = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in planes]
+    )
+
+    from pyspark.sql import Window
+
+    e = _unit_vectors(tbl(spark, sf_dir, "embeddings")).withColumn("planes", plane_lits)
+    sig = e.withColumn(
+        "bucket",
+        F.expr(
+            "aggregate(transform(planes, (p, i) -> "
+            " CASE WHEN aggregate(zip_with(unit, p, (x, y) -> x * y), 0.0D,"
+            "                     (acc, x) -> acc + x) > 0 THEN shiftleft(1, i) ELSE 0 END),"
+            " 0, (acc, x) -> acc + x)"
+        ),
+    ).select("vec_id", "unit", "bucket")
+    queries = sig.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("unit").alias("a_unit"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = (
+        sig.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumnRenamed("unit", "b_unit")
+        .withColumn("cosine", F.expr(_DOT))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", F.col("vec_id").alias("c_id"), F.round("cosine", 4).alias("cosine"), "rnk")
+    )
+
+
+@register("ext_dedup_embedding")  # rows-only: float scoring
+def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (in-block pairs only
+    - the blocking pattern that survives scale; cross-block recall comes from
+    the LSH variant)."""
+    e = _unit_vectors(tbl(spark, sf_dir, "embeddings")).select("vec_id", "label", "unit")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"), F.col("unit").alias("a_unit")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lbl_b"), F.col("unit").alias("b_unit")
+    )
+    return (
+        a.join(b, (F.col("lbl") == F.col("lbl_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine", F.expr(_DOT))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"), "lbl")
+    )
+
+
+# ------------------------------------------------------------------ multimodal
+
+@register("ext_multimodal_struct")  # rows-only: binary payloads
+def ext_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: opaque binary payload + typed metadata
+    struct, feature extraction via Arrow-batched mapInPandas.
+
+    The decode step is a STUB (no image/audio libs in this container): it
+    derives deterministic fake features from payload bytes. The Spark-side
+    contract - binary column, metadata struct, batch iterator signature,
+    output schema - is real and is what a codec swap-in would keep.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+    def extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            # STUB decode: real implementation would decode payload via PIL/
+            # ffmpeg here. Deterministic fake: byte-sum + length features.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "byte_sum": pdf["payload"].map(lambda b: int(sum(b) % 100000)),
+                    "width": pdf["meta"].map(lambda m: m["width"]),
+                    "height": pdf["meta"].map(lambda m: m["height"]),
+                }
+            )
+
+    return media.mapInPandas(
+        extract, schema="doc_id bigint, n_bytes int, byte_sum bigint, width int, height int"
+    )

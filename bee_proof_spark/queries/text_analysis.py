@@ -1,0 +1,187 @@
+"""Text-analysis operators for training-data pipelines (north star):
+word count, per-lang/source stats, token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All JVM-side (split/explode/regexp/aggregate) - no Python in any hot path;
+ratios are count-based so the oracles are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bee_proof_spark.queries import register, tbl
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+@register(
+    "ext_text_wordcount",
+    oracle="""
+    SELECT word, count(*) AS freq FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ) GROUP BY word
+    """,
+)
+def ext_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + global word frequency (split -> explode -> hash agg;
+    partial aggregation makes the shuffle proportional to vocabulary)."""
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+@register(
+    "ext_text_stats",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           cast(sum(cast(n_chars as decimal(25,6))) as double) / count(*) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang/source doc stats (counts + length distribution)."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("n_chars").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)))
+        .alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "ext_text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens,
+           cast(ceil(n_chars / 4.0) as bigint) AS est_tokens
+    FROM documents
+    """,
+)
+def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, a BPE-ish regex token count, and
+    the chars/4 estimator used for budget accounting."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).alias("est_tokens"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains({list(STOPWORDS)!r}, w))) AS n_stop,
+         len(list_filter(string_split(text, ' '), w -> len(w) >= 7)) AS n_long
+  FROM documents
+)
+SELECT doc_id, n_words,
+       round(n_chars / n_words, 4) AS avg_word_len,
+       round(n_stop / n_words, 4) AS stopword_ratio,
+       round(n_long / n_words, 4) AS long_word_ratio,
+       (n_words >= 20 AND n_stop / n_words > 0.05) AS passes_quality
+FROM t
+"""
+
+
+@register("ext_text_quality", oracle=_QUALITY_ORACLE)
+def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword-ratio / word-shape heuristics with
+    a pass flag (count-based arithmetic -> exact oracle)."""
+    d = tbl(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_lit = ",".join(f"'{w}'" for w in STOPWORDS)
+    n_words = F.size(words)
+    n_stop = F.size(F.expr(f"filter(split(text, ' '), w -> array_contains(array({stop_lit}), w))"))
+    n_long = F.size(F.expr("filter(split(text, ' '), w -> length(w) >= 7)"))
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(F.col("n_chars") / n_words, 4).alias("avg_word_len"),
+        F.round(n_stop / n_words, 4).alias("stopword_ratio"),
+        F.round(n_long / n_words, 4).alias("long_word_ratio"),
+        ((n_words >= 20) & (n_stop / n_words > 0.05)).alias("passes_quality"),
+    )
+
+
+@register("ext_text_langid")  # rows-only: heuristic classifier
+def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram heuristic: score against per-language marker sets
+    (character trigram/stopword evidence), pick argmax.
+
+    The fixture text is synthetic English-vocabulary soup, so the honest
+    output includes both the declared lang label and the prediction.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    markers = {
+        "en": STOPWORDS,
+        "de": ("der", "die", "das", "und", "ist"),
+        "fr": ("le", "la", "et", "les", "des"),
+        "es": ("el", "los", "las", "una", "que"),
+        "zh": (),  # no-latin marker - falls through to default score
+    }
+    scores = [
+        F.size(
+            F.expr(
+                "filter(split(text, ' '), w -> array_contains(array("
+                + ",".join(f"'{m}'" for m in ms)
+                + "), w))"
+            )
+        ).alias(f"score_{lang}")
+        if ms
+        else F.lit(0).alias(f"score_{lang}")
+        for lang, ms in markers.items()
+    ]
+    scored = d.select("doc_id", "lang", *scores)
+    langs = list(markers)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lg}") == best, F.lit(lg)) for lg in langs],
+        F.lit("und"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
+        best.alias("best_score"),
+    )
+
+
+_FP_ORACLE = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list(DISTINCT word)), ' ')) AS fingerprint
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY doc_id
+"""
+
+
+@register("ext_text_fingerprint", oracle=_FP_ORACLE)
+def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct word set -
+    word-order-insensitive content identity for shuffle-cheap exact-dup
+    detection across reorderings."""
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(" ", F.sort_array(F.collect_set("word"))).cast("binary")
+            ).alias("fingerprint")
+        )
+    )

@@ -1,0 +1,76 @@
+"""Batch-replay harness: run a real readStream pipeline over the parquet
+events fixture with Trigger.AvailableNow into a memory sink, returning the
+result as a DataFrame.
+
+This is how the streaming operators (watermark drop, stateful dedup, session
+windows) are exercised without a live source: identical code runs against
+kafka/files in production; only the source/sink bindings change.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture.
+
+    The fixture stores ts as parquet TIMESTAMP(NANOS); the streaming reader
+    needs a fixed schema, so we re-materialize the (ns -> us converted) batch
+    table as a one-off parquet snapshot and stream from that.
+    """
+    from bee_proof_spark.queries import tbl
+
+    snap = os.path.join(
+        tempfile.gettempdir(), "bee-proof-tmp", "stream-src", os.path.basename(sf_dir)
+    )
+    marker = os.path.join(snap, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(snap, ignore_errors=True)
+        tbl(spark, sf_dir, "events").write.mode("overwrite").parquet(snap)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(snap)
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming query to completion (AvailableNow) into a memory
+    sink; return the sink contents as a DataFrame."""
+    name = f"bps_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
