@@ -159,6 +159,469 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q6_ORACLE = f"""
+SELECT {o_dsum('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_forecast", oracle=_Q6_ORACLE)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: pure scan-filter-agg.
+
+    Scale notes: every predicate pushes into the parquet scan (min/max row-
+    group skipping does the heavy lifting at 100 TB); the aggregate is a
+    single global decimal sum - one row per partition shuffles.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("tpch_q4_priority", oracle=_Q4_ORACLE)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking (adapted: EXISTS on returned lines -
+    the fixture has no l_commitdate/l_receiptdate).
+
+    Scale notes: EXISTS compiles to a left-semi join - lineitem never
+    duplicates orders rows, and only l_orderkey survives the scan.
+    """
+    orders = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    returned = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year, {o_dsum('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+      OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("tpch_q7_volume_shipping", oracle=_Q7_ORACLE)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations.
+
+    Scale notes: both nation lookups broadcast; the disjunctive nation-pair
+    predicate applies after the broadcast joins, pre-aggregation. lineitem-
+    orders is the only big shuffle.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer")
+    supp = tbl(spark, sf_dir, "supplier")
+    n1 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q9_ORACLE = f"""
+SELECT nation, o_year, {o_dsum('amount')} AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS amount
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%green%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("tpch_q9_profit", oracle=_Q9_ORACLE)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit (adapted: no partsupp table in the
+    fixture, so amount omits supplycost).
+
+    Scale notes: the part filter (LIKE '%green%') broadcasts as a reduced
+    build side; supplier/nation broadcast; lineitem-orders shuffles once.
+    """
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    li = tbl(spark, sf_dir, "lineitem")
+    supp = tbl(spark, sf_dir, "supplier")
+    orders = tbl(spark, sf_dir, "orders")
+    nation = tbl(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount", "sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, {o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("tpch_q10_returned", oracle=_Q10_ORACLE)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: top-20 customers by lost revenue.
+
+    Scale notes: returnflag + date filters push to scans; customer/nation
+    broadcast; TakeOrderedAndProject for the top-k (no global sort).
+    """
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = tbl(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("tpch_q13_custdist", oracle=_Q13_ORACLE)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: left outer join with an
+    ON-clause filter, then a two-level aggregation.
+
+    Scale notes: count(o_orderkey) skips nulls from the outer join by SQL
+    semantics; second agg groups on the tiny c_count domain.
+    """
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q14_ORACLE = f"""
+SELECT round(100.00 * {o_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {o_dsum('l_extendedprice * (1 - l_discount)')}, 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+@register("tpch_q14_promo", oracle=_Q14_ORACLE)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: conditional aggregation over a broadcast
+    part join (one month of lineitem)."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = tbl(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo.cast("decimal(25,6)")).cast("double")
+                / F.sum(rev.cast("decimal(25,6)")).cast("double"),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {o_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("tpch_q15_top_supplier", oracle=_Q15_ORACLE)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: CTE-style revenue aggregate reused twice
+    (once for the max scalar, once for the join).
+
+    Scale notes: the revenue aggregate is tiny (one row per supplier) - the
+    scalar-max comparison is a broadcast of a 1-row subquery, and the
+    supplier join broadcasts the aggregate side.
+    """
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
+    supp = tbl(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(revenue), supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mr"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q17_ORACLE = f"""
+SELECT round({o_dsum('l_extendedprice')} / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+@register("tpch_q17_small_qty", oracle=_Q17_ORACLE)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: correlated scalar subquery
+    (per-part average quantity) expressed as an aggregate + re-join.
+
+    Scale notes: the per-part average is a map-side-combinable aggregate on
+    the same key as the join; Catalyst de-correlates the subquery the same
+    way. Brand filter broadcasts part.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double")
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_Q18_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey, cast(o_orderdate as varchar) AS o_orderdate,
+       o_totalprice, {o_dsum('l_quantity')} AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("tpch_q18_large_volume", oracle=_Q18_ORACLE)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: IN-subquery over a grouped HAVING,
+    then join + re-aggregate + top-k.
+
+    Scale notes: the HAVING aggregate reuses lineitem's l_orderkey
+    partitioning; the IN becomes a left-semi join on the already-shuffled
+    key, so no extra wide shuffle.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer")
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"), li.l_orderkey == F.col("bk"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT {o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register("tpch_q19_discounted", oracle=_Q19_ORACLE)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue (adapted: no container/shipmode columns):
+    disjunction of brand/size/quantity bands over a broadcast part join.
+
+    Scale notes: the disjunctive predicate can't push below the join, but
+    part is a broadcast build side so lineitem streams through one stage.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+_Q22_ORACLE = f"""
+SELECT n_name, count(*) AS numcust, {o_dsum('c_acctbal')} AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("tpch_q22_global_sales", oracle=_Q22_ORACLE)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (adapted: nation instead of phone
+    prefix): scalar-average subquery + NOT EXISTS anti join.
+
+    Scale notes: the scalar average broadcasts as a 1-row build side; NOT
+    EXISTS is a left-anti join on c_custkey - no row duplication anywhere.
+    """
+    cust = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    orders = tbl(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal"))
+        .orderBy("n_name")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``entry()`` flagship query (driver smoke check)."""
     return tpch_q1(spark, sf_dir)

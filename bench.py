@@ -24,6 +24,10 @@ BENCH_QUERIES = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "tpch_q9_profit",
+    "tpch_q13_custdist",
+    "tpch_q18_large_volume",
     "agg_basic",
     "win_topk_per_group",
     "ext_dedup_exact",
