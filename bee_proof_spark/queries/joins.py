@@ -222,3 +222,56 @@ def join_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.o_custkey").alias("custkey"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "join_smb_bucketed",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_lines,
+           cast(sum(cast(l_extendedprice as decimal(25,6))) as double) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_smb_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed sort-merge join: both sides pre-bucketed + sorted on the join
+    key, so the join itself needs NO shuffle (SURVEY.md join_smb_note ->
+    hive.optimize.bucketmapjoin equivalent).
+
+    Scale notes: this is THE co-located join pattern for repeated fact-fact
+    joins at 100 TB - pay one bucketed write, then every subsequent join on
+    that key skips both Exchanges (tests/test_plans.py asserts the absence).
+    Bucket count would be sized to target-partition size on a real cluster.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        table = f"bps_bucketed_{name}"
+        if not spark.catalog.tableExists(table):
+            # a previous session may have left the managed location behind
+            shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+            (
+                tbl(spark, sf_dir, name)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(table)
+            )
+    # hint("merge"): at bench SFs both sides fit a broadcast, but the pattern
+    # under demonstration is the 100 TB fact-fact case where neither does -
+    # force the sort-merge strategy so the bucketed (shuffle-free) path shows.
+    li = spark.table("bps_bucketed_lineitem").hint("merge")
+    o = spark.table("bps_bucketed_orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

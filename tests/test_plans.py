@@ -1,0 +1,116 @@
+"""Physical-plan assertions: the scale properties the engine promises.
+
+Correctness tests prove the small-SF answer; these prove the *plan* is the
+one a 1000-executor cluster wants — filters reaching the parquet scan,
+columns pruned, dimension sides broadcast, top-k without a global sort, and
+no accidental cartesian products. A plan regression here is a 100 TB
+incident even when sf0.001 results stay right.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bee_proof_spark.queries import load_all
+
+
+def _plan(spark, qid: str, sf_dir: str, mode: str = "formatted") -> str:
+    df = load_all()[qid].builder(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+# -------------------------------------------------- pushdown & pruning
+
+def test_filter_pushdown_reaches_scan(spark, sf_smoke):
+    plan = _plan(spark, "scan_pushdown_filter", sf_smoke)
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(l_quantity,50.0)" in plan
+    assert "EqualTo(l_returnflag,N)" in plan
+
+
+def test_q1_prunes_columns(spark, sf_smoke):
+    """Q1 touches 7 of lineitem's 11 columns; the scan must not read more."""
+    plan = _plan(spark, "tpch_q1_pricing", sf_smoke)
+    assert "l_shipdate" in plan  # filter column present (pushed)
+    for unused in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert unused not in plan, f"scan reads unused column {unused}"
+
+
+def test_q6_pushes_every_predicate(spark, sf_smoke):
+    plan = _plan(spark, "tpch_q6_forecast", sf_smoke)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters")[1][:400]
+
+
+# -------------------------------------------------- join strategies
+
+@pytest.mark.parametrize(
+    "qid", ["tpch_q3_shipping", "tpch_q5_local_supplier", "tpch_q9_profit"]
+)
+def test_dimension_joins_broadcast(spark, sf_smoke, qid):
+    plan = _plan(spark, qid, sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_joins_planned(spark, sf_smoke):
+    q4 = _plan(spark, "tpch_q4_priority", sf_smoke)
+    assert "LeftSemi" in q4
+    q22 = _plan(spark, "tpch_q22_global_sales", sf_smoke)
+    assert "LeftAnti" in q22
+
+
+def test_lsh_join_is_not_cartesian(spark, sf_smoke):
+    """Band-bucket candidate joins must stay equi-joins (hash/merge-able)."""
+    for qid in ("ext_dedup_fuzzy", "ext_dedup_simhash"):
+        plan = _plan(spark, qid, sf_smoke)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -------------------------------------------------- top-k & aggregation shape
+
+def test_topk_avoids_global_sort(spark, sf_smoke):
+    plan = _plan(spark, "tpch_q3_shipping", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_smoke):
+    """Map-side combine: HashAggregate appears as partial + final pair."""
+    plan = _plan(spark, "tpch_q1_pricing", sf_smoke, mode="simple")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_knn_topk_uses_window_group_limit(spark, sf_smoke):
+    """WindowGroupLimit pushes rank<=k below the full sort of each group."""
+    plan = _plan(spark, "ext_knn_cosine", sf_smoke, mode="simple")
+    assert "WindowGroupLimit" in plan
+
+
+# -------------------------------------------------- no driver-side loops
+
+def test_no_collect_in_operator_sources():
+    """Operator builders must stay distributed: no .collect()/.toPandas() in
+    any query-building module (bench/tests/driver own materialization)."""
+    import pathlib
+
+    qdir = pathlib.Path(__file__).parent.parent / "bee_proof_spark" / "queries"
+    offenders = []
+    for py in qdir.glob("*.py"):
+        src = py.read_text()
+        if ".collect()" in src or ".toPandas()" in src:
+            offenders.append(py.name)
+    assert not offenders, f"driver-side materialization in {offenders}"
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_smoke):
+    """Pre-bucketed sides joined on the bucket key: no Exchange below the
+    SortMergeJoin (the whole point of bucketing at 100 TB)."""
+    df = load_all()["join_smb_bucketed"].builder(spark, sf_smoke)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    assert "SortMergeJoin" in plan
+    # the only allowed Exchange is above the join (final aggregation)
+    assert "Exchange" not in join_part, "bucketed join still shuffles"
