@@ -271,3 +271,34 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+@register(
+    "agg_skew_salted",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           cast(sum(cast(value as decimal(25,6))) as double) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation by salting: a hot grouping key is split
+    across 16 salt sub-keys (stage 1, uniform shuffle), then recombined
+    (stage 2, one row per (key, salt) in flight).
+
+    Scale notes: events.event_type has a 5-value domain - the textbook skewed
+    shuffle. Salting bounds any single reducer's input at 1/16 of the hottest
+    key; the stage-2 shuffle moves at most keys*16 rows. Result is provably
+    identical to the direct groupBy (the oracle checks it); decimal partial
+    sums keep the recombine exact.
+    """
+    e = tbl(spark, sf_dir, "events")
+    salted = e.withColumn("salt", (F.xxhash64("event_id") % 16))
+    stage1 = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pc"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("ps"),
+    )
+    return stage1.groupBy("event_type").agg(
+        F.sum("pc").alias("n_events"),
+        F.sum("ps").cast("double").alias("sum_value"),
+    )

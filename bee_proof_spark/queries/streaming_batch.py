@@ -137,3 +137,104 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return run_to_memory_sink(deduped, output_mode="append")
+
+
+@register("stream_session_stateful")  # rows-only: custom stateful operator
+def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL readStream custom stateful operator: per-user sessionization with
+    applyInPandasWithState (30-min gap, event-time timeout).
+
+    Per user_id, arriving events extend the open session or close it when the
+    gap exceeds 30 minutes; sessions also close via event-time timeout when
+    the watermark passes session_end + gap. Only *closed* sessions are
+    emitted - sessions still open when the replay ends stay in state,
+    exactly as a live pipeline would behave.
+
+    Scale notes: state is one (start, end, count) triple per active user -
+    bounded by the watermark, sharded by the groupBy key across executors.
+    The pandas function sees Arrow record batches per key, never whole
+    partitions.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bee_proof_spark.streaming import replay_events_stream, run_to_memory_sink
+
+    GAP_MS = 30 * 60 * 1000
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", StringType()),
+            StructField("session_end", StringType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_ms", LongType()),
+            StructField("end_ms", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def fmt(ms: int) -> str:
+        return str(pd.Timestamp(ms, unit="ms"))
+
+    def sessionize(key, pdfs, state: GroupState):
+        user = key[0]
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            closed.append((start_ms, end_ms, n))
+            state.remove()
+        else:
+            ts_ms: list[int] = []
+            for pdf in pdfs:
+                ts_ms.extend(
+                    int(t.value // 1_000_000) for t in pd.to_datetime(pdf["ts"])
+                )
+            ts_ms.sort()
+            cur = state.get if state.exists else None
+            for t in ts_ms:
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] <= GAP_MS:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                else:
+                    closed.append(cur)
+                    cur = (t, t, 1)
+            if cur is not None:
+                state.update(cur)
+                # fire when the watermark passes end + gap (clamp above wm)
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(cur[1] + GAP_MS, wm + 1))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(closed),
+                    "session_start": [fmt(s) for s, _, _ in closed],
+                    "session_end": [fmt(e) for _, e, _ in closed],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    stream = replay_events_stream(spark, sf_dir)
+    sessions = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return run_to_memory_sink(sessions, output_mode="append")

@@ -52,7 +52,18 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(snap, "_SUCCESS")
     if not os.path.exists(marker):
         shutil.rmtree(snap, ignore_errors=True)
-        tbl(spark, sf_dir, "events").write.mode("overwrite").parquet(snap)
+        # Range-partition by ts into 4 roughly time-ordered files: with
+        # maxFilesPerTrigger=1 the replay yields 4 micro-batches whose event
+        # times advance, so watermarks progress and event-time timeouts fire
+        # (mirrors a live source; a single-file snapshot would never advance
+        # the watermark mid-stream).
+        (
+            tbl(spark, sf_dir, "events")
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(snap)
+        )
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
