@@ -393,3 +393,108 @@ def ext_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         extract, schema="doc_id bigint, n_bytes int, byte_sum bigint, width int, height int"
     )
+
+
+@register("ext_knn_ivf")  # rows-only: trained quantizer, iterative algorithm
+def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (Spark ML, seeded) -> inverted
+    lists keyed by centroid -> probe the 2 nearest lists per query -> exact
+    cosine rerank inside probed lists only.
+
+    Scale notes: training samples the corpus (distributed k-means); the
+    centroid table is tiny and broadcast for both assignment and probe
+    selection. Per query, candidates ~ 2/k of the corpus - recall tunes via
+    nprobe without touching the stored lists. This is the same plan shape as
+    ext_knn_lsh with learned (data-adaptive) buckets.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    K, NPROBE, TOPK = 8, 2, 5
+
+    e = _unit_vectors(tbl(spark, sf_dir, "embeddings"))
+    feat = e.withColumn("features", array_to_vector("unit"))
+    model = KMeans(k=K, seed=42, maxIter=10).fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", "unit", F.col("prediction").alias("list_id")
+    )
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cent_id int, centroid array<double>",
+    )
+    # nprobe nearest centroids per query (centroid table is broadcast)
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("unit").alias("a_unit")
+    )
+    cdist = q.join(F.broadcast(centroids)).withColumn(
+        "cdot",
+        F.expr(
+            "aggregate(zip_with(a_unit, centroid, (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x)"
+        ),
+    )
+    wprobe = Window.partitionBy("q_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
+    probes = (
+        cdist.withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= NPROBE)
+        .select("q_id", "a_unit", F.col("cent_id").alias("probe_list"))
+    )
+
+    cands = (
+        assigned.withColumnRenamed("unit", "b_unit")
+        .join(
+            F.broadcast(probes),
+            (F.col("list_id") == F.col("probe_list")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn("cosine", F.expr(_DOT))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select(
+            "q_id", F.col("vec_id").alias("c_id"), F.round("cosine", 4).alias("cosine"), "rnk"
+        )
+    )
+
+
+@register("ext_multimodal_framesample")  # rows-only: stubbed decode
+def ext_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: one media row fans out to N frame rows via
+    mapInPandas (the video -> sampled-frames batch shape).
+
+    The frame decode is a STUB (no av libs in container): frames are
+    deterministic byte slices of the payload. Real part: the 1->N Arrow
+    batch contract, per-frame metadata, and bounded batch memory (frames are
+    emitted per input batch, never materialized per partition).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        (F.col("n_chars") % 5 + 1).cast("int").alias("n_frames"),
+    )
+
+    def sample_frames(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_off_ms": [], "frame_bytes": []}
+            for doc_id, payload, n_frames in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                step = max(len(payload) // max(int(n_frames), 1), 1)
+                for i in range(int(n_frames)):
+                    # STUB decode: a real impl would seek+decode via ffmpeg
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_off_ms"].append(i * 1000)
+                    out["frame_bytes"].append(bytes(payload[i * step : i * step + 16]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        sample_frames,
+        schema="doc_id bigint, frame_idx int, frame_off_ms int, frame_bytes binary",
+    )

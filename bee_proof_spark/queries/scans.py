@@ -273,3 +273,63 @@ def ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     described = spark.sql("DESCRIBE TABLE bps_ddl").select("col_name", "data_type")
     spark.sql("DROP TABLE bps_ddl")
     return described
+
+
+_MERGE_ORACLE = """
+WITH src AS (
+  SELECT o_custkey AS m_key,
+         cast(sum(cast(o_totalprice as decimal(25,6))) as double) AS delta
+  FROM orders GROUP BY o_custkey
+  UNION ALL
+  SELECT 100000 + o_custkey AS m_key,
+         cast(sum(cast(o_totalprice as decimal(25,6))) as double) AS delta
+  FROM orders WHERE o_custkey < 20 GROUP BY o_custkey
+)
+SELECT coalesce(m_key, c_custkey) AS c_custkey,
+       coalesce(c_name, 'new-customer') AS c_name,
+       round(coalesce(c_acctbal, 0.0) + coalesce(delta, 0.0), 4) AS c_acctbal
+FROM customer FULL OUTER JOIN src ON c_custkey = m_key
+"""
+
+
+@register("dml_merge_rewrite", oracle=_MERGE_ORACLE)
+def dml_merge_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as the Spark-native INSERT OVERWRITE rewrite (Hive ACID
+    UPDATE/DELETE/MERGE is declared out of scope - SURVEY.md section 7; this
+    is the replacement pattern).
+
+    WHEN MATCHED -> update (acctbal += delta), WHEN NOT MATCHED -> insert,
+    target-only rows carry over: exactly a full outer join on the merge key,
+    then an atomic INSERT OVERWRITE of the target.
+
+    Scale notes: one shuffle on the merge key (or zero if the target is
+    bucketed on it - see join_smb_bucketed); the overwrite is a metadata swap
+    after the write completes. On a partitioned target, dynamic partition
+    overwrite rewrites only touched partitions.
+    """
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    dec_sum = F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double")
+    matched = orders.groupBy(F.col("o_custkey").alias("m_key")).agg(
+        dec_sum.alias("delta")
+    )
+    inserts = (
+        orders.filter(F.col("o_custkey") < 20)
+        .groupBy((F.lit(100000) + F.col("o_custkey")).alias("m_key"))
+        .agg(dec_sum.alias("delta"))
+    )
+    src = matched.unionAll(inserts)
+    merged = (
+        cust.join(src, cust.c_custkey == src.m_key, "full_outer")
+        .select(
+            F.coalesce("m_key", "c_custkey").alias("c_custkey"),
+            F.coalesce("c_name", F.lit("new-customer")).alias("c_name"),
+            F.round(
+                F.coalesce("c_acctbal", F.lit(0.0)) + F.coalesce("delta", F.lit(0.0)),
+                4,
+            ).alias("c_acctbal"),
+        )
+    )
+    path = _scratch("merge_target")
+    merged.write.mode("overwrite").parquet(f"{path}/t")
+    return spark.read.parquet(f"{path}/t")
