@@ -205,8 +205,12 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in ts_ms:
                 if cur is None:
                     cur = (t, t, 1)
+                elif t < cur[0] - GAP_MS:
+                    # out-of-order historical event (shouldn't occur with an
+                    # ordered replay): its own immediately-closed session
+                    closed.append((t, t, 1))
                 elif t - cur[1] <= GAP_MS:
-                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                    cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
                 else:
                     closed.append(cur)
                     cur = (t, t, 1)

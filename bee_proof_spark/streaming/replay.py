@@ -64,6 +64,19 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(snap)
         )
+        # FileStreamSource orders batches by modification time; one write job
+        # stamps all files identically, leaving the REPLAY ORDER to
+        # filesystem listing luck. Stamp part files in lexicographic order
+        # (range partition i -> part-0000i) with ascending mtimes so the
+        # stream replays in event-time order deterministically.
+        import time as _time
+
+        base = _time.time() - 3600
+        parts = sorted(
+            f for f in os.listdir(snap) if f.startswith("part-")
+        )
+        for i, fname in enumerate(parts):
+            os.utime(os.path.join(snap, fname), (base + i * 10, base + i * 10))
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)

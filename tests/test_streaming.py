@@ -1,0 +1,128 @@
+"""Streaming semantics tests: watermark late-data drop with controlled
+micro-batch ordering, replay harness behavior, and the stateful sessionizer.
+
+The late-data test is the one that proves *streaming* semantics (not just
+batch window()): an event arriving after the watermark passed its window
+must be dropped, so the emitted count differs from the batch answer.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from bee_proof_spark.streaming import run_to_memory_sink
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(name: str, rows, mtime: float):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        for root, _, files in os.walk(f"{src}/{name}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    import datetime as dt
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    now = time.time()
+    # Watermark mechanics (Spark): the watermark used during batch N derives
+    # from data through batch N-1, and a window's state is evicted+emitted at
+    # the END of the first batch running with wm >= window.end. Dropping is
+    # only guaranteed for rows arriving AFTER their window was evicted - so
+    # the late row goes in its own final batch:
+    #   b1 {10:05}          wm=epoch
+    #   b2 {13:00}          wm=09:05
+    #   b3 {13:30}          wm=12:00 -> end of b3 evicts+emits [10:00,11:00) n=1
+    #   b4 {10:30 late}     wm=12:30 -> state gone, row dropped
+    write_file("b1", [(1, t("2024-01-01 10:05:00"))], now - 180)
+    write_file("b2", [(2, t("2024-01-01 13:00:00"))], now - 120)
+    write_file("b3", [(3, t("2024-01-01 13:30:00"))], now - 60)
+    write_file("b4", [(4, t("2024-01-01 10:30:00")), (5, t("2024-01-01 14:00:00"))], now)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    counts = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "n")
+    )
+    result = {
+        r["window_start"]: r["n"]
+        for r in run_to_memory_sink(counts, output_mode="append").collect()
+    }
+    # the late event 3 was dropped: the 10:00 window emitted with count=1
+    assert result.get("2024-01-01 10:00:00") == 1
+    # batch semantics would have said 2 - assert we genuinely diverge
+    batch = (
+        spark.read.parquet(f"{src}/*")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "n")
+    )
+    batch_counts = {r["window_start"]: r["n"] for r in batch.collect()}
+    assert batch_counts["2024-01-01 10:00:00"] == 2
+
+
+def test_stateful_sessionizer_counts_match_gap_semantics(spark, sf_smoke):
+    """Closed sessions from the stateful operator must agree with the batch
+    gaps-and-islands sessionization for every (user, session_start) it emits
+    (open sessions at end-of-replay legitimately stay unemitted)."""
+    from bee_proof_spark.queries import load_all, tbl
+
+    out = load_all()["stream_session_stateful"].builder(spark, sf_smoke)
+    got = {
+        (r["user_id"], r["session_start"][:19]): r["n_events"] for r in out.collect()
+    }
+    assert got, "no sessions closed"
+
+    e = tbl(spark, sf_smoke, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    batch = (
+        e.withColumn("is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_no", F.sum("is_new").over(w))
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("start"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    expected = {
+        (r["user_id"], str(r["start"])[:19]): r["n"] for r in batch
+    }
+    mismatches = {k: (v, expected.get(k)) for k, v in got.items() if expected.get(k) != v}
+    assert not mismatches, f"sessionizer diverges from batch: {list(mismatches.items())[:5]}"
+
+
+def test_verification_api_end_to_end(spark, tmp_path, capsys):
+    """Ruby-gem-parity public API: for_release -> add_task -> run, dry-run
+    default, ${VAR} substitution, output protocol."""
+    from bee_proof_spark.runner.verification import Verification
+
+    script = tmp_path / "job.hql"
+    script.write_text(
+        "CREATE TABLE vapi_t (a INT);\nSELECT ${X} AS x;\n"
+    )
+    v = Verification.for_release("emr-5")
+    v.verbose_output = True
+    v.add_task(str(script), {"X": "7"})
+    lines: list[str] = []
+    v.run(spark=spark, out=lines.append)
+    text = "\n".join(lines)
+    assert ">>>>>>>> Processing:" in text
+    assert "> Skipped!" in text  # dry-run skips the query
+    assert "> Total time:" in text
+
+    with pytest.raises(ValueError):
+        Verification.for_release("emr-99")
