@@ -185,3 +185,108 @@ def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fingerprint")
         )
     )
+
+
+_PII_ORACLE = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           concat(text, ' contact: user', cast(doc_id as varchar),
+                  '@example.com or +1-555-', lpad(cast(doc_id % 10000 as varchar), 4, '0')),
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         '\+?[0-9]{1,2}[-. ]?[0-9]{3}[-. ]?[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+FROM documents
+"""
+
+
+@register("ext_text_pii_scrub", oracle=_PII_ORACLE)
+def ext_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/phone redaction via chained JVM regexp_replace
+    (the fixture text has no PII, so deterministic synthetic PII is appended
+    per row first - the oracle mirrors the construction).
+
+    Scale notes: pure per-row regex in whole-stage codegen; at 100 TB this
+    is an embarrassingly parallel scan with zero shuffle.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            with_pii,
+            r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+            "<EMAIL>",
+        ),
+        r"\+?[0-9]{1,2}[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+        "<PHONE>",
+    )
+    return d.select("doc_id", scrubbed.alias("scrubbed"))
+
+
+@register("ext_sample_stratified")  # rows-only: sampling is engine-specific
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by lang (seeded sampleBy): the rebalancing
+    primitive for skewed training mixtures.
+
+    Scale notes: sampleBy is a per-row Bernoulli filter - no shuffle, no
+    collect; fractions per stratum are a tiny broadcast map.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]  # driver-ok: tiny stratum-key fetch
+    fractions = {lg: (0.5 if i % 2 == 0 else 0.25) for i, lg in enumerate(sorted(langs))}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+
+
+_NGRAM_ORACLE = """
+WITH words AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+),
+bigrams AS (
+  SELECT lang,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM words
+),
+counted AS (
+  SELECT lang, bigram, count(*) AS freq FROM bigrams GROUP BY lang, bigram
+),
+ranked AS (
+  SELECT lang, bigram, freq,
+         row_number() OVER (PARTITION BY lang ORDER BY freq DESC, bigram) AS rnk
+  FROM counted
+)
+SELECT lang, bigram, freq, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("ext_text_topk_ngrams", oracle=_NGRAM_ORACLE)
+def ext_text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language: n-gram generation JVM-side
+    (transform over index sequence), hash-agg counts, WindowGroupLimit
+    top-k per group. Total tie-break (freq desc, bigram asc) keeps the
+    oracle exact.
+    """
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    bigrams = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+                " i -> concat_ws(' ', split(text, ' ')[i - 1], split(text, ' ')[i]))"
+            )
+        ).alias("bigram"),
+    )
+    counted = bigrams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("bigram"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "bigram", "freq", "rnk")
+    )
