@@ -243,21 +243,26 @@ def join_smb_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     that key skips both Exchanges (tests/test_plans.py asserts the absence).
     Bucket count would be sized to target-partition size on a real cluster.
     """
+    import os
     import shutil
-    from urllib.parse import urlparse
+    import tempfile
 
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # explicit location under the engine tmp tree: table placement never
+    # depends on the caller session's warehouse/cwd
+    base = os.path.join(tempfile.gettempdir(), "bee-proof-tmp", "bucketed")
     for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         table = f"bps_bucketed_{name}"
+        loc = os.path.join(base, name)
         if not spark.catalog.tableExists(table):
-            # a previous session may have left the managed location behind
-            shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+            # a previous session may have left the location behind
+            shutil.rmtree(loc, ignore_errors=True)
             (
                 tbl(spark, sf_dir, name)
                 .write.mode("overwrite")
                 .bucketBy(8, key)
                 .sortBy(key)
                 .format("parquet")
+                .option("path", loc)
                 .saveAsTable(table)
             )
     # hint("merge"): at bench SFs both sides fit a broadcast, but the pattern
