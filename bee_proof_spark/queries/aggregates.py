@@ -302,3 +302,39 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pc").alias("n_events"),
         F.sum("ps").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS status_f,
+           count(*) FILTER (WHERE l_linestatus = 'O') AS status_o,
+           cast(sum(cast(l_quantity as decimal(25,6))) FILTER (WHERE l_linestatus = 'F') as double) AS qty_f,
+           cast(sum(cast(l_quantity as decimal(25,6))) FILTER (WHERE l_linestatus = 'O') as double) AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): groupBy().pivot() with explicit pivot values.
+
+    Scale notes: explicit pivot values skip the extra distinct-values job
+    Spark otherwise runs; the pivot compiles to one hash aggregate with
+    conditional aggregation columns (the CASE/FILTER form the oracle uses).
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("qty"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_n").alias("status_f"),
+        F.col("O_n").alias("status_o"),
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+    )

@@ -516,3 +516,26 @@ def ext_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         schema="doc_id bigint, frame_idx int, frame_off_ms int, frame_bytes binary",
     )
+
+
+@register(
+    "ext_dedup_content",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def ext_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash exact dedup: md5 over the raw text, deterministic keeper.
+
+    Scale notes: the shuffle key is the 16-byte digest, not the document -
+    text bytes never cross the wire; group sizes are duplicate-cluster
+    sizes. This is the first pass of every dedup pipeline; near-dup layers
+    (minhash/simhash) run on its survivors.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_copies"))
+    )

@@ -441,3 +441,52 @@ def fn_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.expr("sentences(substring(text, 1, 100))").alias("tokens")
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey,
+           l_orderkey & 255 AS b_and,
+           l_orderkey | 4096 AS b_or,
+           xor(l_orderkey, 1023) AS b_xor,
+           ~l_orderkey AS b_not,
+           l_orderkey << 2 AS b_shl,
+           l_orderkey >> 3 AS b_shr
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (Hive &,|,^,~,shiftleft/shiftright)."""
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        F.expr("l_orderkey & 255").alias("b_and"),
+        F.expr("l_orderkey | 4096").alias("b_or"),
+        F.expr("l_orderkey ^ 1023").alias("b_xor"),
+        F.expr("~l_orderkey").alias("b_not"),
+        F.expr("shiftleft(l_orderkey, 2)").alias("b_shl"),
+        F.expr("shiftright(l_orderkey, 3)").alias("b_shr"),
+    )
+
+
+@register(
+    "fn_struct_ops",
+    oracle="""
+    SELECT o_orderkey,
+           {'status': o_orderstatus, 'total': o_totalprice}.status AS s_status,
+           round({'status': o_orderstatus, 'total': o_totalprice}.total, 2) AS s_total
+    FROM orders
+    """,
+)
+def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT construction + field access (named_struct / dot access)."""
+    o = tbl(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"), F.col("o_totalprice").alias("total")
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("status").alias("s_status"),
+        F.round(s.getField("total"), 2).alias("s_total"),
+    )
