@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for the lexical harness layers.
+
+The splitter and substitution engines are the parts most exposed to
+adversarial user input (arbitrary script text); properties beat examples
+here. SURVEY.md section 5.2 "hard parts": embedded semicolons/comments,
+${VAR} namespace precedence.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bee_proof_spark.runner.splitter import split_statements
+from bee_proof_spark.runner.substitution import substitute
+
+# ------------------------------------------------------------------ splitter
+
+ident = st.text(st.characters(whitelist_categories=("Ll", "Lu", "Nd")), min_size=1, max_size=8)
+# statement bodies that cannot themselves terminate/open lexical state
+safe_body = st.text(
+    st.characters(whitelist_characters=" abcdefgXYZ0123456789_=<>", whitelist_categories=()),
+    min_size=1,
+    max_size=40,
+).filter(lambda s: s.strip())
+
+
+@given(st.lists(safe_body, min_size=1, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_split_joins_back_to_parts(parts):
+    script = ";\n".join(parts) + ";"
+    got = [s.text for s in split_statements(script)]
+    assert got == [p.strip() for p in parts if p.strip()]
+
+
+@given(safe_body, safe_body)
+@settings(max_examples=200, deadline=None)
+def test_semicolon_inside_quotes_never_splits(a, b):
+    lit = a.replace("'", "")
+    script = f"SELECT '{lit};{lit}' AS x FROM {b.strip() or 't'}"
+    stmts = split_statements(script + ";")
+    assert len(stmts) == 1
+    assert f"'{lit};{lit}'" in stmts[0].text
+
+
+@given(safe_body)
+@settings(max_examples=100, deadline=None)
+def test_comment_only_scripts_yield_nothing(body):
+    clean = body.replace("\n", " ")
+    script = f"-- {clean}\n/* {clean} */\n"
+    assert split_statements(script) == []
+
+
+@given(st.lists(safe_body, min_size=1, max_size=5), st.integers(0, 3))
+@settings(max_examples=100, deadline=None)
+def test_line_numbers_point_at_statement_start(parts, leading_blank):
+    script = "\n" * leading_blank + ";\n".join(parts) + ";"
+    stmts = split_statements(script)
+    for s in stmts:
+        # the reported line's content must contain the statement's first token
+        line_text = script.split("\n")[s.line - 1]
+        assert s.text.split()[0][:5] in line_text
+
+
+# ------------------------------------------------------------------ substitution
+
+var_name = st.text(st.characters(whitelist_categories=("Lu", "Ll")), min_size=1, max_size=6)
+var_value = st.text(
+    st.characters(whitelist_characters="abcXYZ123 _-", whitelist_categories=()), max_size=12
+).filter(lambda v: "${" not in v)
+
+
+@given(st.dictionaries(var_name, var_value, max_size=4), var_name)
+@settings(max_examples=200, deadline=None)
+def test_substitute_resolves_known_leaves_unknown(vars_, name):
+    text = f"A ${{{name}}} Z"
+    out = substitute(text, vars_)
+    if name in vars_:
+        assert out == f"A {vars_[name]} Z"
+    else:
+        assert out == text  # unresolved refs stay verbatim (Hive behavior)
+
+
+@given(st.dictionaries(var_name, var_value, min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_substitute_idempotent_on_plain_values(vars_):
+    text = " ".join(f"${{{k}}}" for k in vars_)
+    once = substitute(text, vars_)
+    assert substitute(once, vars_) == once
+    assert "${" not in once
+
+
+@given(var_name, var_value)
+@settings(max_examples=100, deadline=None)
+def test_hivevar_namespace_equals_bare(name, value):
+    assert substitute(f"${{hivevar:{name}}}", {name: value}) == value
+    assert substitute(f"${{{name}}}", {name: value}) == value
+
+
+@given(var_name, var_value, var_value)
+@settings(max_examples=100, deadline=None)
+def test_hivevar_wins_over_conf(name, v1, v2):
+    out = substitute(f"${{{name}}}", {name: v1}, {name: v2})
+    assert out == v1
+
+
+def test_substitution_cycle_terminates():
+    # A -> B -> A must not loop forever; capped at MAX_DEPTH rounds
+    out = substitute("${A}", {"A": "${B}", "B": "${A}"})
+    assert re.fullmatch(r"\$\{[AB]\}", out)
