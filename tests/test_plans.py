@@ -116,3 +116,21 @@ def test_bucketed_join_skips_shuffle(spark, sf_smoke):
     assert "SortMergeJoin" in plan
     # the only allowed Exchange is above the join (final aggregation)
     assert "Exchange" not in join_part, "bucketed join still shuffles"
+
+
+def test_partition_pruning_on_partitioned_layout(spark, sf_smoke, tmp_path):
+    """A filter on the partition column must prune directories at planning
+    time (PartitionFilters in the scan), not read-then-filter - at 100 TB
+    this is the difference between one partition and the whole table."""
+    from bee_proof_spark.queries import tbl
+
+    path = str(tmp_path / "orders_by_status")
+    tbl(spark, sf_smoke, "orders").write.partitionBy("o_orderstatus").parquet(path)
+    df = spark.read.parquet(path).filter("o_orderstatus = 'F'").select("o_orderkey")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "o_orderstatus" in pf, f"partition filter not pushed: {pf!r}"
