@@ -539,3 +539,74 @@ def ext_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+@register(
+    "ext_incremental_dedup",
+    oracle="""
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id >= 250
+      AND NOT EXISTS (SELECT 1 FROM documents e
+                      WHERE e.doc_id < 250 AND md5(e.text) = md5(d.text))
+    """,
+)
+def ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new batch is cleansed against the existing
+    corpus by content-hash anti join (the daily-ingest shape: never
+    re-deduplicate the whole corpus).
+
+    Scale notes: only digests of the EXISTING corpus participate - at 100 TB
+    the corpus side is a pre-materialized hash index (16 bytes/doc), and the
+    anti join shuffles digests, not documents. Here both sides derive from
+    the fixture; doc_id < 250 plays the corpus.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text").cast("binary"))
+    corpus = d.filter(F.col("doc_id") < 250).select(digest.alias("h"))
+    batch = d.filter(F.col("doc_id") >= 250).select("doc_id", "lang", digest.alias("h"))
+    return batch.join(corpus, "h", "left_anti").select("doc_id", "lang")
+
+
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, cast(ceil(n_chars / 4.0) as bigint) AS est_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, lang, est_tokens,
+         sum(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, lang, est_tokens,
+       cast(floor((cum - est_tokens) / 2048) as bigint) AS pack_id
+FROM c
+"""
+
+
+@register("ext_pack_sequences", oracle=_PACK_ORACLE)
+def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents are assigned to
+    ~2048-token packs per language by running-token-count binning
+    (deterministic doc_id order -> exact SQL oracle).
+
+    Scale notes: one window shuffle on the partition key (lang); the
+    running sum never materializes per-pack state. True first-fit bin
+    packing is order-dependent anyway - contiguous binning is the variant
+    that parallelizes, wasting at most one document's overhang per bin.
+    """
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(toks).over(w)
+    return d.select(
+        "doc_id",
+        "lang",
+        toks.alias("est_tokens"),
+        F.floor((cum - toks) / 2048).cast("bigint").alias("pack_id"),
+    )

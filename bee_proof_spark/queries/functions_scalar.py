@@ -490,3 +490,28 @@ def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("status").alias("s_status"),
         F.round(s.getField("total"), 2).alias("s_total"),
     )
+
+
+@register(
+    "fn_string_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS digits_starred
+    FROM customer
+    """,
+)
+def fn_string_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data masking (Hive 2.1 mask() family): upper->X, lower->x, digit->n,
+    plus a digit-star variant (mask with custom chars)."""
+    c = tbl(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask(F.col("c_name"), F.lit("X"), F.lit("x"), F.lit("n"), F.lit(None)).alias(
+            "masked"
+        ),
+        F.mask(
+            F.col("c_name"), F.lit(None), F.lit(None), F.lit("*"), F.lit(None)
+        ).alias("digits_starred"),
+    )

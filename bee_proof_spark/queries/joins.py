@@ -280,3 +280,25 @@ def join_smb_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st FROM orders),
+         c AS (SELECT DISTINCT nullif(o_orderstatus, 'P') AS st2 FROM orders)
+    SELECT o_orderkey, st FROM o JOIN c ON st IS NOT DISTINCT FROM st2
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Hive `<=>`): NULL keys match NULL keys,
+    unlike plain `=` which drops them under 3VL.
+
+    Scale notes: `<=>` stays a hash-join key (null becomes an ordinary
+    bucket) - no fallback to nested-loop.
+    """
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("st")
+    )
+    c = o.select(F.col("st").alias("st2")).distinct()
+    return o.join(c, F.col("st").eqNullSafe(F.col("st2"))).select("o_orderkey", "st")
