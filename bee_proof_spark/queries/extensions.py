@@ -610,3 +610,49 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.alias("est_tokens"),
         F.floor((cum - toks) / 2048).cast("bigint").alias("pack_id"),
     )
+
+
+@register("ext_knn_cosine_arrow")  # rows-only: float scoring tie behavior
+def ext_knn_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5, Arrow path: the query matrix is a tiny
+    broadcast numpy array; each corpus Arrow batch scores against it with
+    one BLAS matmul inside mapInPandas.
+
+    Same math as ext_knn_cosine (tests assert the outputs agree) - this is
+    the vectorized-Python alternative for dense linear algebra, where BLAS
+    beats interpreted JVM higher-order functions. Per-batch memory is
+    (batch x 10) scores; the corpus never concentrates anywhere.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    e = _unit_vectors(tbl(spark, sf_dir, "embeddings")).select("vec_id", "unit")
+    # driver-ok: 10-row query-vector fetch, broadcast to executors
+    q_rows = e.filter(F.col("vec_id") < 10).orderBy("vec_id").collect()  # driver-ok: tiny query set
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.array([r["unit"] for r in q_rows])  # (10, 64), unit-norm
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            c_ids = pdf["vec_id"].to_numpy()
+            c_mat = np.vstack(pdf["unit"].to_numpy())  # (batch, 64), unit-norm
+            sims = c_mat @ q_mat.T  # (batch, n_queries) one BLAS call
+            n_b, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, n_b),
+                    "c_id": np.tile(c_ids, n_q),
+                    "cosine": sims.T.ravel(),
+                }
+            )
+
+    scored = e.mapInPandas(score, schema="q_id bigint, c_id bigint, cosine double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "c_id", F.round("cosine", 4).alias("cosine"), "rnk")
+    )

@@ -134,3 +134,19 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_smoke, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "o_orderstatus" in pf, f"partition filter not pushed: {pf!r}"
+
+
+def test_knn_jvm_and_arrow_paths_agree(spark, sf_smoke):
+    """Two independent implementations of brute-force cosine top-k (JVM
+    higher-order functions vs Arrow/numpy matmul) must return identical
+    results - each is the other's oracle."""
+    reg = load_all()
+    jvm = {
+        (r["q_id"], r["rnk"]): (r["c_id"], r["cosine"])
+        for r in reg["ext_knn_cosine"].builder(spark, sf_smoke).collect()
+    }
+    arrow = {
+        (r["q_id"], r["rnk"]): (r["c_id"], r["cosine"])
+        for r in reg["ext_knn_cosine_arrow"].builder(spark, sf_smoke).collect()
+    }
+    assert jvm == arrow
