@@ -24,6 +24,70 @@ from bee_proof_spark.queries import load_all  # noqa: E402
 
 _REGISTRY = load_all()
 
+# ---------------------------------------------------------------- ordering
+# The r1 driver run recorded CORRECTNESS rows for only the first 50 entries
+# of queries(), so dict order IS the test schedule. Order: (0) ids fixed or
+# newly oracled this round, (1) never-driver-tested ids that have oracles
+# (family-prioritized), (2) rows-only ids, (3) ids already driver-green in a
+# previous round (re-verify last).
+
+_FRONT = [
+    # r1 FAILs, fixed (array outputs serialized / scalarized)
+    "agg_collect_sorted", "agg_percentile_approx", "fn_string_regexp",
+    # array/map outputs serialized before the driver ever reaches them
+    "fn_array_ops", "fn_map_ops",
+    # r1 err=no_oracle, now carrying real oracles
+    "agg_approx_cd", "sort_by_partition", "distribute_cluster_by",
+    "ext_knn_cosine", "ext_knn_cosine_arrow", "ext_dedup_embedding",
+    "ext_multimodal_struct", "ext_dedup_fuzzy_verified",
+]
+
+_FAMILY_PRIORITY = [
+    "joins", "windows", "setops", "subqueries", "lateral", "sampling",
+    "scans", "functions_scalar", "udf", "streaming_batch", "text_analysis",
+    "tpch", "extensions", "aggregates", "filters",
+]
+
+
+def _prev_green() -> set[str]:
+    """Ids with a hash-green row in any previous round's driver ledger."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                for qid, row in json.load(f).items():
+                    if row.get("hash_match"):
+                        green.add(qid)
+        except Exception:
+            pass
+    return green
+
+
+def _ordered_ids() -> list[str]:
+    green = _prev_green()
+    ids = list(_REGISTRY)
+
+    def key(pair):
+        idx, qid = pair
+        spec = _REGISTRY[qid]
+        mod = spec.builder.__module__.rsplit(".", 1)[-1]
+        fam = (
+            _FAMILY_PRIORITY.index(mod) if mod in _FAMILY_PRIORITY else 99
+        )
+        if qid in _FRONT:
+            return (0, _FRONT.index(qid), 0, 0)
+        if spec.oracle is not None and qid not in green:
+            return (1, 0, fam, idx)
+        if spec.oracle is None:
+            return (2, 0, fam, idx)
+        return (3, 0, fam, idx)
+
+    return [qid for _, qid in sorted(enumerate(ids), key=key)]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
@@ -34,9 +98,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2."""
-    return {qid: spec.builder for qid, spec in _REGISTRY.items()}
+    return {qid: _REGISTRY[qid].builder for qid in _ordered_ids()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query id; rows-only specs are omitted."""
-    return {qid: spec.oracle for qid, spec in _REGISTRY.items() if spec.oracle is not None}
+    return {
+        qid: _REGISTRY[qid].oracle
+        for qid in _ordered_ids()
+        if _REGISTRY[qid].oracle is not None
+    }

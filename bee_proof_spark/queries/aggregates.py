@@ -146,17 +146,24 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
-           list_sort(list(DISTINCT l_linenumber)) AS linenos
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linenumber)), ',') AS linenos
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set + sort_array (Hive 0.13 collect_set; order normalized)."""
+    """collect_set + sort_array (Hive 0.13 collect_set; order normalized).
+
+    Final projection serializes the sorted lists to CSV strings: the driver's
+    row-hash comparator cannot hash array cells (r1 CORRECTNESS err), and a
+    joined string carries identical information for an order-normalized set.
+    """
     li = tbl(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
-        F.sort_array(F.collect_set("l_linenumber")).alias("linenos"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.array_join(
+            F.sort_array(F.collect_set("l_linenumber")).cast("array<string>"), ","
+        ).alias("linenos"),
     )
 
 
@@ -236,20 +243,69 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_percentile_approx")  # rows-only: approximate, engine-specific
+@register(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           true AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile (Hive `percentile`, linear interpolation = DuckDB
+    quantile_cont) plus percentile_approx checked against it.
+
+    The sketch estimate itself is engine-specific (GK summaries, merge-order
+    dependent), so the oracle-checkable form is an INVARIANT: the approximate
+    p50 must land within its accuracy bound of the exact p50 (0.1% of the
+    group's value range at accuracy=1000 - 2% of p50 is generous). Exact
+    percentile collects a per-group value map - fine on grouped numeric data,
+    while percentile_approx stays the 100 TB path.
+    """
     li = tbl(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75], 1000).alias("p25_75"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("e25"),
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("e50"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("e75"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("a50"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("e25", 4).alias("p25"),
+        F.round("e50", 4).alias("p50"),
+        F.round("e75", 4).alias("p75"),
+        (F.abs(F.col("a50") - F.col("e50")) <= 0.02 * F.col("e50")).alias("approx_ok"),
     )
 
 
-@register("agg_approx_cd")  # rows-only: HLL++ estimate is engine-specific
+@register(
+    "agg_approx_cd",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part, true AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) checked as an invariant: the estimate
+    must land within 15% of the exact distinct count (default rsd is 5%, so
+    the bound has 3x slack). The HLL register merge is commutative, so the
+    boolean is partition-order stable; the estimate value itself is
+    engine-specific and never compared directly.
+    """
     li = tbl(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_nd_part")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_part"),
+        F.approx_count_distinct("l_partkey").alias("a_nd"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "nd_part",
+        (F.abs(F.col("a_nd") - F.col("nd_part")) <= 0.15 * F.col("nd_part")).alias(
+            "approx_ok"
+        ),
     )
 
 

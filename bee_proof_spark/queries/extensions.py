@@ -60,15 +60,27 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_ORACLE = """
-WITH w AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
-  FROM documents WHERE doc_id >= 400
+# DuckDB 3-gram shingle generator (mirror of _shingles): words[i:i+2] is the
+# inclusive 3-word slice; docs shorter than 3 words yield one whole-doc shingle.
+_SH0_SQL = """
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+                i -> array_to_string(words[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+"""
+
+_JACCARD_ORACLE = f"""
+WITH sh0 AS ({_SH0_SQL}),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM sh0),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING count(*) <= greatest(0.02 * (SELECT n_docs FROM nd), 10)
 ),
+w AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+  FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -80,28 +92,45 @@ WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.5
 """
 
 
+def _shingle_postings(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) postings for 3-gram shingles."""
+    return (
+        _shingles(d).select("doc_id", F.explode("shingles").alias("shingle")).distinct()
+    )
+
+
 @register("ext_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection by exact word-set Jaccard >= 0.5 (oracle-checked).
+    """Near-dup detection by exact 3-gram-shingle Jaccard >= 0.5 over the
+    WHOLE corpus (oracle-checked).
 
-    Candidate pairs come from an inverted-index self-join on shared words
-    (never a cross join); integer count arithmetic keeps it exact. The
-    doc_id >= 400 slice bounds pair blowup - at scale the MinHash/LSH variant
-    below replaces the inverted index.
+    Candidate pairs come from an inverted-index self-join on shared shingles
+    (never a cross join). A document-frequency cap - df <= max(2% of corpus,
+    10) - drops any hot shingle before the self-join: a boilerplate shingle
+    shared by millions of docs would otherwise create an O(df^2) pair blob
+    (the classic skew bomb). On long-tail shingles the cap never binds; at
+    100 TB it bounds every posting list the join sees. The same cap is
+    applied on both engines, so Jaccard is computed over identical capped
+    sets; integer count arithmetic keeps it exact.
     """
-    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") >= 400)
-    w = (
-        _words(d)
-        .select("doc_id", F.explode("words").alias("word"))
-        .distinct()
+    d = tbl(spark, sf_dir, "documents")
+    sh0 = _shingle_postings(d)
+    nd = sh0.agg(F.countDistinct("doc_id").alias("n_docs"))
+    keep = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(nd)  # 1-row side: Catalyst broadcasts, no shuffle
+        .filter(F.col("df") <= F.greatest(0.02 * F.col("n_docs"), F.lit(10.0)))
+        .select("shingle")
     )
+    w = sh0.join(keep, "shingle")
     sizes = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = w.alias("a")
     b = w.alias("b")
     shared = (
         a.join(
             b,
-            (F.col("a.word") == F.col("b.word"))
+            (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -147,23 +176,12 @@ def minhash_signatures(doc_df: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-@register("ext_dedup_fuzzy")  # rows-only: hash-family specific
-def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup pairs (the scale path for fuzzy dedup).
+def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from banded MinHash signatures.
 
-    shingle -> 32-hash MinHash signature (array) -> 8 bands of 4 -> bucket
-    join on (band_idx, band_hash) -> distinct candidate pairs -> signature
-    re-join -> estimated Jaccard = fraction of agreeing hashes, >= 0.4.
-
-    Shuffle economics: the band self-join moves only 3-column rows
-    (doc_id, band_idx, band_hash) - signatures cross the wire once per
-    *candidate pair*, not once per band row (an 8x reduction vs banding the
-    full signature). Only bucket-mates are ever paired.
+    The band self-join moves only 3-column rows (doc_id, band_idx,
+    band_hash); only bucket-mates are ever paired.
     """
-    d = tbl(spark, sf_dir, "documents")
-    sig = minhash_signatures(d).select(
-        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)]).alias("sig")
-    )
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -177,7 +195,7 @@ def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -187,6 +205,26 @@ def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@register("ext_dedup_fuzzy")  # rows-only: hash-family specific
+def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs (the scale path for fuzzy dedup).
+
+    shingle -> 32-hash MinHash signature (array) -> 8 bands of 4 -> bucket
+    join on (band_idx, band_hash) -> distinct candidate pairs -> signature
+    re-join -> estimated Jaccard = fraction of agreeing hashes, >= 0.4.
+
+    Shuffle economics: signatures cross the wire once per *candidate pair*,
+    not once per band row (an 8x reduction vs banding the full signature).
+    The oracle-checkable twin is ext_dedup_fuzzy_verified (exact-Jaccard
+    verification of these candidates).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    sig = minhash_signatures(d).select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)]).alias("sig")
+    )
+    pairs = _lsh_candidate_pairs(sig)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (
@@ -205,33 +243,109 @@ def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle for the verified LSH pipeline: ALL pairs with exact (uncapped)
+# 3-gram-shingle Jaccard >= 0.5. The Spark side only examines LSH candidate
+# pairs - equality with the all-pairs truth asserts 100% LSH recall at this
+# threshold on the fixtures (verified empirically at sf0.01 and sf0.1; every
+# true pair has J >= 0.8, where the 8x4 banding's miss probability is <2%
+# per pair and measured misses are zero).
+_FUZZY_VERIFIED_ORACLE = f"""
+WITH sh0 AS ({_SH0_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM sh0 a JOIN sh0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_shared / (sa.n + sb.n - n_shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.5
+"""
+
+
+@register("ext_dedup_fuzzy_verified", oracle=_FUZZY_VERIFIED_ORACLE)
+def ext_dedup_fuzzy_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production fuzzy-dedup pipeline: MinHash+LSH candidate
+    generation followed by EXACT shingle-Jaccard verification >= 0.5.
+
+    This is the oracle-checkable twin of ext_dedup_fuzzy: candidates come
+    from the same banded signatures, but the output keeps only pairs whose
+    true 3-gram Jaccard clears the threshold - so false positives are
+    filtered exactly, and equality with the all-pairs oracle also certifies
+    LSH recall on the fixture. Scale shape: exact verification joins
+    postings for CANDIDATE pairs only (never all pairs); at 100 TB the
+    verify cost is O(candidates x doc shingles), not O(n^2).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    sig = minhash_signatures(d).select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)]).alias("sig")
+    )
+    pairs = _lsh_candidate_pairs(sig)
+    sh0 = _shingle_postings(d)
+    sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pa = sh0.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    pb = sh0.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
+    shared = (
+        pairs.join(pa, "doc_a")
+        .join(pb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash_signatures(doc_df: DataFrame) -> DataFrame:
+    """doc_id + 64-bit simhash column, computed WITHOUT row explosion.
+
+    Each of the 64 bit-votes is a conditional sum over the token rows -
+    one hash aggregate, shuffle input = token rows exactly (the same k-aggs
+    pattern minhash_signatures uses). The old explode(sequence(0,63)) form
+    multiplied shuffle input 64x; at 100 TB that amplification is the
+    difference between a pass and a dead stage.
+
+    Signed-shift note: ``(h >> bit) & 1`` uses Java's arithmetic shift, which
+    for bit 63 yields the sign bit - identical to the bit-twiddled vote.
+    """
+    tok = _words(doc_df).select("doc_id", F.explode("words").alias("word"))
+    toks = tok.withColumn("h", F.xxhash64("word"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    # OR the per-bit outcomes into one long; 1L<<63 sets the sign bit, which
+    # bitwise OR composes without overflow (no ANSI arithmetic involved).
+    bits_expr = " | ".join(f"if(b{i} > 0, shiftleft(1L, {i}), 0L)" for i in range(64))
+    return votes.select("doc_id", F.expr(bits_expr).alias("simhash"))
+
+
 @register("ext_dedup_simhash")  # rows-only: hash-family specific
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signature from per-token hash bit
     votes; candidates share at least one of four 16-bit bands (Hamming <= 3
     guarantee by pigeonhole).
 
-    Bit votes via a bit-position explode (64x token rows) - transparent and
-    shuffle-light here; the pandas-UDF bit-twiddling variant is the 100 TB
-    swap-in.
+    Signatures come from :func:`simhash_signatures` - 64 conditional sums in
+    a single hash aggregate over un-exploded token rows (no 64x shuffle
+    amplification); a numpy bit-twiddle cross-check asserts the same
+    signatures (tests/test_plans.py).
     """
     d = tbl(spark, sf_dir, "documents")
-    tok = _words(d).select("doc_id", F.explode("words").alias("word"))
-    votes = (
-        tok.withColumn("h", F.xxhash64("word"))
-        .select("doc_id", "h", F.explode(F.expr("sequence(0, 63)")).alias("bit"))
-        .withColumn(
-            "vote",
-            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    sig = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
-        ).alias("simhash")
-    )
+    sig = simhash_signatures(d)
     banded = sig.select(
         "doc_id",
         "simhash",
@@ -271,14 +385,43 @@ def _unit_vectors(emb_df: DataFrame) -> DataFrame:
 
 _DOT = "aggregate(zip_with(a_unit, b_unit, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
 
+# Exact cosine top-k expressed in DuckDB. Ranking happens on the 4dp-ROUNDED
+# cosine with a total (q_id, c_id) tie-break, so last-ulp float divergence
+# between engines (summation order) cannot flip ranks - both sides agree
+# unless a true cosine sits exactly on a 1e-4 rounding boundary.
+_KNN_ORACLE = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(
+           list_transform(embedding, x -> cast(x as double)),
+           x -> x / sqrt(list_sum(list_transform(
+                  list_transform(embedding, e -> cast(e as double)), y -> y * y)))
+         ) AS unit
+  FROM embeddings
+),
+s AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         round(list_dot_product(q.unit, c.unit), 4) AS cosine
+  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+  FROM s
+)
+SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 5
+"""
 
-@register("ext_knn_cosine")  # rows-only: float scoring tie behavior
+
+@register("ext_knn_cosine", oracle=_KNN_ORACLE)
 def ext_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 10 query vectors against the corpus.
 
     Queries are broadcast (tiny side); the corpus is scanned once, scored
     JVM-side with zip_with/aggregate (no Python), and top-k is a window with
     WindowGroupLimit pushdown. Linear in corpus size - the correct baseline.
+    Ranking uses the 4dp-rounded score (see _KNN_ORACLE) so the result is
+    engine-stable and fully oracle-checkable.
     """
     from pyspark.sql import Window
 
@@ -289,13 +432,13 @@ def ext_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("b_unit"))
     scored = (
         corpus.join(F.broadcast(queries), F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", F.expr(_DOT))
+        .withColumn("cosine", F.round(F.expr(_DOT), 4))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
-        .select("q_id", "c_id", F.round("cosine", 4).alias("cosine"), "rnk")
+        .select("q_id", "c_id", "cosine", "rnk")
     )
 
 
@@ -349,11 +492,30 @@ def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_dedup_embedding")  # rows-only: float scoring
+_EMB_DEDUP_ORACLE = """
+WITH n AS (
+  SELECT vec_id, label,
+         list_transform(
+           list_transform(embedding, x -> cast(x as double)),
+           x -> x / sqrt(list_sum(list_transform(
+                  list_transform(embedding, e -> cast(e as double)), y -> y * y)))
+         ) AS unit
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.unit, b.unit), 4) AS cosine,
+       a.label AS lbl
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.unit, b.unit), 4) >= 0.4
+"""
+
+
+@register("ext_dedup_embedding", oracle=_EMB_DEDUP_ORACLE)
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (in-block pairs only
     - the blocking pattern that survives scale; cross-block recall comes from
-    the LSH variant)."""
+    the LSH variant). Threshold applies to the 4dp-rounded score so the
+    cutoff is engine-stable (oracle-checkable)."""
     e = _unit_vectors(tbl(spark, sf_dir, "embeddings")).select("vec_id", "label", "unit")
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"), F.col("unit").alias("a_unit")
@@ -363,23 +525,34 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, (F.col("lbl") == F.col("lbl_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cosine", F.expr(_DOT))
+        .withColumn("cosine", F.round(F.expr(_DOT), 4))
         .filter(F.col("cosine") >= 0.4)
-        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"), "lbl")
+        .select("id_a", "id_b", "cosine", "lbl")
     )
 
 
 # ------------------------------------------------------------------ multimodal
 
-@register("ext_multimodal_struct")  # rows-only: binary payloads
+@register(
+    "ext_multimodal_struct",
+    oracle="""
+    SELECT doc_id,
+           strlen(text) AS n_bytes,
+           md5(text) AS payload_md5,
+           (n_chars % 640) AS width,
+           (n_chars % 480) AS height
+    FROM documents
+    """,
+)
 def ext_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing: opaque binary payload + typed metadata
     struct, feature extraction via Arrow-batched mapInPandas.
 
     The decode step is a STUB (no image/audio libs in this container): it
-    derives deterministic fake features from payload bytes. The Spark-side
-    contract - binary column, metadata struct, batch iterator signature,
-    output schema - is real and is what a codec swap-in would keep.
+    derives deterministic features from payload bytes (byte length + md5
+    digest), which keeps the whole pipeline oracle-checkable in SQL while
+    exercising the real contract - binary column, metadata struct, batch
+    iterator signature, output schema - that a codec swap-in would keep.
     """
     d = tbl(spark, sf_dir, "documents")
     media = d.select(
@@ -393,23 +566,28 @@ def ext_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def extract(batches):
+        import hashlib
+
         import pandas as pd
 
         for pdf in batches:
             # STUB decode: real implementation would decode payload via PIL/
-            # ffmpeg here. Deterministic fake: byte-sum + length features.
+            # ffmpeg here. Deterministic fake: byte length + content digest.
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf["payload"].map(len),
-                    "byte_sum": pdf["payload"].map(lambda b: int(sum(b) % 100000)),
+                    "payload_md5": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
                     "width": pdf["meta"].map(lambda m: m["width"]),
                     "height": pdf["meta"].map(lambda m: m["height"]),
                 }
             )
 
     return media.mapInPandas(
-        extract, schema="doc_id bigint, n_bytes int, byte_sum bigint, width int, height int"
+        extract,
+        schema="doc_id bigint, n_bytes int, payload_md5 string, width int, height int",
     )
 
 
@@ -612,7 +790,7 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_knn_cosine_arrow")  # rows-only: float scoring tie behavior
+@register("ext_knn_cosine_arrow", oracle=_KNN_ORACLE)
 def ext_knn_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5, Arrow path: the query matrix is a tiny
     broadcast numpy array; each corpus Arrow batch scores against it with
@@ -648,11 +826,13 @@ def ext_knn_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = e.mapInPandas(score, schema="q_id bigint, c_id bigint, cosine double")
+    scored = e.mapInPandas(
+        score, schema="q_id bigint, c_id bigint, cosine double"
+    ).withColumn("cosine", F.round("cosine", 4))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
         scored.filter(F.col("q_id") != F.col("c_id"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
-        .select("q_id", "c_id", F.round("cosine", 4).alias("cosine"), "rnk")
+        .select("q_id", "c_id", "cosine", "rnk")
     )

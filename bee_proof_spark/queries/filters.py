@@ -184,9 +184,14 @@ def order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sort_by_partition")  # rows-only: per-partition order is engine-specific
+@register(
+    "sort_by_partition",
+    oracle="SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem",
+)
 def sort_by_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hive SORT BY: order within each partition only."""
+    """Hive SORT BY: order within each partition only. The driver compare is
+    order-insensitive, so the content equals a plain projection - the
+    partition-local ordering itself is asserted by plan tests instead."""
     return (
         tbl(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_suppkey")
@@ -194,7 +199,10 @@ def sort_by_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("distribute_cluster_by")  # rows-only: partition placement not SQL-visible
+@register(
+    "distribute_cluster_by",
+    oracle="SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem",
+)
 def distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive CLUSTER BY = DISTRIBUTE BY + SORT BY: hash repartition then
     in-partition sort; the building block for co-located writes."""

@@ -76,17 +76,19 @@ def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
            regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_novowel,
-           string_split_regex(p_name, '\s+') AS name_words
+           array_to_string(string_split_regex(p_name, '\s+'), ',') AS name_words
     FROM part
     """,
 )
 def fn_string_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / replace-all / split (split result CSV-joined: the
+    driver's row-hash cannot hash array cells)."""
     p = tbl(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
         F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
         F.regexp_replace("p_name", "[aeiou]", "*").alias("name_novowel"),
-        F.split("p_name", r"\s+").alias("name_words"),
+        F.array_join(F.split("p_name", r"\s+"), ",").alias("name_words"),
     )
 
 
@@ -325,38 +327,59 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_ops",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           [l_quantity, l_discount, l_tax] AS triple,
+           array_to_string([l_quantity, l_discount, l_tax], ',') AS triple,
            len([l_quantity, l_discount, l_tax]) AS triple_size,
            list_contains([l_quantity, l_discount, l_tax], 0.0) AS has_zero,
-           list_sort([l_tax, l_quantity, l_discount]) AS sorted_vals,
+           array_to_string(list_sort([l_tax, l_quantity, l_discount]), ',') AS sorted_vals,
            [l_quantity, l_discount, l_tax][1] AS first_elem
     FROM lineitem WHERE l_linenumber = 1
     """,
 )
 def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array(), size, array_contains, sort_array, element access. Array
+    results are CSV-joined in the final projection (driver row-hash cannot
+    hash array cells); double->string matches DuckDB's shortest-round-trip
+    formatting (same contract fn_cast already relies on)."""
     li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
     arr = F.array("l_quantity", "l_discount", "l_tax")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        arr.alias("triple"),
+        F.array_join(arr.cast("array<string>"), ",").alias("triple"),
         F.size(arr).alias("triple_size"),
         F.array_contains(arr, 0.0).alias("has_zero"),
-        F.sort_array(F.array("l_tax", "l_quantity", "l_discount")).alias("sorted_vals"),
+        F.array_join(
+            F.sort_array(F.array("l_tax", "l_quantity", "l_discount")).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("sorted_vals"),
         arr.getItem(0).alias("first_elem"),
     )
 
 
-@register("fn_map_ops")  # rows-only: map ordering not canonical across engines
+@register(
+    "fn_map_ops",
+    oracle="""
+    SELECT l_orderkey,
+           'disc,qty' AS keys_sorted,
+           2 AS m_size,
+           l_quantity AS qty_val,
+           cast(l_linenumber as varchar) AS b_val
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
 def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """map(), map_keys, map_values, size, element access, str_to_map."""
+    """map(), map_keys, size, element access, str_to_map. Keys are sorted and
+    joined to a scalar string, so the (engine-specific) map iteration order
+    never reaches the output and the whole row is oracle-checkable."""
     li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
     m = F.create_map(
         F.lit("qty"), F.col("l_quantity"), F.lit("disc"), F.col("l_discount")
     )
     return li.select(
         "l_orderkey",
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
         F.size(m).alias("m_size"),
         m.getItem("qty").alias("qty_val"),
         F.expr("str_to_map(concat('a:1,b:', l_linenumber), ',', ':')['b']").alias("b_val"),
@@ -437,9 +460,14 @@ def fn_url_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("fn_sentences")  # rows-only: tokenizer is locale/engine-specific
 def fn_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sentences() tokenizer; the nested array<array<string>> is flattened
+    and space-joined so the (rows-only) driver hash sees a scalar string."""
     d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return d.select(
-        "doc_id", F.expr("sentences(substring(text, 1, 100))").alias("tokens")
+        "doc_id",
+        F.array_join(
+            F.flatten(F.expr("sentences(substring(text, 1, 100))")), " "
+        ).alias("tokens"),
     )
 
 
