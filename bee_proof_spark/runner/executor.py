@@ -107,6 +107,13 @@ class ScriptRunner:
         self.out = out or print
         self.max_print_rows = max_print_rows
         self.setproc = SetProcessor(spark)
+        # The runner owns ${...} substitution (Hive semantics: unresolved
+        # references stay verbatim). Spark's built-in substitutor would
+        # otherwise re-substitute inside spark.sql() with different rules.
+        try:
+            spark.conf.set("spark.sql.variable.substitute", "false")
+        except Exception:
+            pass
 
     # -- per-script ---------------------------------------------------------
 
@@ -124,7 +131,15 @@ class ScriptRunner:
         """Run all statements; returns count executed. Raises StatementError."""
         count = 0
         for stmt in split_statements(text):
-            sub = substitute(stmt.text, variables, self.setproc.local_conf)
+            # hivevar namespace = manifest task variables overridden by any
+            # SET hivevar:NAME=... executed earlier in the session.
+            merged_vars = {**(variables or {}), **self.setproc.variables}
+            try:
+                sub = substitute(stmt.text, merged_vars, self.setproc.local_conf)
+            except Exception as ex:  # cyclic/over-deep expansion fails the script
+                raise StatementError(
+                    script_name, stmt.line, stmt.text, str(ex)
+                ) from ex
             if self.verbose:
                 self.out(sub)
             self._run_statement(sub, stmt, script_name)

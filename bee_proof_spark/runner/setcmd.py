@@ -27,13 +27,12 @@ from pyspark.sql import SparkSession
 EMR_ONLY_PREFIXES = ("hive.optimize.s3.",)
 EMR_SHIM_NAMESPACE = "emrhive."
 
-#: Hive conf -> Spark conf translations (public Hive/Spark knowledge).
-HIVE_TO_SPARK = {
-    "mapred.reduce.tasks": "spark.sql.shuffle.partitions",
-    "hive.exec.reducers.max": "spark.sql.shuffle.partitions",
-    "hive.auto.convert.join": "spark.sql.autoBroadcastJoinThreshold",  # special-cased below
-    "hive.exec.parallel": None,  # forced sequential (ManifestRunner.java:114-120)
-}
+# Hive conf -> Spark conf translations are applied inline in apply():
+# mapred.reduce.tasks / hive.exec.reducers.max -> spark.sql.shuffle.partitions,
+# hive.auto.convert.join=false -> autoBroadcastJoinThreshold=-1, and
+# hive.exec.parallel is recorded but never applied (forced sequential,
+# ManifestRunner.java:114-120). Each needs value-dependent logic, so there is
+# deliberately no lookup table.
 
 _SET_RE = re.compile(r"^\s*SET(\s+(?P<rest>.*))?$", re.IGNORECASE | re.DOTALL)
 
@@ -44,6 +43,10 @@ class SetProcessor:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.local_conf: dict[str, str] = {}
+        #: ``SET hivevar:NAME=v`` definitions - the hivevar namespace, merged
+        #: into ${...} substitution by the executor (Hive: SetProcessor routes
+        #: hivevar: into the variable substitution map, not the conf).
+        self.variables: dict[str, str] = {}
 
     @staticmethod
     def matches(stmt: str) -> bool:
@@ -61,6 +64,13 @@ class SetProcessor:
             return lines
         if "=" not in rest:
             key = rest.strip()
+            if " " in key or "\t" in key:
+                # Keyword forms like 'SET ROLE admin' are commands, not
+                # conf-key lookups; accept without applying (shim posture).
+                return [f"SET {key}: unsupported command (ignored)"]
+            if key.startswith("hivevar:"):
+                val = self.variables.get(key[len("hivevar:"):], "<undefined>")
+                return [f"{key}={val}"]
             val = self.local_conf.get(key)
             if val is None:
                 try:
@@ -75,6 +85,13 @@ class SetProcessor:
         return []
 
     def apply(self, key: str, value: str) -> None:
+        # Namespace routing first (Hive SetProcessor contract):
+        # hivevar: -> substitution variables; hiveconf: -> plain conf key.
+        if key.startswith("hivevar:"):
+            self.variables[key[len("hivevar:"):]] = value
+            return
+        if key.startswith("hiveconf:"):
+            key = key[len("hiveconf:"):]
         # EMR-only keys: accept into the shim namespace, never error (A9).
         if any(key.startswith(p) for p in EMR_ONLY_PREFIXES):
             self.local_conf[EMR_SHIM_NAMESPACE + key] = value

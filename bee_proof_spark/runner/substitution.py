@@ -17,6 +17,14 @@ _PATTERN = re.compile(r"\$\{([^}${]+)\}")
 MAX_DEPTH = 40
 
 
+class SubstitutionError(RuntimeError):
+    """Raised when variable expansion exceeds MAX_DEPTH rounds (cyclic or
+    pathologically chained definitions). Mirrors Hive's VariableSubstitution
+    fail-fast: 'Substitution exceeds 40 iterations'; the runner wraps this
+    into a StatementError so the script aborts instead of silently running a
+    partially-expanded statement."""
+
+
 def substitute(
     text: str,
     variables: dict[str, str] | None = None,
@@ -53,4 +61,7 @@ def substitute(
         if not changed:
             return new
         text = new
-    return text
+    raise SubstitutionError(
+        f"Substitution exceeds {MAX_DEPTH} iterations (cyclic variable "
+        f"definition?): {text[:200]!r}"
+    )

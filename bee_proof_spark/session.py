@@ -78,12 +78,38 @@ def build_session(
     if warehouse_dir is None:
         warehouse_dir = os.path.join(tempfile.gettempdir(), TMP_ROOT, "warehouse")
 
-    builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_COMMON_CONF)
     conf.update(_PERF_CONF if profile == "perf" else _PARITY_CONF)
     conf["spark.sql.warehouse.dir"] = warehouse_dir
     if extra_conf:
         conf.update(extra_conf)
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        # getOrCreate() on a live session silently ignores every requested
+        # conf (profile switches would be no-ops). Apply the runtime-settable
+        # ones explicitly; warn when a static conf (warehouse, catalog) can't
+        # be changed and differs from what was asked for.
+        import warnings
+
+        for k, v in conf.items():
+            try:
+                active.conf.set(k, v)
+            except Exception:
+                try:
+                    current = active.conf.get(k)
+                except Exception:
+                    current = None
+                if current != v:
+                    warnings.warn(
+                        f"build_session: static conf {k}={current!r} on the "
+                        f"live session differs from requested {v!r}; "
+                        "stop the session to apply it",
+                        stacklevel=2,
+                    )
+        return active
+
+    builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -46,8 +46,21 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from bee_proof_spark.queries import tbl
 
+    # Snapshot key includes a layout version and the source file's
+    # (mtime, size) fingerprint: changed fixture data, a different directory
+    # with the same basename, or a new replay layout each produce a fresh
+    # snapshot path instead of silently replaying a stale one.
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"v2-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        fp = "v2-unknown"
     snap = os.path.join(
-        tempfile.gettempdir(), "bee-proof-tmp", "stream-src", os.path.basename(sf_dir)
+        tempfile.gettempdir(),
+        "bee-proof-tmp",
+        "stream-src",
+        f"{os.path.basename(sf_dir)}-{fp}",
     )
     marker = os.path.join(snap, "_SUCCESS")
     if not os.path.exists(marker):

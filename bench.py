@@ -28,15 +28,21 @@ BENCH_QUERIES = [
     "tpch_q9_profit",
     "tpch_q13_custdist",
     "tpch_q18_large_volume",
+    "tpch_q4_priority",       # EXISTS-subquery shape
+    "tpch_q22_global_sales",  # NOT-EXISTS + scalar-subquery shape
     "agg_basic",
     "agg_skew_salted",
     "win_topk_per_group",
+    "win_running_sum",        # running-frame window
+    "union_distinct",         # set-op shuffle dedup
     "stream_tumbling_batch",
     "join_smb_bucketed",
     "ext_dedup_exact",
     "ext_text_wordcount",
     "ext_knn_cosine",
     "ext_dedup_fuzzy",
+    "ext_dedup_fuzzy_verified",  # LSH + exact-verify pipeline
+    "ext_pack_sequences",
 ]
 
 

@@ -136,6 +136,70 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_smoke, tmp_path):
     assert "o_orderstatus" in pf, f"partition filter not pushed: {pf!r}"
 
 
+def test_simhash_no_bit_explode(spark, sf_smoke):
+    """The simhash signature must come from 64 conditional sums over token
+    rows, never a 64x explode(sequence(0,63)) row amplification (a 64x
+    shuffle-input multiplier at 100 TB)."""
+    plan = _plan(spark, "ext_dedup_simhash", sf_smoke, mode="extended")
+    assert "sequence(0, 63" not in plan
+
+
+def test_simhash_matches_numpy_bit_twiddle(spark, sf_smoke):
+    """Cross-implementation agreement: the SQL conditional-sum signature must
+    equal a direct numpy bit-twiddle over the same per-token xxhash64 values
+    (each path is the other's oracle, mirroring the knn jvm/arrow pair)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bee_proof_spark.queries import tbl
+    from bee_proof_spark.queries.extensions import _words, simhash_signatures
+
+    d = tbl(spark, sf_smoke, "documents").filter(F.col("doc_id") < 40)
+    tok = (
+        _words(d)
+        .select("doc_id", F.explode("words").alias("word"))
+        .select("doc_id", F.xxhash64("word").alias("h"))
+        .collect()
+    )
+    by_doc: dict[int, list[int]] = {}
+    for r in tok:
+        by_doc.setdefault(r["doc_id"], []).append(r["h"])
+
+    expected = {}
+    for doc_id, hashes in by_doc.items():
+        arr = np.array(hashes, dtype=np.uint64)
+        votes = np.zeros(64, dtype=np.int64)
+        for i in range(64):
+            bits = (arr >> np.uint64(i)) & np.uint64(1)
+            votes[i] = int(bits.sum()) * 2 - len(arr)  # (+1/-1 votes)
+        sig = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                sig |= np.uint64(1) << np.uint64(i)
+        expected[doc_id] = int(sig.astype(np.int64))  # two's complement long
+
+    actual = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(d).collect()
+    }
+    assert actual == expected
+
+
+def test_no_complex_typed_outputs(spark, sf_smoke):
+    """Driver-comparator contract: no registered query may emit array/map/
+    struct columns - the driver's row-hash cannot canonicalize them (three
+    r1 CORRECTNESS rows died on exactly this)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for qid, spec in load_all().items():
+        df = spec.builder(spark, sf_smoke)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{qid}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, f"complex-typed outputs: {offenders}"
+
+
 def test_knn_jvm_and_arrow_paths_agree(spark, sf_smoke):
     """Two independent implementations of brute-force cosine top-k (JVM
     higher-order functions vs Arrow/numpy matmul) must return identical

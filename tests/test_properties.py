@@ -8,8 +8,7 @@ ${VAR} namespace precedence.
 
 from __future__ import annotations
 
-import re
-
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -106,7 +105,10 @@ def test_hivevar_wins_over_conf(name, v1, v2):
     assert out == v1
 
 
-def test_substitution_cycle_terminates():
-    # A -> B -> A must not loop forever; capped at MAX_DEPTH rounds
-    out = substitute("${A}", {"A": "${B}", "B": "${A}"})
-    assert re.fullmatch(r"\$\{[AB]\}", out)
+def test_substitution_cycle_raises():
+    # A -> B -> A must fail fast like Hive's VariableSubstitution
+    # ('Substitution exceeds 40 iterations'), not silently pass through.
+    from bee_proof_spark.runner.substitution import SubstitutionError
+
+    with pytest.raises(SubstitutionError, match="exceeds 40 iterations"):
+        substitute("${A}", {"A": "${B}", "B": "${A}"})

@@ -234,3 +234,47 @@ def test_manifest_run_output_protocol(spark, tmp_path):
     assert lines[0] == f">>>>>>>> Processing:  {script}"
     assert "> Skipped!" in lines
     assert lines[-1].startswith("> Total time:  ") and lines[-1].endswith("ms")
+
+
+def test_set_hivevar_defines_substitution_variable(spark, runner_out, tmp_path):
+    """SET hivevar:NAME=v must feed ${NAME} / ${hivevar:NAME} in later
+    statements (Hive routes hivevar: to the substitution map, not the conf)."""
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=True, verbose=False, out=out)
+    r.run_text(
+        f"""
+        SET hivevar:T=hv_t;
+        CREATE TABLE ${{T}} (a INT) USING parquet LOCATION '{tmp_path}/hv_t';
+        INSERT INTO ${{hivevar:T}} VALUES (7);
+        SELECT a FROM ${{T}};
+        """
+    )
+    assert lines == ["7"]
+    assert spark.catalog.tableExists("hv_t")
+    spark.sql("DROP TABLE hv_t")
+
+
+def test_set_hivevar_overrides_manifest_variable(spark, runner_out):
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=True, verbose=False, out=out)
+    r.run_text(
+        "SET hivevar:V='set-wins'; SELECT ${V} AS v", {"V": "'manifest'"}
+    )
+    assert lines == ["set-wins"]
+
+
+def test_cyclic_substitution_aborts_script(spark, runner_out):
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=True, verbose=False, out=out)
+    with pytest.raises(StatementError, match="iterations"):
+        r.run_text(
+            "SET hivevar:A=${B};\nSET hivevar:B=${A};\nSELECT '${A}' AS x;"
+        )
+
+
+def test_set_role_is_ignored_command(spark, runner_out):
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=True, verbose=False, out=out)
+    r.run_text("SET ROLE admin; SELECT 1 AS one")
+    assert any("unsupported command" in ln for ln in lines)
+    assert lines[-1] == "1"
