@@ -40,6 +40,9 @@ _FRONT = [
     "agg_approx_cd", "sort_by_partition", "distribute_cluster_by",
     "ext_knn_cosine", "ext_knn_cosine_arrow", "ext_dedup_embedding",
     "ext_multimodal_struct", "ext_dedup_fuzzy_verified",
+    # rows-only ids upgraded to closed-form/invariant oracles
+    "ext_multimodal_framesample", "ext_knn_ann_recall", "ext_text_langid",
+    "transform_script", "fn_url_misc", "fn_sentences",
 ]
 
 _FAMILY_PRIORITY = [

@@ -442,54 +442,125 @@ def ext_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_knn_lsh")  # rows-only: plane family specific
-def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (the scale path): random-hyperplane signature ->
-    bucket join -> exact rerank inside buckets only.
+LSH_TABLES = 8
+LSH_PLANES_PER_TABLE = 4
 
-    Hyperplanes are derived deterministically (seeded), broadcast as
-    literals. Recall trades against the number of planes/tables; candidates
-    per query ~ corpus/2^planes.
+
+def _lsh_bucketed(e: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket): multi-table random-hyperplane LSH buckets.
+
+    L=8 tables of k=4 planes each: a neighbor at angle theta collides in one
+    table with prob (1 - theta/pi)^k; the union over 8 tables lifts recall
+    (1-(1-p)^L) while each table keeps 16-way selectivity - the standard
+    recall/selectivity dial for hyperplane LSH. Planes are seeded constants
+    broadcast as literals; bucket computation is pure JVM lambda algebra.
     """
     import numpy as np
 
     rng = np.random.RandomState(42)
-    planes = rng.standard_normal((6, 64))  # 6 planes -> 64 buckets
-    plane_lits = F.array(
-        *[F.array(*[F.lit(float(v)) for v in row]) for row in planes]
+    planes = rng.standard_normal((LSH_TABLES, LSH_PLANES_PER_TABLE, 64))
+
+    def table_bucket(t: int):
+        bits = []
+        for i in range(LSH_PLANES_PER_TABLE):
+            plane = F.array(*[F.lit(float(v)) for v in planes[t, i]])
+            dot = F.aggregate(
+                F.zip_with(F.col("unit"), plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    buckets = F.array(*[table_bucket(t) for t in range(LSH_TABLES)])
+    return e.select(
+        "vec_id", F.posexplode(buckets).alias("tbl", "bucket")
     )
 
+
+@register("ext_knn_lsh")  # rows-only: plane family specific
+def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN (the scale path): 8 random-hyperplane tables ->
+    per-table bucket join -> distinct candidate union -> exact cosine rerank
+    of candidates only -> top-5.
+
+    Scale shape: the bucket join moves (vec_id, tbl, bucket) rows only;
+    candidates are deduplicated BEFORE scoring so each (query, candidate)
+    pair is scored once regardless of how many tables it collides in; the
+    corpus is never compared all-pairs. Recall is measured against the
+    brute-force twin by ext_knn_ann_recall.
+    """
     from pyspark.sql import Window
 
-    e = _unit_vectors(tbl(spark, sf_dir, "embeddings")).withColumn("planes", plane_lits)
-    sig = e.withColumn(
-        "bucket",
-        F.expr(
-            "aggregate(transform(planes, (p, i) -> "
-            " CASE WHEN aggregate(zip_with(unit, p, (x, y) -> x * y), 0.0D,"
-            "                     (acc, x) -> acc + x) > 0 THEN shiftleft(1, i) ELSE 0 END),"
-            " 0, (acc, x) -> acc + x)"
-        ),
-    ).select("vec_id", "unit", "bucket")
-    queries = sig.filter(F.col("vec_id") < 10).select(
+    e = _unit_vectors(tbl(spark, sf_dir, "embeddings")).select("vec_id", "unit")
+    bucketed = _lsh_bucketed(e)
+    qb = bucketed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
-        F.col("unit").alias("a_unit"),
+        F.col("tbl").alias("q_tbl"),
         F.col("bucket").alias("q_bucket"),
     )
-    cands = (
-        sig.join(
-            F.broadcast(queries),
-            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    cand_pairs = (
+        bucketed.join(
+            F.broadcast(qb),
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
         )
-        .withColumnRenamed("unit", "b_unit")
-        .withColumn("cosine", F.expr(_DOT))
+        .select("q_id", F.col("vec_id").alias("c_id"))
+        .distinct()
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    qv = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("unit").alias("a_unit")
+    )
+    cv = e.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("b_unit"))
+    scored = (
+        cand_pairs.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .withColumn("cosine", F.round(F.expr(_DOT), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
-        cands.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
-        .select("q_id", F.col("vec_id").alias("c_id"), F.round("cosine", 4).alias("cosine"), "rnk")
+        .select("q_id", "c_id", "cosine", "rnk")
     )
+
+
+@register(
+    "ext_knn_ann_recall",
+    oracle="""
+    SELECT 'lsh' AS method, 10 AS n_queries, true AS recall_ok
+    UNION ALL
+    SELECT 'ivf' AS method, 10 AS n_queries, true AS recall_ok
+    """,
+)
+def ext_knn_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall invariant for the two ANN paths: mean recall@5 of LSH and IVF
+    against the brute-force truth must clear 0.3 (both measure well above it
+    on the fixtures; the bound leaves margin for data drift). This is how an
+    approximate index becomes oracle-checkable: the index output itself is
+    engine-specific, but its quality contract is not.
+    """
+    exact = ext_knn_cosine(spark, sf_dir).select("q_id", "c_id")
+
+    def mean_recall(approx: DataFrame, method: str) -> DataFrame:
+        hit = approx.select("q_id", "c_id").withColumn("hit", F.lit(1))
+        j = exact.join(hit, ["q_id", "c_id"], "left")
+        per_q = j.groupBy("q_id").agg(
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias("recall")
+        )
+        return per_q.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).cast("int").alias("n_queries"),
+            (F.avg("recall") >= 0.3).alias("recall_ok"),
+        )
+
+    lsh = mean_recall(ext_knn_lsh(spark, sf_dir), "lsh")
+    ivf = mean_recall(ext_knn_ivf(spark, sf_dir), "ivf")
+    return lsh.unionAll(ivf)
 
 
 _EMB_DEDUP_ORACLE = """
@@ -656,13 +727,26 @@ def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_multimodal_framesample")  # rows-only: stubbed decode
+@register(
+    "ext_multimodal_framesample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text, (n_chars % 5 + 1) AS n_frames,
+             greatest(strlen(text) // (n_chars % 5 + 1), 1) AS step
+      FROM documents
+    )
+    SELECT doc_id, i AS frame_idx, i * 1000 AS frame_off_ms,
+           lower(hex(substr(text, i * step + 1, 16))) AS frame_hex
+    FROM m, unnest(generate_series(0, n_frames - 1)) AS t(i)
+    """,
+)
 def ext_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling: one media row fans out to N frame rows via
     mapInPandas (the video -> sampled-frames batch shape).
 
     The frame decode is a STUB (no av libs in container): frames are
-    deterministic byte slices of the payload. Real part: the 1->N Arrow
+    deterministic byte slices of the payload, hex-encoded in the output so
+    the whole fan-out is oracle-checkable in SQL. Real part: the 1->N Arrow
     batch contract, per-frame metadata, and bounded batch memory (frames are
     emitted per input batch, never materialized per partition).
     """
@@ -677,7 +761,7 @@ def ext_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            out = {"doc_id": [], "frame_idx": [], "frame_off_ms": [], "frame_bytes": []}
+            out = {"doc_id": [], "frame_idx": [], "frame_off_ms": [], "frame_hex": []}
             for doc_id, payload, n_frames in zip(
                 pdf["doc_id"], pdf["payload"], pdf["n_frames"]
             ):
@@ -687,12 +771,14 @@ def ext_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
                     out["frame_off_ms"].append(i * 1000)
-                    out["frame_bytes"].append(bytes(payload[i * step : i * step + 16]))
+                    out["frame_hex"].append(
+                        bytes(payload[i * step : i * step + 16]).hex()
+                    )
             yield pd.DataFrame(out)
 
     return media.mapInPandas(
         sample_frames,
-        schema="doc_id bigint, frame_idx int, frame_off_ms int, frame_bytes binary",
+        schema="doc_id bigint, frame_idx int, frame_off_ms int, frame_hex string",
     )
 
 

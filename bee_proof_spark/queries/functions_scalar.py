@@ -437,9 +437,21 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("fn_url_misc")  # rows-only: parse_url/xpath absent in DuckDB
+@register(
+    "fn_url_misc",
+    oracle="""
+    SELECT c_custkey,
+           'example.com' AS host,
+           '/seg/' || c_mktsegment AS path,
+           cast(c_custkey as varchar) AS cust_param,
+           c_mktsegment AS xml_seg
+    FROM customer
+    """,
+)
 def fn_url_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """parse_url + xpath_* over synthesized URLs/XML."""
+    """parse_url + xpath_* over synthesized URLs/XML. DuckDB has neither
+    function, but the URLs/XML are synthesized from table columns, so every
+    extraction has a closed-form oracle."""
     c = tbl(spark, sf_dir, "customer")
     url = F.concat(
         F.lit("https://example.com/seg/"),
@@ -458,10 +470,19 @@ def fn_url_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("fn_sentences")  # rows-only: tokenizer is locale/engine-specific
+@register(
+    "fn_sentences",
+    oracle="""
+    SELECT doc_id, trim(substr(text, 1, 100)) AS tokens
+    FROM documents WHERE doc_id < 50
+    """,
+)
 def fn_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sentences() tokenizer; the nested array<array<string>> is flattened
-    and space-joined so the (rows-only) driver hash sees a scalar string."""
+    and space-joined so the driver hash sees a scalar string. The fixture
+    text is single-spaced lowercase words with no sentence punctuation, so
+    the locale tokenizer's rejoined output equals the trimmed substring -
+    giving the locale-specific builtin a closed-form oracle on this corpus."""
     d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return d.select(
         "doc_id",

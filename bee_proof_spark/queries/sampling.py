@@ -18,10 +18,17 @@ def tablesample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(500)
 
 
-@register("transform_script")  # rows-only: external process streaming
+@register(
+    "transform_script",
+    oracle="""
+    SELECT cast(n_nationkey as varchar) AS nationkey_str, n_name AS name_str
+    FROM nation
+    """,
+)
 def transform_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT TRANSFORM(...) USING 'cmd' (Hive streaming; Spark 3+ supports it
-    without Hive). Rows are piped tab-separated through /bin/cat."""
+    without Hive). Rows are piped tab-separated through /bin/cat - an identity
+    transform, so the oracle is the stringified projection."""
     tbl(spark, sf_dir, "nation").createOrReplaceTempView("nation_t")
     return spark.sql(
         """

@@ -118,7 +118,32 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_text_langid")  # rows-only: heuristic classifier
+_LANGID_ORACLE = """
+WITH s AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains(['the','a','of','and','to','in','is','on','for','with'], w))) AS score_en,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains(['der','die','das','und','ist'], w))) AS score_de,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains(['le','la','et','les','des'], w))) AS score_fr,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains(['el','los','las','una','que'], w))) AS score_es,
+         0 AS score_zh
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(score_en, score_de, score_fr, score_es, score_zh) > 0
+            THEN CASE greatest(score_en, score_de, score_fr, score_es, score_zh)
+                 WHEN score_en THEN 'en' WHEN score_de THEN 'de'
+                 WHEN score_fr THEN 'fr' WHEN score_es THEN 'es' ELSE 'zh' END
+            ELSE 'und' END AS pred_lang,
+       greatest(score_en, score_de, score_fr, score_es, score_zh) AS best_score
+FROM s
+"""
+
+
+@register("ext_text_langid", oracle=_LANGID_ORACLE)
 def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID n-gram heuristic: score against per-language marker sets
     (character trigram/stopword evidence), pick argmax.
