@@ -8,6 +8,22 @@ value-hash -> CORRECTNESS_r{N}.json).
 All implementations live in ``bee_proof_spark.queries`` (SURVEY.md section 2
 inventory); every id declared here passes the same comparison locally first
 (tests/test_queries_oracle.py).
+
+Rows-only contract: 9 of the registered ids intentionally omit
+``oracle_sql()`` because their OUTPUT (not their correctness) is
+engine-specific, and each has an oracle-checked twin or invariant covering
+the capability:
+
+- ``ext_dedup_fuzzy`` / ``ext_dedup_simhash`` (xxhash64-family candidates)
+  -> ``ext_dedup_fuzzy_verified`` hash-checks the full LSH+exact-verify
+  pipeline against all-pairs truth.
+- ``ext_knn_lsh`` / ``ext_knn_ivf`` (seeded planes / trained quantizer)
+  -> ``ext_knn_ann_recall`` hash-checks their recall@5 quality bound.
+- ``tablesample_rows`` / ``ext_sample_stratified`` (sample membership is
+  engine-specific; row counts are the meaningful check).
+- ``stream_watermark_late`` / ``stream_dedup_state`` /
+  ``stream_session_stateful`` (true readStream execution; semantics are
+  pinned by tests/test_streaming.py against hand-computed expectations).
 """
 
 from __future__ import annotations

@@ -71,12 +71,13 @@ _SH0_SQL = """
 
 _JACCARD_ORACLE = f"""
 WITH sh0 AS ({_SH0_SQL}),
-nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM sh0),
-keep AS (
-  SELECT shingle FROM sh0 GROUP BY shingle
-  HAVING count(*) <= greatest(0.02 * (SELECT n_docs FROM nd), 10)
+nd AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+    FROM sh0
+  ) WHERE df <= greatest(0.02 * (SELECT n_docs FROM nd), 10)
 ),
-w AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
@@ -113,17 +114,21 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied on both engines, so Jaccard is computed over identical capped
     sets; integer count arithmetic keeps it exact.
     """
+    from pyspark.sql import Window
+
     d = tbl(spark, sf_dir, "documents")
     sh0 = _shingle_postings(d)
-    nd = sh0.agg(F.countDistinct("doc_id").alias("n_docs"))
-    keep = (
-        sh0.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .join(nd)  # 1-row side: Catalyst broadcasts, no shuffle
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    # df via a window over the shingle partition: ONE shuffle on shingle
+    # computes the frequency and keeps the postings rows, and the resulting
+    # hash(shingle) partitioning is exactly what the pair self-join below
+    # needs - no separate df table, no second explode of the corpus.
+    w = (
+        sh0.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .join(nd)  # 1-row side: broadcast scalar, no shuffle
         .filter(F.col("df") <= F.greatest(0.02 * F.col("n_docs"), F.lit(10.0)))
-        .select("shingle")
+        .select("doc_id", "shingle")
     )
-    w = sh0.join(keep, "shingle")
     sizes = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = w.alias("a")
     b = w.alias("b")

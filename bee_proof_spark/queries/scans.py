@@ -260,9 +260,18 @@ def create_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT c_mktsegment, n FROM bps_seg_view")
 
 
-@register("ddl_lifecycle")  # rows-only: catalog effects, no DuckDB oracle
+@register(
+    "ddl_lifecycle",
+    oracle="""
+    SELECT 'a' AS col_name, 'int' AS data_type
+    UNION ALL SELECT 'b', 'string'
+    UNION ALL SELECT 'c', 'double'
+    """,
+)
 def ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CREATE/ALTER/DESCRIBE/SHOW/DROP lifecycle smoke (dry-run surface)."""
+    """CREATE/ALTER/DESCRIBE/SHOW/DROP lifecycle smoke (dry-run surface).
+    The DESCRIBE projection after ADD COLUMNS is deterministic, so the DDL
+    side effects are oracle-checked through the resulting schema."""
     path = _scratch("ddl")
     spark.sql("DROP TABLE IF EXISTS bps_ddl")
     spark.sql(
