@@ -59,6 +59,8 @@ _FRONT = [
     # rows-only ids upgraded to closed-form/invariant oracles
     "ext_multimodal_framesample", "ext_knn_ann_recall", "ext_text_langid",
     "transform_script", "fn_url_misc", "fn_sentences",
+    # new operators this round
+    "ext_dedup_cluster", "stream_stream_join",
 ]
 
 _FAMILY_PRIORITY = [

@@ -69,8 +69,9 @@ _SH0_SQL = """
   FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
 """
 
-_JACCARD_ORACLE = f"""
-WITH sh0 AS ({_SH0_SQL}),
+# CTE chain shared by the jaccard oracle and the clustering oracle.
+_JACCARD_CTES = f"""
+sh0 AS ({_SH0_SQL}),
 nd AS (SELECT count(*) AS n_docs FROM documents),
 w AS (
   SELECT doc_id, shingle FROM (
@@ -83,14 +84,18 @@ shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
   FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
+),
+jpairs AS (
+  SELECT doc_a, doc_b,
+         round(n_shared / (sa.n + sb.n - n_shared), 4) AS jaccard
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.5
 )
-SELECT doc_a, doc_b,
-       round(n_shared / (sa.n + sb.n - n_shared), 4) AS jaccard
-FROM shared
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.5
 """
+
+_JACCARD_ORACLE = f"WITH {_JACCARD_CTES} SELECT doc_a, doc_b, jaccard FROM jpairs"
 
 
 def _shingle_postings(d: DataFrame) -> DataFrame:
@@ -336,6 +341,84 @@ def simhash_signatures(doc_df: DataFrame) -> DataFrame:
     # bitwise OR composes without overflow (no ANSI arithmetic involved).
     bits_expr = " | ".join(f"if(b{i} > 0, shiftleft(1L, {i}), 0L)" for i in range(64))
     return votes.select("doc_id", F.expr(bits_expr).alias("simhash"))
+
+
+# Connected components over the near-dup graph, as a recursive reachability
+# closure: cluster_id = min doc_id reachable from each node; docs outside any
+# pair are their own singleton cluster.
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION ALL SELECT doc_b, doc_a FROM jpairs
+),
+reach(node, root) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.root FROM edges e JOIN reach r ON e.dst = r.node
+),
+cc AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+       (coalesce(cc.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN cc USING (doc_id)
+"""
+
+
+@register("ext_dedup_cluster", oracle=_CLUSTER_ORACLE)
+def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components of the near-dup pair graph,
+    canonical doc = min doc_id per component (the endgame of every dedup
+    pipeline: A~B and B~C must collapse to ONE keeper even when A~C was
+    never compared).
+
+    Pregel-style min-label propagation: each round, every node takes the min
+    of its own label and its neighbors' labels; converges in O(component
+    diameter) rounds - near-dup clusters are near-cliques, so 2-3 rounds in
+    practice. Each round is one shuffle join of the (tiny) edge list against
+    the (doc_id, label) table; lineage is truncated per round via
+    localCheckpoint (at cluster scale: checkpoint to HDFS/object store).
+    The per-round convergence count() is the driver-side control loop every
+    iterative distributed algorithm has (GraphX/Pregel do the same).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)  # edge list reused every round
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(50):
+        nb = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb, labels["doc_id"] == nb["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (  # driver-ok: scalar convergence check (Pregel control loop)
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn(
+        "is_canonical", F.col("cluster_id") == F.col("doc_id")
+    )
 
 
 @register("ext_dedup_simhash")  # rows-only: hash-family specific

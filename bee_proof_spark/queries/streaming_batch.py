@@ -139,6 +139,65 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_sink(deduped, output_mode="append")
 
 
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           cast(c.ts as varchar) AS click_ts, cast(v.ts as varchar) AS view_ts
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL readStream stream-stream interval self-join: each click pairs
+    with same-user views from the preceding 30 minutes.
+
+    Both sides carry a 2-hour watermark; state retention therefore covers
+    the 30-minute join bound with 4x slack, so no in-bound match is ever
+    evicted before its partner arrives (replay batches advance in event-time
+    order) - the inner interval join is COMPLETE and equals the batch SQL
+    join, which is the oracle. Scale notes: state per side is bounded by
+    watermark x arrival rate, keyed and sharded by user_id; this is the
+    canonical enrich-clicks-with-impressions shape.
+    """
+    from bee_proof_spark.streaming import replay_events_stream, run_to_memory_sink
+
+    stream = replay_events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            "c_user = v_user AND v_ts BETWEEN c_ts - INTERVAL 30 MINUTES AND c_ts"
+        ),
+    ).select(
+        "click_id",
+        "view_id",
+        F.col("c_user").alias("user_id"),
+        F.col("c_ts").cast("string").alias("click_ts"),
+        F.col("v_ts").cast("string").alias("view_ts"),
+    )
+    return run_to_memory_sink(joined, output_mode="append")
+
+
 @register("stream_session_stateful")  # rows-only: custom stateful operator
 def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL readStream custom stateful operator: per-user sessionization with
