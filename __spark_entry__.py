@@ -60,7 +60,7 @@ _FRONT = [
     "ext_multimodal_framesample", "ext_knn_ann_recall", "ext_text_langid",
     "transform_script", "fn_url_misc", "fn_sentences",
     # new operators this round
-    "ext_dedup_cluster", "stream_stream_join",
+    "ext_dedup_cluster", "stream_stream_join", "scan_binaryfile",
 ]
 
 _FAMILY_PRIORITY = [

@@ -164,18 +164,16 @@ BANDS = 8
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
 
-def minhash_signatures(doc_df: DataFrame) -> DataFrame:
-    """doc_id + mh0..mh{k-1} MinHash signature columns.
+def minhash_from_postings(postings: DataFrame) -> DataFrame:
+    """doc_id + mh0..mh{k-1} MinHash signatures from (doc_id, shingle) rows.
 
-    One explode to shingle rows, then k min-aggregations over
-    xxhash64(shingle, seed) in a single hash aggregate - signature cost is
-    O(shingles) rows regardless of k (no per-seed explosion).
+    k min-aggregations over xxhash64(shingle, seed) in a single hash
+    aggregate - signature cost is O(shingle rows) regardless of k (no
+    per-seed explosion). MinHash is a min over the shingle SET, so distinct
+    and non-distinct postings give identical signatures - callers that
+    already have a distinct postings table reuse it with no extra explode.
     """
-    sh = (
-        _shingles(doc_df)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .withColumn("h", F.xxhash64("shingle"))
-    )
+    sh = postings.withColumn("h", F.xxhash64("shingle"))
     # hash family h_i = xxhash64(h, seed=i): the variable-length string is
     # hashed ONCE per shingle; each family member re-hashes only the 8-byte
     # long - fixed-width, overflow-free (safe under ANSI sessions too).
@@ -184,6 +182,13 @@ def minhash_signatures(doc_df: DataFrame) -> DataFrame:
         for i in range(NUM_HASHES)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(doc_df: DataFrame) -> DataFrame:
+    """doc_id + mh0..mh{k-1} MinHash signature columns (one shingle explode)."""
+    return minhash_from_postings(
+        _shingles(doc_df).select("doc_id", F.explode("shingles").alias("shingle"))
+    )
 
 
 def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -290,11 +295,14 @@ def ext_dedup_fuzzy_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify cost is O(candidates x doc shingles), not O(n^2).
     """
     d = tbl(spark, sf_dir, "documents")
-    sig = minhash_signatures(d).select(
+    # ONE shingle explode feeds both pipelines: the checkpointed distinct
+    # postings table is read by the signature aggregation AND the exact
+    # verification join (at cluster scale: a staged postings table).
+    sh0 = _shingle_postings(d).localCheckpoint(eager=True)
+    sig = minhash_from_postings(sh0).select(
         "doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)]).alias("sig")
     )
     pairs = _lsh_candidate_pairs(sig)
-    sh0 = _shingle_postings(d)
     sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pa = sh0.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     pb = sh0.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))

@@ -261,6 +261,44 @@ def create_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_binaryfile",
+    oracle="""
+    SELECT 'doc_' || doc_id || '.bin' AS fname,
+           strlen(text) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-media source: ``spark.read.format("binaryFile")`` over a
+    directory of payload files (the ingestion path for image/audio corpora).
+
+    The fixture has no media files, so 20 document texts are materialized as
+    .bin files first; the read-back exposes (path, length, content) exactly
+    as it would for real media, and the features are md5/length - SQL-
+    derivable from the source table. Scale notes: binaryFile shards by file
+    with ``maxPartitionBytes`` respected; payloads go executor-side only
+    (``content`` column pruned unless projected).
+    """
+    path = _scratch("binfiles")
+    docs = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()  # driver-ok: 20-row fixture materialization, test setup only
+    )
+    for r in docs:
+        with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(path)
+    return bf.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@register(
     "ddl_lifecycle",
     oracle="""
     SELECT 'a' AS col_name, 'int' AS data_type

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "ext_knn_cosine",
     "ext_dedup_fuzzy",
     "ext_dedup_fuzzy_verified",  # LSH + exact-verify pipeline
+    "ext_dedup_cluster",         # iterative connected components
     "ext_pack_sequences",
 ]
 
