@@ -99,7 +99,9 @@ def _ordered_ids() -> list[str]:
         fam = (
             _FAMILY_PRIORITY.index(mod) if mod in _FAMILY_PRIORITY else 99
         )
-        if qid in _FRONT:
+        if qid in _FRONT and qid not in green:
+            # once a front id lands a green driver row it sinks with the rest,
+            # freeing next round's test budget for still-untested families
             return (0, _FRONT.index(qid), 0, 0)
         if spec.oracle is not None and qid not in green:
             return (1, 0, fam, idx)
