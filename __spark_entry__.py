@@ -61,6 +61,8 @@ _FRONT = [
     "transform_script", "fn_url_misc", "fn_sentences",
     # new operators this round
     "ext_dedup_cluster", "stream_stream_join", "scan_binaryfile",
+    "ext_chunk_documents", "ext_decontaminate", "ext_dedup_keep_best",
+    "scan_textfile", "msck_repair_discovery", "analyze_stats",
 ]
 
 _FAMILY_PRIORITY = [

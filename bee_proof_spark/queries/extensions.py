@@ -972,6 +972,164 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30  # 10-token overlap between consecutive chunks
+
+
+@register(
+    "ext_chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    c AS (
+      SELECT doc_id, len(words) AS n_words,
+             unnest(generate_series(0,
+               greatest(cast(ceil((len(words) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) as int), 0)
+             )) AS chunk_idx
+      FROM t
+    )
+    SELECT c.doc_id, chunk_idx,
+           least(n_words - chunk_idx * {CHUNK_STRIDE}, {CHUNK_TOKENS}) AS chunk_tokens,
+           array_to_string(
+             t.words[(chunk_idx * {CHUNK_STRIDE} + 1):(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS})],
+             ' ') AS chunk_text
+    FROM c JOIN t USING (doc_id)
+    """,
+)
+def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training: fixed {CHUNK_TOKENS}-token windows
+    with {CHUNK_TOKENS - CHUNK_STRIDE}-token overlap (sliding stride
+    {CHUNK_STRIDE}), the standard pre-tokenization segmentation step.
+
+    Scale shape: pure JVM array algebra - one sequence()/explode fan-out per
+    document sized by its own length (no cross-row state, no shuffle at
+    all: chunking is embarrassingly parallel over the corpus scan). Token =
+    whitespace word here; a BPE tokenizer swaps into the same plan as a
+    pandas UDF without changing the fan-out.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    w = _words(d).select("doc_id", "words", F.size("words").alias("n_words"))
+    n_chunks_minus1 = F.greatest(
+        F.ceil((F.col("n_words") - CHUNK_TOKENS) / float(CHUNK_STRIDE)).cast("int"),
+        F.lit(0),
+    )
+    chunks = w.select(
+        "doc_id",
+        "n_words",
+        "words",
+        F.explode(F.sequence(F.lit(0), n_chunks_minus1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.least(F.col("n_words") - start, F.lit(CHUNK_TOKENS)).alias("chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice("words", start + 1, CHUNK_TOKENS)
+        ).alias("chunk_text"),
+    )
+
+
+# Decontamination: flag training docs sharing 3-gram shingles with a held-out
+# eval set (doc_id < 50 plays the benchmark). A named step in every LLM data
+# pipeline: eval contamination silently inflates benchmark scores.
+_DECON_ORACLE = f"""
+WITH sh0 AS ({_SH0_SQL}),
+eval_sh AS (SELECT DISTINCT shingle FROM sh0 WHERE doc_id < 50),
+train AS (SELECT doc_id, shingle FROM sh0 WHERE doc_id >= 50),
+tsizes AS (SELECT doc_id, count(*) AS n FROM train GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_shared
+  FROM train t JOIN eval_sh e ON t.shingle = e.shingle
+  GROUP BY t.doc_id
+)
+SELECT s.doc_id,
+       coalesce(n_shared, 0) AS n_shared,
+       round(coalesce(n_shared, 0) / s.n, 4) AS overlap_frac,
+       (coalesce(n_shared, 0) / s.n >= 0.3) AS contaminated
+FROM tsizes s LEFT JOIN hits USING (doc_id)
+"""
+
+
+@register("ext_decontaminate", oracle=_DECON_ORACLE)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: for every training document, the fraction
+    of its 3-gram shingles that appear anywhere in the held-out eval set
+    (doc_id < 50 here); >= 30% shared marks contamination.
+
+    Scale shape: the eval shingle set is TINY relative to the corpus
+    (benchmarks are small) - it broadcasts, so the scan over training
+    postings never shuffles on the join; the only shuffle is the per-doc
+    count aggregation. This is the contains-any-ngram join every
+    decontamination pass runs before training.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    sh0 = _shingle_postings(d)
+    eval_sh = (
+        sh0.filter(F.col("doc_id") < 50).select("shingle").distinct()
+    )
+    train = sh0.filter(F.col("doc_id") >= 50)
+    tsizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hits = (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    frac = F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n")
+    return (
+        tsizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.round(frac, 4).alias("overlap_frac"),
+            (frac >= 0.3).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "ext_dedup_keep_best",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(text) AS content_key,
+             round(least(n_chars / 500.0, 1.0), 4) AS quality
+      FROM documents
+    )
+    SELECT content_key, doc_id, lang, quality
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY content_key ORDER BY quality DESC, doc_id
+      ) AS rn FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-policy dedup: within each exact-content group keep the
+    HIGHEST-quality document (quality desc, doc_id tie-break) instead of the
+    arbitrary/min-id one - the policy knob real pipelines tune.
+
+    Scale shape: one window shuffle on the 16-byte content digest;
+    WindowGroupLimit prunes each group to its top row before the filter.
+    """
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("content_key"),
+        F.round(F.least(F.col("n_chars") / 500.0, F.lit(1.0)), 4).alias("quality"),
+    )
+    w = Window.partitionBy("content_key").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("content_key", "doc_id", "lang", "quality")
+    )
+
+
 @register("ext_knn_cosine_arrow", oracle=_KNN_ORACLE)
 def ext_knn_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5, Arrow path: the query matrix is a tiny

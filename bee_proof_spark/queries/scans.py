@@ -298,6 +298,83 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("scan_textfile", oracle="SELECT text AS value FROM documents")
+def scan_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line source (``spark.read.text``): the classic line-per-row
+    corpus ingestion path. Documents are written as text lines (fixture text
+    is newline-free) and read back; content must round-trip exactly."""
+    path = _scratch("textlines")
+    tbl(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(path)
+    return spark.read.text(path)
+
+
+@register(
+    "msck_repair_discovery",
+    oracle="""
+    SELECT lang, count(*) AS n_docs FROM (
+      SELECT lang FROM documents WHERE doc_id < 200
+    ) GROUP BY lang
+    """,
+)
+def msck_repair_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition discovery: externally-written partition directories are
+    invisible to a freshly-declared partitioned table until MSCK REPAIR
+    TABLE (Hive's classic register-what-landed step for external feeds)
+    scans the location and registers them.
+
+    Scale notes: repair lists directories, not data files' contents; the
+    subsequent per-partition count prunes on the discovered partitions.
+    """
+    path = _scratch("msck")
+    (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "lang")
+        .write.partitionBy("lang")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    spark.sql("DROP TABLE IF EXISTS bps_msck")
+    spark.sql(
+        "CREATE TABLE bps_msck (doc_id BIGINT) USING parquet "
+        f"PARTITIONED BY (lang STRING) LOCATION '{path}'"
+    )
+    spark.sql("MSCK REPAIR TABLE bps_msck")
+    out = (
+        spark.table("bps_msck")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return out
+
+
+@register(
+    "analyze_stats",
+    oracle="SELECT count(*) AS n_rows FROM orders",
+)
+def analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS: collect table-level stats, then
+    surface the recorded row count from DESCRIBE EXTENDED (what the
+    cost-based optimizer reads for join reordering / broadcast decisions).
+    """
+    path = _scratch("stats")
+    tbl(spark, sf_dir, "orders").write.mode("overwrite").parquet(f"{path}/t")
+    spark.sql("DROP TABLE IF EXISTS bps_stats")
+    spark.sql(
+        f"CREATE TABLE bps_stats USING parquet LOCATION '{path}/t'"
+    )
+    spark.sql("ANALYZE TABLE bps_stats COMPUTE STATISTICS")
+    return (
+        spark.sql("DESCRIBE EXTENDED bps_stats")
+        .filter(F.col("col_name") == "Statistics")
+        .select(
+            F.regexp_extract("data_type", r"(\d+) rows", 1)
+            .cast("bigint")
+            .alias("n_rows")
+        )
+    )
+
+
 @register(
     "ddl_lifecycle",
     oracle="""
