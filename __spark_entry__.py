@@ -63,6 +63,8 @@ _FRONT = [
     "ext_dedup_cluster", "stream_stream_join", "scan_binaryfile",
     "ext_chunk_documents", "ext_decontaminate", "ext_dedup_keep_best",
     "scan_textfile", "msck_repair_discovery", "analyze_stats",
+    "intersect_all", "except_all", "fn_higher_order", "fn_encode_decode",
+    "join_skew_salted",
 ]
 
 _FAMILY_PRIORITY = [

@@ -542,6 +542,74 @@ def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_higher_order",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_transform([l_quantity, l_discount, l_tax],
+                                          x -> round(x * 2, 4)), ',') AS doubled,
+           array_to_string(list_filter([l_quantity, l_discount, l_tax],
+                                       x -> x > 0.05), ',') AS big_vals,
+           len(list_filter([l_quantity, l_discount, l_tax], x -> x = 0.0)) > 0 AS any_zero,
+           len(list_filter([l_quantity, l_discount, l_tax], x -> x < 0)) = 0 AS all_nonneg,
+           round(list_sum(list_transform([l_quantity, l_discount, l_tax],
+                                         x -> cast(x as double))), 4) AS total
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/exists/forall/
+    aggregate) - the lambda-algebra family that replaces row UDFs for array
+    columns; everything stays inside whole-stage codegen."""
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    arr = F.array("l_quantity", "l_discount", "l_tax")
+    return li.select(
+        "l_orderkey",
+        F.array_join(
+            F.transform(arr, lambda x: F.round(x * 2, 4)).cast("array<string>"), ","
+        ).alias("doubled"),
+        F.array_join(
+            F.filter(arr, lambda x: x > 0.05).cast("array<string>"), ","
+        ).alias("big_vals"),
+        F.exists(arr, lambda x: x == 0.0).alias("any_zero"),
+        F.forall(arr, lambda x: x >= 0).alias("all_nonneg"),
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("total"),
+    )
+
+
+@register(
+    "fn_encode_decode",
+    oracle="""
+    SELECT c_custkey,
+           to_base64(encode(c_name)) AS name_b64,
+           decode(from_base64(to_base64(encode(c_name)))) AS name_roundtrip,
+           lower(hex(c_name)) AS name_hex,
+           decode(unhex(hex(c_name))) AS name_unhex,
+           ascii(c_name) AS first_code,
+           chr(cast(65 + (c_custkey % 26) as int)) AS letter
+    FROM customer
+    """,
+)
+def fn_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64/unbase64, hex/unhex, encode/decode charset round-trips,
+    ascii/chr - the byte<->text bridge functions."""
+    c = tbl(spark, sf_dir, "customer")
+    nm = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.base64(nm.cast("binary")).alias("name_b64"),
+        F.decode(F.unbase64(F.base64(nm.cast("binary"))), "UTF-8").alias(
+            "name_roundtrip"
+        ),
+        F.lower(F.hex(nm)).alias("name_hex"),
+        F.decode(F.unhex(F.hex(nm)), "UTF-8").alias("name_unhex"),
+        F.ascii(nm).alias("first_code"),
+        F.char(F.lit(65) + F.col("c_custkey") % 26).alias("letter"),
+    )
+
+
+@register(
     "fn_string_mask",
     oracle="""
     SELECT c_custkey,

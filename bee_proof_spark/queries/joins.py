@@ -302,3 +302,48 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = o.select(F.col("st").alias("st2")).distinct()
     return o.join(c, F.col("st").eqNullSafe(F.col("st2"))).select("o_orderkey", "st")
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT event_type, length(event_type) AS weight FROM events)
+    SELECT e.event_type, count(*) AS n_events,
+           cast(sum(cast(e.value * d.weight as decimal(25,6))) as double) AS weighted_sum
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join by salting: the fact side's hot key (events has a
+    5-value event_type domain - maximal join skew) is split across 8 salt
+    sub-keys; the dimension side is replicated once per salt so every
+    (key, salt) bucket joins locally.
+
+    Scale notes: this is the fact-to-medium-dim shape where the dim is too
+    big to broadcast and a plain shuffle join would put a whole hot key on
+    one reducer. Salting bounds any reducer's input at 1/8 of the hottest
+    key for an 8x dim replication (rows, not bytes - the dim is narrow).
+    The result is provably identical to the unsalted join (the oracle
+    checks it); hint("merge") pins the shuffle-join strategy the pattern
+    targets, since at fixture scale AQE would simply broadcast.
+    """
+    SALTS = 8
+    e = tbl(spark, sf_dir, "events")
+    dim = e.select("event_type").distinct().withColumn(
+        "weight", F.length("event_type")
+    )
+    fact = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(SALTS)))
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALTS - 1)))
+    ).withColumn("salt", F.col("salt").cast("long")).hint("merge")
+    return (
+        fact.join(dim_salted, ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") * F.col("weight")).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("weighted_sum"),
+        )
+    )

@@ -78,3 +78,43 @@ def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     p_side = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
     return f_side.subtract(p_side)
+
+
+@register(
+    "intersect_all",
+    oracle="""
+    SELECT nationkey, count(*) AS cnt FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics, min multiplicity per side - Spark 2.4+);
+    aggregated so the multiplicity itself is hash-checked."""
+    i = _cust_nations(spark, sf_dir).intersectAll(_supp_nations(spark, sf_dir))
+    return i.groupBy("nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "except_all",
+    oracle="""
+    SELECT o_custkey, count(*) AS cnt FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    ) GROUP BY o_custkey
+    """,
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference: left multiplicity minus right
+    multiplicity); aggregated so surviving counts are hash-checked."""
+    o = tbl(spark, sf_dir, "orders")
+    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p_side = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return (
+        f_side.exceptAll(p_side)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
