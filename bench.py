@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "ext_dedup_fuzzy",
     "ext_dedup_fuzzy_verified",  # LSH + exact-verify pipeline
     "ext_dedup_cluster",         # iterative connected components
+    "ext_decontaminate",         # broadcast contains-any-ngram join
+    "ext_chunk_documents",       # shuffle-free sliding-window fan-out
     "ext_pack_sequences",
 ]
 

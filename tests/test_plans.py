@@ -200,6 +200,30 @@ def test_no_complex_typed_outputs(spark, sf_smoke):
     assert not offenders, f"complex-typed outputs: {offenders}"
 
 
+def test_decontaminate_broadcasts_eval_set(spark, sf_smoke):
+    """The eval shingle set must broadcast: the training-postings scan joins
+    it without shuffling on the join key (benchmarks are tiny; the corpus is
+    not)."""
+    plan = _plan(spark, "ext_decontaminate", sf_smoke, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunking_has_no_shuffle(spark, sf_smoke):
+    """Chunking is embarrassingly parallel: per-doc explode only, zero
+    Exchange in the plan."""
+    plan = _plan(spark, "ext_chunk_documents", sf_smoke, mode="simple")
+    assert "Exchange" not in plan
+
+
+def test_skew_salted_join_is_shuffle_join(spark, sf_smoke):
+    """The salted join demo must actually exercise the shuffle-join path
+    (broadcast would make salting pointless) and stay equi-keyed."""
+    plan = _plan(spark, "join_skew_salted", sf_smoke, mode="simple")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_knn_jvm_and_arrow_paths_agree(spark, sf_smoke):
     """Two independent implementations of brute-force cosine top-k (JVM
     higher-order functions vs Arrow/numpy matmul) must return identical
