@@ -59,7 +59,12 @@ _FRONT = [
     # rows-only ids upgraded to closed-form/invariant oracles
     "ext_multimodal_framesample", "ext_knn_ann_recall", "ext_text_langid",
     "transform_script", "fn_url_misc", "fn_sentences",
-    # new operators this round
+]
+
+# Operators added this round: verified locally, but the r1-era untested
+# families (joins/windows/setops/subqueries - the verdict's explicit ask)
+# take the remaining top-50 slots first; these follow immediately after.
+_NEW_THIS_ROUND = [
     "ext_dedup_cluster", "stream_stream_join", "scan_binaryfile",
     "ext_chunk_documents", "ext_decontaminate", "ext_dedup_keep_best",
     "scan_textfile", "msck_repair_discovery", "analyze_stats",
@@ -68,9 +73,9 @@ _FRONT = [
 ]
 
 _FAMILY_PRIORITY = [
-    "joins", "windows", "setops", "subqueries", "lateral", "sampling",
-    "scans", "functions_scalar", "udf", "streaming_batch", "text_analysis",
-    "tpch", "extensions", "aggregates", "filters",
+    "joins", "windows", "setops", "subqueries", "tpch", "lateral",
+    "sampling", "scans", "functions_scalar", "udf", "streaming_batch",
+    "text_analysis", "extensions", "aggregates", "filters",
 ]
 
 
@@ -107,11 +112,13 @@ def _ordered_ids() -> list[str]:
             # once a front id lands a green driver row it sinks with the rest,
             # freeing next round's test budget for still-untested families
             return (0, _FRONT.index(qid), 0, 0)
+        if qid in _NEW_THIS_ROUND and qid not in green:
+            return (2, _NEW_THIS_ROUND.index(qid), 0, 0)
         if spec.oracle is not None and qid not in green:
             return (1, 0, fam, idx)
         if spec.oracle is None:
-            return (2, 0, fam, idx)
-        return (3, 0, fam, idx)
+            return (3, 0, fam, idx)
+        return (4, 0, fam, idx)
 
     return [qid for _, qid in sorted(enumerate(ids), key=key)]
 
