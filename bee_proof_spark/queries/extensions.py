@@ -399,6 +399,7 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # edge list reused every round
     )
     labels = d.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    converged = False
     for _ in range(50):
         nb = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -423,7 +424,15 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # A >50-hop duplicate chain exhausted the round budget; labels would
+        # be silently non-minimal (multiple "canonical" docs per cluster).
+        # Fail loudly - the caller must raise the round cap, not ship them.
+        raise RuntimeError(
+            "ext_dedup_cluster: label propagation did not converge in 50 rounds"
+        )
     return labels.withColumn(
         "is_canonical", F.col("cluster_id") == F.col("doc_id")
     )
@@ -826,13 +835,16 @@ def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_multimodal_framesample",
     oracle="""
+    -- Byte semantics throughout (the Spark side slices the BINARY payload):
+    -- DuckDB has no blob substring, so slice the hex expansion instead -
+    -- payload byte k is hex chars [2k+1, 2k+2], a 16-byte frame is 32 chars.
     WITH m AS (
-      SELECT doc_id, text, (n_chars % 5 + 1) AS n_frames,
-             greatest(strlen(text) // (n_chars % 5 + 1), 1) AS step
+      SELECT doc_id, hex(encode(text)) AS payload_hex, (n_chars % 5 + 1) AS n_frames,
+             greatest(octet_length(encode(text)) // (n_chars % 5 + 1), 1) AS step
       FROM documents
     )
     SELECT doc_id, i AS frame_idx, i * 1000 AS frame_off_ms,
-           lower(hex(substr(text, i * step + 1, 16))) AS frame_hex
+           lower(substr(payload_hex, i * step * 2 + 1, 32)) AS frame_hex
     FROM m, unnest(generate_series(0, n_frames - 1)) AS t(i)
     """,
 )
@@ -996,9 +1008,9 @@ CHUNK_STRIDE = 30  # 10-token overlap between consecutive chunks
     """,
 )
 def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document chunking for training: fixed {CHUNK_TOKENS}-token windows
-    with {CHUNK_TOKENS - CHUNK_STRIDE}-token overlap (sliding stride
-    {CHUNK_STRIDE}), the standard pre-tokenization segmentation step.
+    """Document chunking for training: fixed CHUNK_TOKENS(=40)-token windows
+    with a 10-token overlap (sliding stride CHUNK_STRIDE=30), the standard
+    pre-tokenization segmentation step.
 
     Scale shape: pure JVM array algebra - one sequence()/explode fan-out per
     document sized by its own length (no cross-row state, no shuffle at

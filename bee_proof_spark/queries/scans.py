@@ -26,9 +26,17 @@ from pyspark.sql import types as T
 from bee_proof_spark.queries import register, tbl
 
 
-def _scratch(name: str) -> str:
-    """Fresh deterministic scratch dir for a sink query."""
-    path = os.path.join(tempfile.gettempdir(), "bee-proof-tmp", "sinks", name)
+def _scratch(name: str, sf_dir: str = "") -> str:
+    """Fresh deterministic scratch dir for a sink query.
+
+    Keyed by (query name, sf basename, pid): the returned read is often LAZY,
+    so a concurrent sweep at another scale factor (or another process) must
+    not rmtree/rewrite the directory a first caller has yet to collect from.
+    """
+    leaf = name if not sf_dir else f"{name}-{os.path.basename(sf_dir.rstrip('/'))}"
+    path = os.path.join(
+        tempfile.gettempdir(), "bee-proof-tmp", "sinks", f"pid{os.getpid()}", leaf
+    )
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path
@@ -73,7 +81,7 @@ FROM orders
 def roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TEXTFILE/OpenCSVSerde equivalent: write csv, read back with explicit
     schema (schema-on-read, as Hive DDL declares it)."""
-    path = _scratch("csv")
+    path = _scratch("csv", sf_dir)
     src = tbl(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
@@ -100,7 +108,7 @@ SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
 @register("roundtrip_json", oracle=_JSON_ORACLE)
 def roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JsonSerDe equivalent: write json lines, read back with schema."""
-    path = _scratch("json")
+    path = _scratch("json", sf_dir)
     src = tbl(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal"
     )
@@ -125,7 +133,7 @@ FROM lineitem WHERE l_returnflag = 'R'
 @register("roundtrip_orc", oracle=_ORC_ORACLE)
 def roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STORED AS ORC roundtrip (Hive 0.11+)."""
-    path = _scratch("orc")
+    path = _scratch("orc", sf_dir)
     src = (
         tbl(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag") == "R")
@@ -143,7 +151,7 @@ SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag
 @register("ctas_table", oracle=_CTAS_ORACLE)
 def ctas_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE TABLE AS SELECT into the session catalog + read back."""
-    path = _scratch("ctas")
+    path = _scratch("ctas", sf_dir)
     tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_src")
     spark.sql("DROP TABLE IF EXISTS bps_ctas")
     spark.sql(
@@ -163,7 +171,7 @@ SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
 @register("insert_overwrite", oracle=_OVERWRITE_ORACLE)
 def insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT OVERWRITE TABLE: second write replaces the first entirely."""
-    path = _scratch("overwrite")
+    path = _scratch("overwrite", sf_dir)
     tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
     spark.sql("DROP TABLE IF EXISTS bps_ovr")
     spark.sql(
@@ -191,7 +199,7 @@ SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P'
 @register("insert_into_append", oracle=_APPEND_ORACLE)
 def insert_into_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT INTO TABLE appends (oracle: UNION ALL of both inserts)."""
-    path = _scratch("append")
+    path = _scratch("append", sf_dir)
     tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
     spark.sql("DROP TABLE IF EXISTS bps_app")
     spark.sql(
@@ -219,7 +227,7 @@ FROM lineitem
 def write_partitioned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-partition INSERT: partitionBy writes one dir per key value
     (hive-style layout); read back re-attaches partition columns."""
-    path = _scratch("dynpart")
+    path = _scratch("dynpart", sf_dir)
     src = tbl(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
     )
@@ -235,7 +243,7 @@ SELECT s_suppkey, s_name, s_acctbal FROM supplier
 @register("external_table_scan", oracle=_EXTERNAL_ORACLE)
 def external_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE EXTERNAL TABLE ... LOCATION over pre-existing files."""
-    path = _scratch("external")
+    path = _scratch("external", sf_dir)
     tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal").write.mode(
         "overwrite"
     ).parquet(f"{path}/files")
@@ -280,7 +288,7 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ``maxPartitionBytes`` respected; payloads go executor-side only
     (``content`` column pruned unless projected).
     """
-    path = _scratch("binfiles")
+    path = _scratch("binfiles", sf_dir)
     docs = (
         tbl(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 20)
@@ -303,7 +311,7 @@ def scan_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw text-line source (``spark.read.text``): the classic line-per-row
     corpus ingestion path. Documents are written as text lines (fixture text
     is newline-free) and read back; content must round-trip exactly."""
-    path = _scratch("textlines")
+    path = _scratch("textlines", sf_dir)
     tbl(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(path)
     return spark.read.text(path)
 
@@ -325,7 +333,7 @@ def msck_repair_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: repair lists directories, not data files' contents; the
     subsequent per-partition count prunes on the discovered partitions.
     """
-    path = _scratch("msck")
+    path = _scratch("msck", sf_dir)
     (
         tbl(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
@@ -357,7 +365,7 @@ def analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface the recorded row count from DESCRIBE EXTENDED (what the
     cost-based optimizer reads for join reordering / broadcast decisions).
     """
-    path = _scratch("stats")
+    path = _scratch("stats", sf_dir)
     tbl(spark, sf_dir, "orders").write.mode("overwrite").parquet(f"{path}/t")
     spark.sql("DROP TABLE IF EXISTS bps_stats")
     spark.sql(
@@ -387,7 +395,7 @@ def ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE/ALTER/DESCRIBE/SHOW/DROP lifecycle smoke (dry-run surface).
     The DESCRIBE projection after ADD COLUMNS is deterministic, so the DDL
     side effects are oracle-checked through the resulting schema."""
-    path = _scratch("ddl")
+    path = _scratch("ddl", sf_dir)
     spark.sql("DROP TABLE IF EXISTS bps_ddl")
     spark.sql(
         f"CREATE TABLE bps_ddl (a INT, b STRING) USING parquet LOCATION '{path}/t' "
@@ -454,6 +462,6 @@ def dml_merge_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c_acctbal"),
         )
     )
-    path = _scratch("merge_target")
+    path = _scratch("merge_target", sf_dir)
     merged.write.mode("overwrite").parquet(f"{path}/t")
     return spark.read.parquet(f"{path}/t")

@@ -130,6 +130,9 @@ class ScriptRunner:
     ) -> int:
         """Run all statements; returns count executed. Raises StatementError."""
         count = 0
+        # Expose the task-level hivevar namespace to SET display lookups so
+        # 'SET hivevar:NAME' prints what ${NAME} would substitute.
+        self.setproc.task_variables = dict(variables or {})
         for stmt in split_statements(text):
             # hivevar namespace = manifest task variables overridden by any
             # SET hivevar:NAME=... executed earlier in the session.

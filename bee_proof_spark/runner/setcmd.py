@@ -47,6 +47,10 @@ class SetProcessor:
         #: into ${...} substitution by the executor (Hive: SetProcessor routes
         #: hivevar: into the variable substitution map, not the conf).
         self.variables: dict[str, str] = {}
+        #: Manifest/task-level variables (the executor refreshes this per
+        #: script) so ``SET hivevar:NAME`` display agrees with what ``${NAME}``
+        #: substitution resolves; SET-defined variables take precedence.
+        self.task_variables: dict[str, str] = {}
 
     @staticmethod
     def matches(stmt: str) -> bool:
@@ -69,12 +73,16 @@ class SetProcessor:
                 # conf-key lookups; accept without applying (shim posture).
                 return [f"SET {key}: unsupported command (ignored)"]
             if key.startswith("hivevar:"):
-                val = self.variables.get(key[len("hivevar:"):], "<undefined>")
+                name = key[len("hivevar:"):]
+                val = self.variables.get(name, self.task_variables.get(name, "<undefined>"))
                 return [f"{key}={val}"]
-            val = self.local_conf.get(key)
+            # 'SET hiveconf:k' reads the same key 'SET hiveconf:k=v' wrote
+            # (apply() strips the namespace prefix before storing).
+            lookup = key[len("hiveconf:"):] if key.startswith("hiveconf:") else key
+            val = self.local_conf.get(lookup)
             if val is None:
                 try:
-                    val = self.spark.conf.get(key)
+                    val = self.spark.conf.get(lookup)
                 except Exception:
                     val = "<undefined>"
             return [f"{key}={val}"]

@@ -73,6 +73,20 @@ def compare_to_oracle(
 ) -> tuple[bool, str]:
     """Run Spark builder vs DuckDB oracle; return (ok, message)."""
     sdf = spec.builder(spark, sf_dir)
+    # Driver-comparator contract: the driver's row-hash cannot canonicalize
+    # array/map/struct cells (three r1 CORRECTNESS rows died on this), so no
+    # registered query may emit complex-typed output columns. Checked here
+    # because every registered query passes through this gate with its
+    # DataFrame already built (no separate full re-execution needed).
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if complex_cols:
+        return False, f"complex-typed output columns (driver-unhashable): {complex_cols}"
     s_rows = [tuple(r) for r in sdf.collect()]
     s_cols = list(sdf.columns)
 

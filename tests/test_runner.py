@@ -140,6 +140,27 @@ def test_set_get_and_list(spark):
     assert "my.custom.key=abc" in sp.process("SET")
 
 
+def test_set_hiveconf_prefixed_readback(spark):
+    """'SET hiveconf:k' must read the key 'SET hiveconf:k=v' wrote (apply()
+    strips the namespace prefix before storing - the display path must too)."""
+    sp = SetProcessor(spark)
+    sp.process("SET hiveconf:my.key=5")
+    assert sp.process("SET hiveconf:my.key") == ["hiveconf:my.key=5"]
+    assert sp.process("SET my.key") == ["my.key=5"]
+
+
+def test_set_hivevar_display_sees_manifest_variables(spark, runner_out):
+    """'SET hivevar:NAME' must print what ${NAME} substitution resolves -
+    including manifest/task variables, with SET-defined ones winning."""
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=True, verbose=False, out=out)
+    r.run_text("SET hivevar:T", {"T": "from-manifest"})
+    assert lines == ["hivevar:T=from-manifest"]
+    lines.clear()
+    r.run_text("SET hivevar:T=set-wins; SET hivevar:T", {"T": "from-manifest"})
+    assert lines == ["hivevar:T=set-wins"]
+
+
 # ---------------------------------------------------------------- executor
 
 @pytest.fixture
