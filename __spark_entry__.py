@@ -20,7 +20,9 @@ the capability:
 - ``ext_knn_lsh`` / ``ext_knn_ivf`` (seeded planes / trained quantizer)
   -> ``ext_knn_ann_recall`` hash-checks their recall@5 quality bound.
 - ``tablesample_rows`` / ``ext_sample_stratified`` (sample membership is
-  engine-specific; row counts are the meaningful check).
+  engine-specific for Spark's seeded samplers) -> ``sample_hash_bernoulli``
+  / ``sample_stratified_hash`` / ``ext_domain_mixture`` hash-check the
+  sampling capability with deterministic md5-cutoff membership.
 - ``stream_watermark_late`` / ``stream_dedup_state`` /
   ``stream_session_stateful`` (true readStream execution; semantics are
   pinned by tests/test_streaming.py against hand-computed expectations).

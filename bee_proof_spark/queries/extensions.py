@@ -380,14 +380,18 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline: A~B and B~C must collapse to ONE keeper even when A~C was
     never compared).
 
-    Pregel-style min-label propagation: each round, every node takes the min
-    of its own label and its neighbors' labels; converges in O(component
-    diameter) rounds - near-dup clusters are near-cliques, so 2-3 rounds in
-    practice. Each round is one shuffle join of the (tiny) edge list against
-    the (doc_id, label) table; lineage is truncated per round via
+    Pregel-style min-label propagation, restricted to V(edges): docs that
+    never matched a pair are singletons and cannot change labels, so the
+    iteration runs over only the paired nodes (at corpus scale the edge set
+    is orders of magnitude smaller than the corpus - near-dup rates are a few
+    percent) and singletons are stitched back with one final left join.
+    Converges in O(component diameter) rounds - near-dup clusters are
+    near-cliques, so 2-3 rounds in practice. Each round is one shuffle join
+    of the (tiny) edge list against the (doc_id, label) table; the moved-flag
+    rides the same join, so the driver-side convergence check (the Pregel
+    control loop - GraphX does the same) is a cheap sum over the checkpointed
+    round output, not a second join. Lineage is truncated per round via
     localCheckpoint (at cluster scale: checkpoint to HDFS/object store).
-    The per-round convergence count() is the driver-side control loop every
-    iterative distributed algorithm has (GraphX/Pregel do the same).
     """
     d = tbl(spark, sf_dir, "documents")
     pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
@@ -398,7 +402,14 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # edge list reused every round
     )
-    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # Only nodes with at least one edge participate (src covers all of them:
+    # the edge list holds both directions).
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
     converged = False
     for _ in range(50):
         nb = (
@@ -407,22 +418,20 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("cluster_id").alias("nb_min"))
         )
         new_labels = (
-            labels.join(nb, labels["doc_id"] == nb["src"], "left")
+            labels.join(nb, labels["doc_id"] == nb["src"])
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
+                F.least("cluster_id", "nb_min").alias("cluster_id"),
+                (F.col("nb_min") < F.col("cluster_id")).cast("long").alias("moved"),
             )
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the convergence agg below is the action that
+            # materializes it, so each round is ONE Spark job, not two
+            .localCheckpoint(eager=False)
         )
-        changed = (  # driver-ok: scalar convergence check (Pregel control loop)
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        # driver-ok: scalar convergence check (Pregel control loop); running
+        # it materializes the round's checkpoint in the same job.
+        changed = new_labels.agg(F.sum("moved")).collect()[0][0]
+        labels = new_labels.drop("moved")
         if changed == 0:
             converged = True
             break
@@ -433,8 +442,14 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             "ext_dedup_cluster: label propagation did not converge in 50 rounds"
         )
-    return labels.withColumn(
-        "is_canonical", F.col("cluster_id") == F.col("doc_id")
+    return (
+        d.select("doc_id")
+        .join(labels.withColumnRenamed("cluster_id", "cc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cc_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("cluster_id") == F.col("doc_id"))
     )
 
 

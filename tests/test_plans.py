@@ -202,6 +202,22 @@ def test_decontaminate_broadcasts_eval_set(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
+def test_hash_sampling_is_shuffle_free(spark, sf_smoke):
+    """Deterministic hash sampling is a pure per-row filter on the scan:
+    zero Exchange in the plan (membership is a function of the row key)."""
+    for qid in ("sample_hash_bernoulli", "sample_stratified_hash"):
+        plan = _plan(spark, qid, sf_smoke, mode="simple")
+        assert "Exchange" not in plan, qid
+
+
+def test_domain_mixture_broadcasts_cutoffs(spark, sf_smoke):
+    """The per-stratum cutoff table (one row per lang) must broadcast into
+    the corpus scan - the corpus itself never shuffles."""
+    plan = _plan(spark, "ext_domain_mixture", sf_smoke, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_chunking_has_no_shuffle(spark, sf_smoke):
     """Chunking is embarrassingly parallel: per-doc explode only, zero
     Exchange in the plan."""
