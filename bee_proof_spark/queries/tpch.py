@@ -622,6 +622,384 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q2_ORACLE = """
+WITH costs AS (
+  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+  GROUP BY p_partkey, s_suppkey, s_name, s_acctbal, n_name
+),
+best AS (SELECT p_partkey AS bp, min(unit_cost) AS best_cost FROM costs GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+FROM costs JOIN best ON p_partkey = bp AND unit_cost = best_cost
+"""
+
+
+@register("tpch_q2_min_cost", oracle=_Q2_ORACLE)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (adapted: no partsupp table, so the
+    part-supplier relation and its "cost" come from lineitem - min observed
+    unit price per part/supplier pair).
+
+    Shape preserved: the correlated min-per-part subquery, expressed as a
+    window min (one extra shuffle-free pass over the tiny grouped result
+    instead of a rejoin). Scale notes: part(filtered)/supplier/nation/region
+    all broadcast; lineitem shuffles once for the pair-level groupBy; the
+    per-part min is a window over that already-small aggregate.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    part_f = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    supp = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    costs = (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey")
+    return (
+        costs.withColumn("best_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            "unit_cost",
+        )
+    )
+
+
+_Q8_ORACLE = f"""
+WITH v AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = cn.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+)
+SELECT o_year,
+       round({o_dsum("case when supp_nation = 'NATION_3' then volume else 0 end")}
+             / {o_dsum('volume')}, 6) AS mkt_share
+FROM v GROUP BY o_year ORDER BY o_year
+"""
+
+
+@register("tpch_q8_market_share", oracle=_Q8_ORACLE)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_3's share of ECONOMY-part
+    revenue sold into the ASIA market, per year.
+
+    Scale notes: one fact shuffle (lineitem-orders); customer, both nation
+    roles, region, supplier, and part are broadcast dims. The share is a
+    conditional-sum / total-sum ratio computed in the same aggregate - no
+    second pass, no join of two aggregates. Decimal-routed sums keep the
+    ratio bit-identical to the sequential oracle.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31 00:00:00")
+    )
+    cust = tbl(spark, sf_dir, "customer")
+    nation_c = tbl(spark, sf_dir, "nation").alias("cn")
+    nation_s = tbl(spark, sf_dir, "nation").alias("sn")
+    region = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = tbl(spark, sf_dir, "supplier")
+    part_f = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    brazil_vol = F.when(F.col("sn.n_name") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(region), F.col("cn.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(brazil_vol.cast("decimal(25,6)")).cast("double")
+                / F.sum(volume.cast("decimal(25,6)")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q11_ORACLE = f"""
+WITH pv AS (
+  SELECT l_partkey AS p_partkey,
+         {o_dsum('l_extendedprice * (1 - l_discount)')} AS part_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_13'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, part_value FROM pv
+WHERE part_value > (SELECT sum(part_value) * 0.001 FROM pv)
+"""
+
+
+@register("tpch_q11_important_stock", oracle=_Q11_ORACLE)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock (adapted: no partsupp, so per-part value is
+    NATION_13-supplier revenue from lineitem instead of supplycost*availqty).
+
+    Shape preserved: HAVING-vs-scalar-subquery over the same aggregate. The
+    per-part aggregate is computed ONCE and reused for both the threshold
+    (a 1-row re-aggregate, broadcast) and the filter - at 100 TB you pay one
+    fact shuffle, not two.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    supp = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_13")
+    pv = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "part_value"))
+        .localCheckpoint(eager=False)  # reused by threshold + filter
+    )
+    threshold = pv.agg((F.sum("part_value") * 0.001).alias("thr"))
+    return (
+        pv.join(F.broadcast(threshold), F.col("part_value") > F.col("thr"))
+        .select("p_partkey", "part_value")
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+       cast(sum(case when o_orderpriority IN ('1-URGENT', '2-HIGH') then 1 else 0 end) as bigint) AS high_line_count,
+       cast(sum(case when o_orderpriority NOT IN ('1-URGENT', '2-HIGH') then 1 else 0 end) as bigint) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("tpch_q12_shipmode", oracle=_Q12_ORACLE)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping modes (adapted: no shipmode/commit/receipt columns -
+    "late" is shipped >90 days after order date, grouped by returnflag).
+
+    Shape preserved: join + conditional-count aggregation. Scale notes: one
+    shuffle join on the order key (both sides large), then a 3-group agg;
+    the date-arithmetic predicate is codegen, applied at the join output.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.expr("l_shipdate > o_orderdate + INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("tpch_q16_supplier_cnt", oracle=_Q16_ORACLE)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship (adapted: part-supplier pairs
+    from lineitem; the comment-LIKE supplier exclusion becomes a negative-
+    balance exclusion).
+
+    Shape preserved: NOT IN subquery + count(DISTINCT) + multi-key groupBy.
+    Scale notes: the distinct pair projection dedups lineitem down to the
+    relationship table before any join; part and the (tiny) exclusion list
+    broadcast; one shuffle for the distinct, one for the count-distinct agg.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    excluded = tbl(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(excluded, pairs.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q20_ORACLE = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         cast(sum(cast(l_quantity as decimal(25,6))) as double) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey AS tp,
+         cast(sum(cast(l_quantity as decimal(25,6))) as double) * 0.5 AS half_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_24'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM shipped
+    JOIN tot ON tp = l_partkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%bolt' AND qty > half_qty
+  )
+"""
+
+
+@register("tpch_q20_excess_stock", oracle=_Q20_ORACLE)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion (adapted: no partsupp/availqty -
+    a supplier has "excess stock" in a part when it shipped more than half
+    that part's 1997 volume).
+
+    Shape preserved: nested semi-join chain (suppliers <- qualifying pairs
+    <- per-part aggregate subquery). Scale notes: both aggregates come from
+    the same filtered scan; the pair-level and part-level rollups are one
+    shuffle each on the same key (partkey prefix), the part filter
+    broadcasts, and the final supplier membership is a left-semi join.
+    """
+    li97 = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    shipped = li97.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("qty")
+    )
+    tot = li97.groupBy(F.col("l_partkey").alias("tp")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double") * 0.5).alias(
+            "half_qty"
+        )
+    )
+    part_f = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt"))
+    qualifying = (
+        shipped.join(tot, shipped.l_partkey == tot.tp)
+        .join(F.broadcast(part_f), shipped.l_partkey == part_f.p_partkey)
+        .filter(F.col("qty") > F.col("half_qty"))
+        .select("l_suppkey")
+    )
+    supp = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_24")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+_Q21_ORACLE = """
+SELECT s_name, cast(count(*) as bigint) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_18'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+"""
+
+
+@register("tpch_q21_waiting", oracle=_Q21_ORACLE)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting (adapted: "late" is
+    shipped >60 days after order date; the fixture has no commit/receipt
+    dates).
+
+    Shape preserved: EXISTS + NOT EXISTS correlated self-joins on the fact
+    table. Scale notes: both are expressed as left-semi / left-anti joins on
+    the order key, so lineitem shuffles on l_orderkey for the base and each
+    self-join - the same key every time, which AQE/bucketing can co-locate;
+    supplier and nation broadcast. No row duplication: semi/anti joins
+    produce at most one probe output per base row.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    orders_f = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_18")
+    base = (
+        li.alias("l1")
+        .join(orders_f, F.col("l1.l_orderkey") == orders_f.o_orderkey)
+        .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .filter(F.expr("l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS"))
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    return (
+        base.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("k2"))
+            & (F.col("l1.l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("k3"))
+            & (F.col("l1.l_suppkey") != F.col("s3"))
+            & F.expr("d3 > o_orderdate + INTERVAL 60 DAYS"),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``entry()`` flagship query (driver smoke check)."""
     return tpch_q1(spark, sf_dir)

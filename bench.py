@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "tpch_q18_large_volume",
     "tpch_q4_priority",       # EXISTS-subquery shape
     "tpch_q22_global_sales",  # NOT-EXISTS + scalar-subquery shape
+    "tpch_q8_market_share",   # 8-table star join, conditional-share agg
+    "tpch_q21_waiting",       # EXISTS + NOT-EXISTS fact self-joins (heaviest)
     "agg_basic",
     "agg_skew_salted",
     "win_topk_per_group",

@@ -202,6 +202,33 @@ def test_decontaminate_broadcasts_eval_set(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
+def test_q21_uses_semi_and_anti_joins(spark, sf_smoke):
+    """Q21's EXISTS / NOT EXISTS must plan as left-semi / left-anti joins on
+    the order key - never row-duplicating inner joins or a cartesian/BNLJ
+    (fact x fact would be a 100 TB incident)."""
+    plan = _plan(spark, "tpch_q21_waiting", sf_smoke, mode="simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_broadcasts_all_dims(spark, sf_smoke):
+    """Q2's four dimension joins (part/supplier/nation/region) must all be
+    broadcast builds - lineitem is the only shuffling relation."""
+    plan = _plan(spark, "tpch_q2_min_cost", sf_smoke, mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q16_dedups_pairs_before_counting(spark, sf_smoke):
+    """Q16 must reduce lineitem to the distinct part-supplier relationship
+    (HashAggregate) before joining part, and keep the exclusion anti-join."""
+    plan = _plan(spark, "tpch_q16_supplier_cnt", sf_smoke, mode="simple")
+    assert "LeftAnti" in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_hash_sampling_is_shuffle_free(spark, sf_smoke):
     """Deterministic hash sampling is a pure per-row filter on the scan:
     zero Exchange in the plan (membership is a function of the row key)."""
