@@ -428,9 +428,9 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             # materializes it, so each round is ONE Spark job, not two
             .localCheckpoint(eager=False)
         )
-        # driver-ok: scalar convergence check (Pregel control loop); running
-        # it materializes the round's checkpoint in the same job.
-        changed = new_labels.agg(F.sum("moved")).collect()[0][0]
+        # Scalar convergence check (Pregel control loop); running it
+        # materializes the round's checkpoint in the same job.
+        changed = new_labels.agg(F.sum("moved")).collect()[0][0]  # driver-ok: 1-row convergence scalar
         labels = new_labels.drop("moved")
         if changed == 0:
             converged = True

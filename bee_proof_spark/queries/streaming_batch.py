@@ -301,3 +301,95 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory_sink(sessions, output_mode="append")
+
+
+_UPSERT_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, ts, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, cast(ts as varchar) AS last_ts,
+       event_type AS last_event_type, event_id AS last_event_id
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("stream_foreach_batch_upsert", oracle=_UPSERT_ORACLE)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL readStream + foreachBatch upsert: each micro-batch merges into a
+    keyed parquet target keeping the latest event per user - the incremental
+    ingest pattern (streaming MERGE INTO / CDC apply).
+
+    The upsert reduction (argmax of (ts, event_id) per user) is associative,
+    so the final state is independent of micro-batch boundaries and equals
+    the batch answer - which is exactly what makes it oracle-checkable.
+
+    Scale notes: each micro-batch reduces to at most one row per touched key
+    BEFORE touching the target; the merge is a union + windowed top-1 on the
+    key (at warehouse scale: MERGE INTO a Delta/Iceberg table or a
+    partition-overwrite of only touched key ranges - same foreachBatch
+    body, different sink binding). The target rewrite is localCheckpointed
+    before overwrite so the read-modify-write never reads a half-written dir.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from bee_proof_spark.streaming import replay_events_stream
+
+    target = os.path.join(
+        tempfile.gettempdir(), "bee-proof-tmp", "sinks", f"pid{os.getpid()}",
+        f"upsert-{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    # A stale checkpoint against a fresh target would skip already-committed
+    # batches; the pair must always start (and stay) in lockstep.
+    shutil.rmtree(target + "-chk", ignore_errors=True)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        new = latest_per_user(
+            batch_df.select("user_id", "ts", "event_type", "event_id")
+        )
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            current = sess.read.parquet(target)
+            merged = latest_per_user(current.unionByName(new))
+        else:
+            merged = new
+        # Materialize before overwriting the directory we just read from.
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(target)
+
+    stream = replay_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation",
+            os.path.join(target + "-chk"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(target + "-chk", ignore_errors=True)
+    return spark.read.parquet(target).select(
+        "user_id",
+        F.col("ts").cast("string").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("event_id").alias("last_event_id"),
+    )
