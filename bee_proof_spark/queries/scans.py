@@ -465,3 +465,57 @@ def dml_merge_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("merge_target", sf_dir)
     merged.write.mode("overwrite").parquet(f"{path}/t")
     return spark.read.parquet(f"{path}/t")
+
+
+_SCD2_ORACLE = """
+WITH src AS (
+  SELECT user_id, ts, event_type, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, ts, event_type, event_id FROM src
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       cast(ts as varchar) AS valid_from,
+       cast(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) as varchar) AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+FROM changes
+"""
+
+
+@register("dml_scd2_history", oracle=_SCD2_ORACLE)
+def dml_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: collapse an event stream into attribute
+    validity intervals (valid_from / valid_to / is_current) per key - the
+    classic slowly-changing-dimension pattern, Hive-era UPDATE-free.
+
+    Two windows over the SAME (user_id, order by ts) partitioning: the
+    change-detection lag and the interval-closing lead reuse one sort/shuffle
+    (Catalyst collapses same-spec Window operators). No self-join, no MERGE:
+    history derives from the append-only log in one pass - the shape that
+    holds when the log is 100 TB and the dimension is billions of keys.
+    """
+    from pyspark.sql import Window
+
+    e = tbl(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "ts", "event_type", "event_id")
+    )
+    # Same window spec as the lag: one sort/shuffle serves both passes, and
+    # the event_id tie-break keeps interval order total on both engines.
+    valid_to = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("string").alias("valid_from"),
+        valid_to.cast("string").alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

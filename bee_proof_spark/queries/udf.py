@@ -125,3 +125,41 @@ def udf_sql_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT c_custkey, bps_double(c_acctbal) AS doubled FROM customer_udf_src"
     )
+
+
+_UDTF_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 30
+)
+SELECT doc_id, ws[i] AS word, cast(i - 1 as int) AS pos
+FROM w, unnest(generate_series(1, len(ws))) t(i)
+"""
+
+
+@register("udtf_python_lateral", oracle=_UDTF_ORACLE)
+def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF invoked as a LATERAL table function from SQL: one
+    input row fans out to N output rows (the Hive UDTF/LATERAL VIEW lineage,
+    now a first-class Python API).
+
+    Capability-coverage note: a row-at-a-time Python UDTF is the SLOW path -
+    every production use in this repo that can fan out JVM-side does
+    (explode/sequence, see lateral.py and ext_chunk_documents); this id
+    exists to cover the UDTF API surface, on a doc_id < 30 slice.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+    spark.udtf.register("bps_split_words", SplitWords)
+    tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).createOrReplaceTempView(
+        "docs_udtf_src"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.word, s.pos "
+        "FROM docs_udtf_src d, LATERAL bps_split_words(d.text) s"
+    )

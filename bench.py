@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "agg_skew_salted",
     "win_topk_per_group",
     "win_running_sum",        # running-frame window
+    "dml_scd2_history",       # SCD2 build: single-sort dual-window
     "union_distinct",         # set-op shuffle dedup
     "stream_tumbling_batch",
     "join_smb_bucketed",

@@ -136,6 +136,25 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_smoke, tmp_path):
     assert "o_orderstatus" in pf, f"partition filter not pushed: {pf!r}"
 
 
+def test_dynamic_partition_pruning(spark, sf_smoke, tmp_path):
+    """Joining a partitioned fact to a filtered dim on the partition column
+    must inject a dynamicpruningexpression into the fact scan's
+    PartitionFilters - at 100 TB the fact partitions to read are discovered
+    at RUNTIME from the dim build side instead of scanning wholesale."""
+    from bee_proof_spark.queries import tbl
+
+    path = str(tmp_path / "orders_dpp")
+    tbl(spark, sf_smoke, "orders").write.partitionBy("o_orderstatus").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "final"), ("O", "open"), ("P", "pending")], "st string, label string"
+    ).filter("label = 'final'")
+    df = fact.join(dim, fact.o_orderstatus == dim.st).select("o_orderkey", "label")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "dynamicpruningexpression" in plan.lower()
+
+
 def test_simhash_no_bit_explode(spark, sf_smoke):
     """The simhash signature must come from 64 conditional sums over token
     rows, never a 64x explode(sequence(0,63)) row amplification (a 64x
@@ -227,6 +246,15 @@ def test_q16_dedups_pairs_before_counting(spark, sf_smoke):
     assert "LeftAnti" in plan
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_reuses_one_window_sort(spark, sf_smoke):
+    """SCD2's change-detect lag and interval-close lead share one window
+    spec: exactly one Exchange and one Sort in the plan (two sorts would
+    double the cost of the 100 TB history build)."""
+    plan = _plan(spark, "dml_scd2_history", sf_smoke, mode="simple")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort ") == 1
 
 
 def test_hash_sampling_is_shuffle_free(spark, sf_smoke):
