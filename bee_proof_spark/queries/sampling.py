@@ -1,5 +1,9 @@
-"""Sampling + TRANSFORM (SURVEY.md section 2-B). Both rows-only: sampling is
-engine-specific; TRANSFORM streams rows through an external process."""
+"""Sampling, sharding + TRANSFORM (SURVEY.md section 2-B/2-C).
+
+``tablesample_rows`` is rows-only (Spark's seeded sampler membership is
+engine-specific); every other op here uses deterministic md5-cutoff
+membership and carries an exact oracle - the reproducible-sampling
+discipline a training pipeline needs at scale."""
 
 from __future__ import annotations
 
@@ -135,4 +139,45 @@ def transform_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING 'cat' AS (nationkey_str STRING, name_str STRING)
         FROM nation_t
         """
+    )
+
+
+_SHARD_ORACLE = """
+WITH h AS (
+  SELECT doc_id, md5(cast(doc_id as varchar)) AS hx FROM documents
+)
+SELECT doc_id,
+       cast((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8 as int) AS shard_id,
+       cast(row_number() OVER (
+         PARTITION BY (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8
+         ORDER BY hx, doc_id
+       ) as bigint) AS rank_in_shard
+FROM h
+"""
+
+
+@register("ext_corpus_shuffle_shard", oracle=_SHARD_ORACLE)
+def ext_corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment: the write-side of
+    every pretraining data build (randomize example order, split into N
+    shard files, reproducibly).
+
+    shard_id = first md5 hex digit mod 8; rank_in_shard = row_number ordered
+    by the full hash WITHIN the shard. Both are pure functions of the row
+    key, so a rebuild (or another engine) produces the identical layout.
+    Scale shape: no GLOBAL row_number (a single-partition sort bottleneck) -
+    the window partitions by shard_id, so each shard sorts independently;
+    at 100 TB that is one shuffle into N shard groups, each sorted in
+    parallel, exactly the physical layout the shard writer needs.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    hx = F.md5(F.col("doc_id").cast("string"))
+    digit = (F.expr("instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1))") - 1) % 8
+    w = Window.partitionBy("shard_id").orderBy("hx", "doc_id")
+    return (
+        d.select("doc_id", hx.alias("hx"), digit.cast("int").alias("shard_id"))
+        .withColumn("rank_in_shard", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard_id", "rank_in_shard")
     )

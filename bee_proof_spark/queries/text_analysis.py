@@ -315,3 +315,53 @@ def ext_text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("lang", "bigram", "freq", "rnk")
     )
+
+
+_REPETITION_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS bg
+  FROM words
+)
+SELECT doc_id,
+       cast(count(*) as bigint) AS n_bigrams,
+       cast(count(DISTINCT bg) as bigint) AS n_unique,
+       round(1.0 - count(DISTINCT bg) / count(*), 4) AS dup_ratio,
+       (1.0 - count(DISTINCT bg) / count(*) <= 0.8) AS keep
+FROM bigrams GROUP BY doc_id
+"""
+
+
+@register("ext_repetition_ratio", oracle=_REPETITION_ORACLE)
+def ext_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter signal (Gopher/MassiveText-style): fraction of
+    duplicate word-bigrams per document - heavily repetitive docs (boiler-
+    plate, generation loops) score high and get filtered before training.
+
+    Scale shape: bigrams are generated JVM-side (transform over the word
+    index sequence - no UDF), and the agg groups by doc_id, which parquet
+    row-grouping keeps near-clustered; count(DISTINCT) within doc_id is a
+    two-level hash agg. The keep-threshold (<= 0.8 here) is the recipe knob.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split("text", " ").alias("ws"))
+    bigrams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    ratio = 1.0 - F.countDistinct("bg") / F.count(F.lit(1))
+    return bigrams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.countDistinct("bg").cast("bigint").alias("n_unique"),
+        F.round(ratio, 4).alias("dup_ratio"),
+        (ratio <= 0.8).alias("keep"),
+    )

@@ -248,6 +248,15 @@ def test_q16_dedups_pairs_before_counting(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
+def test_shuffle_shard_sorts_per_shard_not_globally(spark, sf_smoke):
+    """Shard ranking must partition the window by shard_id (parallel
+    per-shard sorts) - a global row_number would plan Exchange
+    SinglePartition, the classic sort bottleneck at corpus scale."""
+    plan = _plan(spark, "ext_corpus_shuffle_shard", sf_smoke, mode="simple")
+    assert "SinglePartition" not in plan
+    assert "Exchange hashpartitioning" in plan
+
+
 def test_scd2_reuses_one_window_sort(spark, sf_smoke):
     """SCD2's change-detect lag and interval-close lead share one window
     spec: exactly one Exchange and one Sort in the plan (two sorts would
