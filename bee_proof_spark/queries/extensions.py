@@ -432,7 +432,9 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materializes the round's checkpoint in the same job.
         changed = new_labels.agg(F.sum("moved")).collect()[0][0]  # driver-ok: 1-row convergence scalar
         labels = new_labels.drop("moved")
-        if changed == 0:
+        # sum() over an empty labels table is NULL: a corpus with zero
+        # near-dup pairs must converge on round 1, not burn 50 rounds.
+        if not changed:
             converged = True
             break
     if not converged:

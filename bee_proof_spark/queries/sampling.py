@@ -173,11 +173,11 @@ def ext_corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    hx = F.md5(F.col("doc_id").cast("string"))
-    digit = (F.expr("instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1))") - 1) % 8
+    h = d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("hx"))
+    digit = (F.expr("instr('0123456789abcdef', substr(hx, 1, 1))") - 1) % 8
     w = Window.partitionBy("shard_id").orderBy("hx", "doc_id")
     return (
-        d.select("doc_id", hx.alias("hx"), digit.cast("int").alias("shard_id"))
+        h.withColumn("shard_id", digit.cast("int"))
         .withColumn("rank_in_shard", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "shard_id", "rank_in_shard")
     )

@@ -334,20 +334,17 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import Window
 
+    from bee_proof_spark.queries.scans import _scratch
     from bee_proof_spark.streaming import replay_events_stream
 
-    target = os.path.join(
-        tempfile.gettempdir(), "bee-proof-tmp", "sinks", f"pid{os.getpid()}",
-        f"upsert-{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(target, ignore_errors=True)
-    # A stale checkpoint against a fresh target would skip already-committed
-    # batches; the pair must always start (and stay) in lockstep.
-    shutil.rmtree(target + "-chk", ignore_errors=True)
+    # _scratch owns the (name, sf basename, pid) keying and fresh-dir reset;
+    # resetting BOTH dirs keeps checkpoint and target in lockstep (a stale
+    # checkpoint against a fresh target would skip already-committed batches).
+    target = _scratch("upsert", sf_dir)
+    chk = _scratch("upsert-chk", sf_dir)
     w = Window.partitionBy("user_id").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
@@ -380,13 +377,13 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.foreachBatch(upsert)
         .option(
             "checkpointLocation",
-            os.path.join(target + "-chk"),
+            chk,
         )
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    shutil.rmtree(target + "-chk", ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
     return spark.read.parquet(target).select(
         "user_id",
         F.col("ts").cast("string").alias("last_ts"),

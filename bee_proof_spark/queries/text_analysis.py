@@ -299,11 +299,14 @@ def ext_text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = tbl(spark, sf_dir, "documents")
-    bigrams = d.select(
+    # The >=2-word guard must be a row filter: sequence(1, greatest(n-1, 0))
+    # DESCENDS ([1, 0]) for 1-word docs, emitting spurious half-bigrams
+    # (the oracle's generate_series(1, 0) is empty).
+    bigrams = d.filter(F.size(F.split("text", " ")) >= 2).select(
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
                 " i -> concat_ws(' ', split(text, ' ')[i - 1], split(text, ' ')[i]))"
             )
         ).alias("bigram"),
@@ -349,11 +352,14 @@ def ext_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = tbl(spark, sf_dir, "documents")
     words = d.select("doc_id", F.split("text", " ").alias("ws"))
-    bigrams = words.select(
+    # Row-filter the >=2-word guard: sequence(1, greatest(n-1, 0)) DESCENDS
+    # ([1, 0]) for 1-word docs and element_at(ws, 0) throws; the oracle's
+    # generate_series(1, 0) is simply empty.
+    bigrams = words.filter(F.size("ws") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+                "transform(sequence(1, size(ws) - 1),"
                 " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
             )
         ).alias("bg"),

@@ -757,7 +757,9 @@ WITH pv AS (
   GROUP BY l_partkey
 )
 SELECT p_partkey, part_value FROM pv
-WHERE part_value > (SELECT sum(part_value) * 0.001 FROM pv)
+WHERE part_value > (
+  SELECT cast(sum(cast(part_value as decimal(25,6))) as double) * 0.001 FROM pv
+)
 """
 
 
@@ -781,7 +783,12 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "part_value"))
         .localCheckpoint(eager=False)  # reused by threshold + filter
     )
-    threshold = pv.agg((F.sum("part_value") * 0.001).alias("thr"))
+    # Decimal-route the threshold sum too: part_value is an exact multiple of
+    # 1e-6, so the re-cast is lossless and the order-varying double sum can't
+    # put boundary parts on different sides of 'thr' than the oracle.
+    threshold = pv.agg(
+        (F.sum(F.col("part_value").cast("decimal(25,6)")).cast("double") * 0.001).alias("thr")
+    )
     return (
         pv.join(F.broadcast(threshold), F.col("part_value") > F.col("thr"))
         .select("p_partkey", "part_value")

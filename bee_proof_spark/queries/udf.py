@@ -152,7 +152,11 @@ def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="word: string, pos: int")
     class SplitWords:
         def eval(self, text: str):
-            for i, w in enumerate((text or "").split()):
+            if text is None:
+                return
+            # Single-space split (keeps empty tokens), mirroring the
+            # oracle's string_split(text, ' ') - NOT any-whitespace .split().
+            for i, w in enumerate(text.split(" ")):
                 yield w, i
 
     spark.udtf.register("bps_split_words", SplitWords)

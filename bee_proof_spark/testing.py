@@ -24,9 +24,12 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Fresh in-memory DuckDB with fixture tables registered as views."""
     con = duckdb.connect()
     for name in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
-        )
+        try:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            )
+        except duckdb.IOException:
+            pass  # partial fixture dir (edge-case tests); absent tables stay unregistered
     return con
 
 
