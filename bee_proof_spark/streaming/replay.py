@@ -64,7 +64,13 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     marker = os.path.join(snap, "_SUCCESS")
     if not os.path.exists(marker):
-        shutil.rmtree(snap, ignore_errors=True)
+        # The snapshot path is SHARED across processes (a concurrent pytest +
+        # sweep both replay it): build in a pid-unique dir, then atomically
+        # rename into place - a reader can never observe a half-written
+        # snapshot, and whichever process loses the rename just uses the
+        # winner's complete snapshot.
+        build = f"{snap}.build-{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
         # Range-partition by ts into 4 roughly time-ordered files: with
         # maxFilesPerTrigger=1 the replay yields 4 micro-batches whose event
         # times advance, so watermarks progress and event-time timeouts fire
@@ -75,7 +81,7 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartitionByRange(4, "ts")
             .sortWithinPartitions("ts")
             .write.mode("overwrite")
-            .parquet(snap)
+            .parquet(build)
         )
         # FileStreamSource orders batches by modification time; one write job
         # stamps all files identically, leaving the REPLAY ORDER to
@@ -86,10 +92,22 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         base = _time.time() - 3600
         parts = sorted(
-            f for f in os.listdir(snap) if f.startswith("part-")
+            f for f in os.listdir(build) if f.startswith("part-")
         )
         for i, fname in enumerate(parts):
-            os.utime(os.path.join(snap, fname), (base + i * 10, base + i * 10))
+            os.utime(os.path.join(build, fname), (base + i * 10, base + i * 10))
+        try:
+            os.rename(build, snap)
+        except OSError:
+            # Another process renamed its snapshot in first (or a stale
+            # markerless dir lingers from a crash: clear it, retry once).
+            if not os.path.exists(marker):
+                shutil.rmtree(snap, ignore_errors=True)
+                try:
+                    os.rename(build, snap)
+                except OSError:
+                    pass  # concurrent winner completed between check and rename
+            shutil.rmtree(build, ignore_errors=True)
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
