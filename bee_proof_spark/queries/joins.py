@@ -10,7 +10,7 @@ so we keep the fast plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bee_proof_spark.queries import register, tbl
@@ -345,5 +345,141 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("value") * F.col("weight")).cast("decimal(25,6)"))
             .cast("double")
             .alias("weighted_sum"),
+        )
+    )
+
+
+_ASOF_ORACLE = """
+WITH u AS (
+  SELECT o_custkey AS k, o_orderdate AS t, 0 AS typ,
+         o_orderkey AS okey, cast(NULL as bigint) AS event_id
+  FROM orders
+  UNION ALL
+  SELECT user_id, ts, 1, cast(NULL as bigint), event_id FROM events
+),
+w AS (
+  SELECT k, t, typ, event_id,
+         last_value(okey IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY t, typ, okey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_orderkey
+  FROM u
+)
+SELECT event_id, k AS user_id, cast(t as varchar) AS ts, last_orderkey
+FROM w WHERE typ = 1
+"""
+
+
+@register("join_asof_backward", oracle=_ASOF_ORACLE)
+def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): for every event, the most recent order of the
+    same customer at-or-before the event time - the time-series enrichment
+    join (trades x quotes, events x dim-history) Spark lacks natively.
+
+    Scale shape - the distributed as-of idiom: union-tag both sides on
+    (key, time), ONE shuffle on the key, and a running last_value(ignore
+    nulls) window carries the latest left-side payload forward to each
+    right-side row. No range cross-join, no per-row probe, no BNLJ: cost is
+    one sort-shuffle regardless of time-range density. Orders sort before
+    events at the same instant (typ 0 < 1), making the match inclusive
+    (o_orderdate <= ts); the okey tie-break makes same-timestamp order picks
+    total, so the result is deterministic on both engines.
+    """
+    orders = tbl(spark, sf_dir, "orders")
+    events = tbl(spark, sf_dir, "events")
+    orders_u = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("typ"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    events_u = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("typ"),
+        F.lit(None).cast("bigint").alias("okey"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "typ", "okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders_u.unionByName(events_u)
+        .withColumn("last_orderkey", F.last("okey", ignorenulls=True).over(w))
+        .filter(F.col("typ") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("t").cast("string").alias("ts"),
+            "last_orderkey",
+        )
+    )
+
+
+_RANGE_BUCKET_ORACLE = """
+WITH iv AS (
+  SELECT n_nationkey AS iv_id,
+         timestamp '1995-01-01' + to_months(3 * n_nationkey) AS start_ts,
+         timestamp '1995-01-01' + to_months(3 * n_nationkey + 4) AS end_ts
+  FROM nation
+)
+SELECT o.o_orderkey, iv.iv_id, cast(o.o_orderdate as varchar) AS o_date
+FROM orders o
+JOIN iv ON o.o_orderdate >= iv.start_ts AND o.o_orderdate < iv.end_ts
+"""
+
+
+@register("join_range_bucketed", oracle=_RANGE_BUCKET_ORACLE)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join WITHOUT an equi key, made shuffle-joinable
+    by bucketization: intervals explode to the month buckets they cover,
+    points map to their month, and the range predicate refines an ordinary
+    equi-join on the bucket.
+
+    This is the scale-correct form of what ``join_theta_band`` does naively:
+    a pure range predicate plans BroadcastNestedLoop (quadratic in density),
+    while bucketing bounds each comparison to one bucket's contents - an
+    equi-join Catalyst can hash/sort-merge AND AQE can rebalance. Bucket
+    granularity trades fan-out (intervals x months covered) against probe
+    selectivity; month buckets fit these 4-month intervals. A point lies in
+    exactly one bucket, so no post-join dedup is needed.
+    """
+    nation = tbl(spark, sf_dir, "nation")
+    orders = tbl(spark, sf_dir, "orders")
+    base = F.lit("1995-01-01").cast("timestamp")
+    start = F.to_timestamp(F.add_months(base, F.col("n_nationkey") * 3))
+    end = F.to_timestamp(F.add_months(base, F.col("n_nationkey") * 3 + 4))
+    iv_months = (
+        nation.select(
+            F.col("n_nationkey").alias("iv_id"),
+            start.alias("start_ts"),
+            end.alias("end_ts"),
+        )
+        .withColumn(
+            "m",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("month", F.col("start_ts")),
+                    F.date_trunc("month", F.col("end_ts")),
+                    F.expr("interval 1 month"),
+                )
+            ),
+        )
+    )
+    points = orders.select("o_orderkey", "o_orderdate").withColumn(
+        "m", F.date_trunc("month", "o_orderdate")
+    )
+    return (
+        points.join(iv_months, "m")
+        .filter(
+            (F.col("o_orderdate") >= F.col("start_ts"))
+            & (F.col("o_orderdate") < F.col("end_ts"))
+        )
+        .select(
+            "o_orderkey",
+            "iv_id",
+            F.col("o_orderdate").cast("string").alias("o_date"),
         )
     )

@@ -248,6 +248,27 @@ def test_q16_dedups_pairs_before_counting(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
+def test_asof_join_is_one_shuffle_no_bnlj(spark, sf_smoke):
+    """The as-of join must be the union-tag + running-window idiom: one
+    Exchange on the key and zero join operators - a naive range join would
+    plan BroadcastNestedLoop/cartesian and explode with time density."""
+    plan = _plan(spark, "join_asof_backward", sf_smoke, mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_bucketized_is_equi_join(spark, sf_smoke):
+    """The bucketized range join must plan as a hash/sort-merge equi-join on
+    the month bucket - the naive range predicate would be a
+    BroadcastNestedLoop, quadratic in time density."""
+    plan = _plan(spark, "join_range_bucketed", sf_smoke, mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_shuffle_shard_sorts_per_shard_not_globally(spark, sf_smoke):
     """Shard ranking must partition the window by shard_id (parallel
     per-shard sorts) - a global row_number would plan Exchange
