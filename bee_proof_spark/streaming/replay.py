@@ -63,6 +63,17 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{os.path.basename(sf_dir)}-{fp}",
     )
     marker = os.path.join(snap, "_SUCCESS")
+    # Sweep orphaned work dirs from crashed builders (their pids never
+    # revisit these paths); age-gate so a LIVE builder's dir is never swept.
+    import glob as _glob
+    import time as _time2
+
+    for orphan in _glob.glob(f"{snap}.build-*") + _glob.glob(f"{snap}.stale-*"):
+        try:
+            if _time2.time() - os.stat(orphan).st_mtime > 3600:
+                shutil.rmtree(orphan, ignore_errors=True)
+        except OSError:
+            pass
     if not os.path.exists(marker):
         # The snapshot path is SHARED across processes (a concurrent pytest +
         # sweep both replay it): build in a pid-unique dir, then atomically
@@ -99,15 +110,30 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(build, snap)
         except OSError:
-            # Another process renamed its snapshot in first (or a stale
-            # markerless dir lingers from a crash: clear it, retry once).
+            # Another process renamed its snapshot in first, or a stale
+            # markerless dir lingers from a crash. Never rmtree the shared
+            # path (a concurrent winner may have JUST completed it and its
+            # reader may be listing it): atomically move the stale dir
+            # ASIDE, then retry - a complete snapshot is only ever replaced
+            # by another complete snapshot, with a two-rename-wide gap.
             if not os.path.exists(marker):
-                shutil.rmtree(snap, ignore_errors=True)
+                aside = f"{snap}.stale-{os.getpid()}"
+                try:
+                    os.rename(snap, aside)
+                except OSError:
+                    pass  # concurrent process moved or replaced it first
+                shutil.rmtree(aside, ignore_errors=True)
                 try:
                     os.rename(build, snap)
                 except OSError:
-                    pass  # concurrent winner completed between check and rename
+                    pass  # concurrent winner installed between aside and rename
             shutil.rmtree(build, ignore_errors=True)
+            if not os.path.exists(marker):
+                # Refuse to stream a half-written snapshot (silent wrong
+                # micro-batches); the caller can clear the path and retry.
+                raise RuntimeError(
+                    f"stream snapshot at {snap} is incomplete and could not be replaced"
+                )
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
