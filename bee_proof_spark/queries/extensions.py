@@ -246,6 +246,10 @@ def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification of these candidates).
     """
     d = tbl(spark, sf_dir, "documents")
+    # NOTE: no checkpoint here on purpose - the three sig consumers (band
+    # fan-out + both pair-side rejoins) share the aggregate via Spark's
+    # ReusedExchange; measured, an explicit localCheckpoint is SLOWER (it
+    # adds a job boundary and breaks whole-stage pipelining).
     sig = minhash_signatures(d).select(
         "doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)]).alias("sig")
     )
