@@ -163,7 +163,9 @@ def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi band predicate (Hive: cross + WHERE). Plans as
-    BroadcastNestedLoopJoin with the small side broadcast."""
+    BroadcastNestedLoopJoin with the small side broadcast - acceptable ONLY
+    while one side broadcasts; :func:`join_range_bucketed` is the
+    bucketized equi-join form to use when both sides are large."""
     s = tbl(spark, sf_dir, "supplier")
     c = tbl(spark, sf_dir, "customer")
     cond = (c.c_acctbal > s.s_acctbal - 10) & (c.c_acctbal < s.s_acctbal + 10)

@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "union_distinct",         # set-op shuffle dedup
     "stream_tumbling_batch",
     "join_smb_bucketed",
+    "join_asof_backward",     # union-tag + running-window as-of join
+    "join_range_bucketed",    # bucketized point-in-interval join
+    "ext_domain_mixture",     # count pass + broadcast cutoffs + hash filter
     "ext_dedup_exact",
     "ext_text_wordcount",
     "ext_knn_cosine",
