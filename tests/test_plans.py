@@ -239,6 +239,16 @@ def test_q2_broadcasts_all_dims(spark, sf_smoke):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_q20_is_semi_join_chain(spark, sf_smoke):
+    """Q20's nested IN-subqueries must plan as a left-semi membership join
+    with the part filter broadcast - no row duplication into the supplier
+    output, no cartesian."""
+    plan = _plan(spark, "tpch_q20_excess_stock", sf_smoke, mode="simple")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q16_dedups_pairs_before_counting(spark, sf_smoke):
     """Q16 must reduce lineitem to the distinct part-supplier relationship
     (HashAggregate) before joining part, and keep the exclusion anti-join."""
