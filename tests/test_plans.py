@@ -136,6 +136,39 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_smoke, tmp_path):
     assert "o_orderstatus" in pf, f"partition filter not pushed: {pf!r}"
 
 
+def test_runtime_bloom_filter_injection(spark, sf_smoke):
+    """With a selective build side and no broadcast, Catalyst must inject a
+    runtime Bloom filter (might_contain) on the probe side - at 100 TB this
+    prunes most probe rows BEFORE the shuffle instead of after the join."""
+    from bee_proof_spark.queries import tbl
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = tbl(spark, sf_smoke, "lineitem")
+        orders = tbl(spark, sf_smoke, "orders").filter("o_orderstatus = 'F'")
+        df = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+        plan = df._jdf.queryExecution().explainString(jmode)
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_dynamic_partition_pruning(spark, sf_smoke, tmp_path):
     """Joining a partitioned fact to a filtered dim on the partition column
     must inject a dynamicpruningexpression into the fact scan's
