@@ -371,3 +371,67 @@ def ext_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 4).alias("dup_ratio"),
         (ratio <= 0.8).alias("keep"),
     )
+
+
+_TFIDF_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+  FROM tf JOIN df USING (word), n
+),
+ranked AS (
+  SELECT doc_id, word, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+  FROM scored
+)
+SELECT doc_id, word, tfidf, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("ext_text_tfidf", oracle=_TFIDF_ORACLE)
+def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 terms per document by smoothed
+    tf * ln((N+1)/(df+1)) - the classic relevance/keyword signal for corpus
+    curation and retrieval indexing.
+
+    Scale shape: ONE shuffle builds the (doc, word, tf) table; document
+    frequencies re-aggregate that (vocabulary-sized) table, and the idf map
+    joins back by word - vocabulary is small relative to the corpus, so at
+    100 TB the idf side broadcasts. Ranking happens on the 4dp-ROUNDED
+    score with a word tie-break, so cross-engine libm ulp differences in
+    ln() cannot reorder the top-k (the repo's float-ranking discipline).
+    """
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "word")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "word", "tfidf", "rnk")
+    )
