@@ -404,22 +404,31 @@ def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf * ln((N+1)/(df+1)) - the classic relevance/keyword signal for corpus
     curation and retrieval indexing.
 
-    Scale shape: ONE shuffle builds the (doc, word, tf) table; document
-    frequencies re-aggregate that (vocabulary-sized) table, and the idf map
-    joins back by word - vocabulary is small relative to the corpus, so at
-    100 TB the idf side broadcasts. Ranking happens on the 4dp-ROUNDED
-    score with a word tie-break, so cross-engine libm ulp differences in
-    ln() cannot reorder the top-k (the repo's float-ranking discipline).
+    Scale shape: ONE shuffle builds the (doc, word, tf) table, which is
+    checkpointed because two genuinely different aggregates consume it (the
+    df rollup and the scoring join) - without the barrier, column pruning
+    makes the two subtrees non-identical and ReusedExchange cannot fire, so
+    the corpus-sized explode+shuffle would silently run twice. The idf map
+    joins back by word WITHOUT a broadcast hint: vocabulary is usually small
+    enough to auto-broadcast, but a heavy-tailed 100 TB vocabulary must be
+    allowed to fall back to a shuffle join instead of hard-failing the 8 GB
+    broadcast limit. Ranking happens on the 4dp-ROUNDED score with a word
+    tie-break, so cross-engine libm ulp differences in ln() cannot reorder
+    the top-k (the repo's float-ranking discipline).
     """
     from pyspark.sql import Window
 
     d = tbl(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_tbl), "word")
+        tf.join(df_tbl, "word")
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",
