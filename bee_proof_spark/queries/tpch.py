@@ -456,8 +456,14 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+        # Two consumers (max scalar + supplier join): checkpoint so the
+        # lineitem scan+aggregate runs once (verified: without the barrier
+        # the pruned max-subtree blocks ReusedExchange and the corpus is
+        # scanned twice).
+        .localCheckpoint(eager=False)
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
     supp = tbl(spark, sf_dir, "supplier")
@@ -911,13 +917,19 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     li97 = tbl(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
-    shipped = li97.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("qty")
+    # Per-pair decimal sums are exact and associative, so the per-part total
+    # re-aggregates the (small) pair rollup instead of rescanning the corpus:
+    # one lineitem scan feeds both levels (checkpointed for its 2 consumers).
+    shipped0 = (
+        li97.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("qty_dec"))
+        .localCheckpoint(eager=False)
     )
-    tot = li97.groupBy(F.col("l_partkey").alias("tp")).agg(
-        (F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double") * 0.5).alias(
-            "half_qty"
-        )
+    shipped = shipped0.select(
+        "l_partkey", "l_suppkey", F.col("qty_dec").cast("double").alias("qty")
+    )
+    tot = shipped0.groupBy(F.col("l_partkey").alias("tp")).agg(
+        (F.sum("qty_dec").cast("double") * 0.5).alias("half_qty")
     )
     part_f = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt"))
     qualifying = (
