@@ -18,7 +18,13 @@ def main(argv: list[str]) -> int:
     if len(argv) != 1:
         print("usage: python -m bee_proof_spark.runner <manifest.json>", file=sys.stderr)
         return 2
-    manifest = Manifest.from_file(argv[0])
+    try:
+        manifest = Manifest.from_file(argv[0])
+    except (OSError, ValueError, KeyError) as ex:
+        # Missing file / bad JSON / missing required keys: clean CLI error,
+        # not a traceback - and no Spark session is ever started.
+        print(f"[ERROR] cannot load manifest {argv[0]}: {ex}", file=sys.stderr)
+        return 1
     reset_tmp_tree()
     spark = build_session(app_name="bee-proof-spark-runner")
     spark.sparkContext.setLogLevel("ERROR")

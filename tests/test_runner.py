@@ -299,3 +299,18 @@ def test_set_role_is_ignored_command(spark, runner_out):
     r.run_text("SET ROLE admin; SELECT 1 AS one")
     assert any("unsupported command" in ln for ln in lines)
     assert lines[-1] == "1"
+
+
+def test_cli_main_argv_and_manifest_errors(tmp_path, capsys):
+    """CLI exit codes without ever starting Spark: usage error -> 2; missing
+    or malformed manifest -> 1 with a clean [ERROR] line, not a traceback."""
+    from bee_proof_spark.runner.__main__ import main
+
+    assert main([]) == 2
+    assert main(["a", "b"]) == 2
+    assert main([str(tmp_path / "nope.json")]) == 1
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert main([str(bad)]) == 1
+    err = capsys.readouterr().err
+    assert "[ERROR]" in err and "usage:" in err
