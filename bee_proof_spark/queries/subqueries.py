@@ -104,3 +104,34 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     in Spark and ANSI SQL)."""
     register_views(spark, sf_dir, ("orders", "customer"))
     return spark.sql(_SCALAR_SQL)
+
+
+# Recursive CTE (Spark 4.0+ WITH RECURSIVE): walk a synthetic parent tree
+# over customers (parent(k) = k div 10, roots are keys < 10) to the root.
+# The SAME text runs on both engines modulo the integer-division operator.
+_RECURSIVE_SQL_TMPL = """
+WITH RECURSIVE anc(custkey, anc_key, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 500
+  UNION ALL
+  SELECT custkey, anc_key {DIV} 10, depth + 1 FROM anc WHERE anc_key >= 10
+)
+SELECT custkey, anc_key AS root_key, depth AS depth_to_root
+FROM anc WHERE anc_key < 10
+"""
+
+
+@register("cte_recursive", oracle=_RECURSIVE_SQL_TMPL.replace("{DIV}", "//"))
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE hierarchy walk (Spark 4.0+): each customer key climbs
+    its synthetic parent chain (parent = key div 10) to the root, emitting
+    (custkey, root_key, depth) - the org-chart / BOM traversal shape SQL
+    engines historically punted to clients.
+
+    Scale notes: Spark executes each recursion step as a join of the
+    previous frontier against nothing here (pure column arithmetic), so the
+    work per step is one narrow projection of the surviving frontier; depth
+    is bounded by the key width (O(log10 maxkey) steps). General recursive
+    joins inherit the per-step shuffle economics of their step query.
+    """
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_RECURSIVE_SQL_TMPL.replace("{DIV}", "div"))
