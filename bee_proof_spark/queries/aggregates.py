@@ -394,3 +394,60 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F_qty").alias("qty_f"),
         F.col("O_qty").alias("qty_o"),
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer WHERE c_custkey < 100
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (Spark 4.0): ordered string aggregation -
+    the ANSI successor to collect_list + array_join (see agg_collect_sorted)
+    with the ordering declared in the aggregate itself.
+    """
+    tbl(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100).createOrReplaceTempView(
+        "cust_listagg_src"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names
+        FROM cust_listagg_src GROUP BY c_mktsegment
+        """
+    )
+
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+         count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'urgent' AS priority, urgent AS n FROM wide
+UNION ALL
+SELECT o_orderstatus, 'low', low FROM wide
+"""
+
+
+@register("agg_unpivot", oracle=_UNPIVOT_ORACLE)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (Spark 3.4+): wide-to-long melt, the inverse of agg_pivot.
+    The oracle expresses the same melt as a portable UNION ALL.
+
+    Scale notes: unpivot is a per-row expand (stack) - no shuffle beyond
+    the feeding aggregate; output rows = input rows x melted columns.
+    """
+    orders = tbl(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("urgent"),
+        F.count(F.when(F.col("o_orderpriority") == "5-LOW", 1)).alias("low"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"], ["urgent", "low"], "priority", "n"
+    )

@@ -632,3 +632,32 @@ def fn_string_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name"), F.lit(None), F.lit(None), F.lit("*"), F.lit(None)
         ).alias("digits_starred"),
     )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract(props, '$.k') as bigint) AS k_val,
+           (json_extract(props, '$.missing') IS NULL) AS missing_is_null
+    FROM events
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4.0): parse_json into an open
+    VARIANT value, typed extraction via variant_get with path syntax -
+    the schema-on-read column for ragged metadata (the binary-encoded
+    successor to string-JSON get_json_object, see fn_json_get).
+
+    Scale notes: VARIANT stores a parsed binary encoding, so repeated path
+    extraction skips re-tokenizing the JSON text per access; both the parse
+    and the gets are codegen expressions on the scan - no shuffle, no UDF.
+    """
+    e = tbl(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'string')")
+        .isNull()
+        .alias("missing_is_null"),
+    )
