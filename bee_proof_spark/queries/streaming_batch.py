@@ -390,3 +390,54 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("event_id").alias("last_event_id"),
     )
+
+
+_DYN_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         epoch(ts) + CASE WHEN event_type = 'click' THEN 600 ELSE 1800 END AS ev_end,
+         epoch(ts) AS ev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN max(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR ev_ts >= max(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+islands AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id, cast(min(ts) as varchar) AS session_start, count(*) AS n_events
+FROM islands GROUP BY user_id, session_no
+"""
+
+
+@register("stream_session_dynamic_gap", oracle=_DYN_SESSION_ORACLE)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap (session_window with an
+    expression gap): clicks time out after 10 minutes, everything else after
+    30 - engagement-dependent sessionization no fixed-gap window expresses.
+
+    The oracle rebuilds the same sessions with gaps-and-islands over a
+    running max of per-event session ends (an event opens [ts, ts+gap);
+    overlapping windows merge, so a new session starts exactly when an
+    event's time reaches the running max end).
+    """
+    e = tbl(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "click", "10 minutes").otherwise("30 minutes")
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_events",
+        )
+    )
