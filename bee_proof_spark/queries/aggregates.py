@@ -451,3 +451,41 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["o_orderstatus"], ["urgent", "low"], "priority", "n"
     )
+
+
+_HLL_MERGE_ORACLE = """
+SELECT cast(count(DISTINCT o_custkey) as bigint) AS exact_distinct,
+       true AS within_5pct
+FROM orders
+"""
+
+
+@register("agg_hll_sketch_merge", oracle=_HLL_MERGE_ORACLE)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Spark 3.5 datasketches): per-status customer
+    sketches union into a global estimate WITHOUT re-touching the data -
+    the re-aggregatable rollup primitive (daily sketches -> monthly rollup)
+    that plain count(DISTINCT) cannot provide at 100 TB.
+
+    Invariant oracle: the output carries the EXACT distinct count plus a
+    within-5% flag for the merged estimate; the oracle asserts the exact
+    value and that the estimate quality bound holds (the sketch estimate
+    itself is implementation-specific, so it is checked, not emitted).
+    """
+    orders = tbl(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_orderstatus").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    merged = per_status.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = orders.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
+    )
