@@ -135,3 +135,28 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ("customer",))
     return spark.sql(_RECURSIVE_SQL_TMPL.replace("{DIV}", "div"))
+
+
+_PARAM_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 300000 AND o_orderstatus = 'O'
+"""
+
+
+@register("sql_named_parameters", oracle=_PARAM_ORACLE)
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+): named parameter markers bound via
+    spark.sql(..., args=...) - the injection-safe successor to textual
+    ${VAR} substitution (which the runner still provides for Hive-script
+    parity, see runner/substitution.py).
+
+    Parameters are bound as literals in the parsed plan, so Catalyst
+    constant-folds and pushes them down exactly like inline literals.
+    """
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > :min_price AND o_orderstatus = :status",
+        args={"min_price": 300000, "status": "O"},
+    )
