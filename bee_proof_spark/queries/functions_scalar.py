@@ -661,3 +661,33 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isNull()
         .alias("missing_is_null"),
     )
+
+
+@register(
+    "fn_xml_parse",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract(props, '$.k') as bigint) AS k_from_xml
+    FROM events
+    """,
+)
+def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML parsing (from_xml, Spark 4.0): each row's metadata is rendered as
+    an XML fragment and parsed back with a declared schema - the
+    schema-on-read path for XML feeds (the third serialization surface next
+    to JSON get/variant and CSV).
+
+    The struct result is consumed via field extraction (complex outputs are
+    driver-unhashable); the oracle derives the same value from the original
+    JSON. All codegen scan expressions: no shuffle, no UDF.
+    """
+    e = tbl(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<r><k>"),
+        F.get_json_object("props", "$.k"),
+        F.lit("</k></r>"),
+    )
+    return e.select(
+        "event_id",
+        F.from_xml(xml, "k BIGINT").getField("k").alias("k_from_xml"),
+    )
