@@ -691,3 +691,61 @@ def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.from_xml(xml, "k BIGINT").getField("k").alias("k_from_xml"),
     )
+
+
+@register(
+    "fn_try_ansi_safe",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 10) END AS safe_div,
+           TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast,
+           TRY_CAST(cast(o_orderkey as varchar) AS INTEGER) AS good_cast
+    FROM orders
+    """,
+)
+def fn_try_ansi_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* ANSI-safe functions (Spark 3.4+): NULL instead of a runtime
+    error on division by zero and invalid casts - the functions that make a
+    pipeline survive ANSI mode (the driver runs ANSI-on Spark 4 defaults,
+    where plain '/' by zero and bad CASTs THROW).
+    """
+    o = tbl(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        # Raw double division: identical IEEE result on both engines (4dp
+        # rounding would diverge on .xxxx5 boundaries - see project memory).
+        F.expr("try_divide(o_totalprice, o_orderkey % 10)").alias("safe_div"),
+        F.expr("try_cast(o_orderstatus AS int)").alias("bad_cast"),
+        F.expr("try_cast(cast(o_orderkey AS string) AS int)").alias("good_cast"),
+    )
+
+
+@register(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name AS plain, true AS roundtrip_ok
+    FROM customer WHERE c_custkey < 200
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption (aes_encrypt/aes_decrypt, Spark 3.3+): the
+    at-rest protection surface for sensitive columns (see also
+    fn_string_mask for redaction). ECB keeps the demo deterministic; real
+    deployments use the default GCM (random IV) and compare post-decrypt.
+
+    Invariant oracle: decrypt(encrypt(x)) == x for every row - the
+    ciphertext itself is key/implementation-specific, so it is checked,
+    not emitted.
+    """
+    c = tbl(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    key = "0123456789abcdef"  # 16-byte demo key (AES-128)
+    enc = F.expr(f"aes_encrypt(c_name, '{key}', 'ECB')")
+    dec = F.expr(
+        f"cast(aes_decrypt(aes_encrypt(c_name, '{key}', 'ECB'), '{key}', 'ECB') as string)"
+    )
+    return c.select(
+        "c_custkey",
+        F.col("c_name").alias("plain"),
+        (dec == F.col("c_name")).alias("roundtrip_ok"),
+    )
