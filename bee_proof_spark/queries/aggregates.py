@@ -489,3 +489,29 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_distinct")
         ).alias("within_5pct"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           cast(grouping(l_returnflag) as int) AS g_flag,
+           cast(grouping(l_linestatus) as int) AS g_status,
+           cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) as bigint) AS gid,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() / grouping_id() over ROLLUP: the functions that let a
+    consumer tell a real NULL group from a subtotal row (Hive 0.13 surface;
+    every BI rollup sheet depends on them). The oracle derives grouping_id
+    from the per-column grouping bits (same bit order in both engines).
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "gid", "n")

@@ -195,3 +195,33 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           nth_value(o_totalprice, 3) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_highest
+    FROM orders
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a full-frame window: each order sees its customer's
+    third-highest order value (NULL for customers with fewer than three) -
+    the positional window accessor beyond first/last (win_first_last).
+    """
+    o = tbl(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.nth_value("o_totalprice", 3).over(w).alias("third_highest"),
+    )
