@@ -410,14 +410,14 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ANSI successor to collect_list + array_join (see agg_collect_sorted)
     with the ordering declared in the aggregate itself.
     """
-    tbl(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100).createOrReplaceTempView(
-        "cust_listagg_src"
-    )
+    from bee_proof_spark.queries import register_views
+
+    register_views(spark, sf_dir, ("customer",))
     return spark.sql(
         """
         SELECT c_mktsegment,
                listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names
-        FROM cust_listagg_src GROUP BY c_mktsegment
+        FROM customer WHERE c_custkey < 100 GROUP BY c_mktsegment
         """
     )
 

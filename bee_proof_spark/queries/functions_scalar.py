@@ -740,7 +740,6 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = tbl(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
     key = "0123456789abcdef"  # 16-byte demo key (AES-128)
-    enc = F.expr(f"aes_encrypt(c_name, '{key}', 'ECB')")
     dec = F.expr(
         f"cast(aes_decrypt(aes_encrypt(c_name, '{key}', 'ECB'), '{key}', 'ECB') as string)"
     )

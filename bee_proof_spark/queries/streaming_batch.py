@@ -70,19 +70,19 @@ def stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_batch",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events
     ),
     flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
                   THEN 1 ELSE 0 END AS is_new
       FROM ordered
     ),
     islands AS (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
       FROM flagged
     )
@@ -400,7 +400,7 @@ WITH ordered AS (
   FROM events
 ),
 flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN max(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
               OR ev_ts >= max(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -410,7 +410,7 @@ flagged AS (
 ),
 islands AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
   FROM flagged
 )

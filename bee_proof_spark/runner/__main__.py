@@ -20,9 +20,10 @@ def main(argv: list[str]) -> int:
         return 2
     try:
         manifest = Manifest.from_file(argv[0])
-    except (OSError, ValueError, KeyError) as ex:
-        # Missing file / bad JSON / missing required keys: clean CLI error,
-        # not a traceback - and no Spark session is ever started.
+    except (OSError, ValueError, TypeError, AttributeError) as ex:
+        # Missing file, bad JSON, or valid JSON of the wrong shape (a list,
+        # non-dict tasks, ...): clean CLI error, not a traceback - and no
+        # Spark session is ever started.
         print(f"[ERROR] cannot load manifest {argv[0]}: {ex}", file=sys.stderr)
         return 1
     reset_tmp_tree()

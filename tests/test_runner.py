@@ -312,5 +312,9 @@ def test_cli_main_argv_and_manifest_errors(tmp_path, capsys):
     bad = tmp_path / "bad.json"
     bad.write_text("{not json")
     assert main([str(bad)]) == 1
+    # valid JSON, wrong shape: a top-level list / non-dict task entries
+    for content in ("[]", '{"tasks": [42]}'):
+        bad.write_text(content)
+        assert main([str(bad)]) == 1
     err = capsys.readouterr().err
     assert "[ERROR]" in err and "usage:" in err
