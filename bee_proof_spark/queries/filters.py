@@ -212,3 +212,30 @@ def distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, F.col("l_suppkey"))
         .sortWithinPartitions("l_suppkey", "l_orderkey")
     )
+
+
+@register(
+    "order_by_nulls_placement",
+    oracle="""
+    SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_or_null
+    FROM orders
+    ORDER BY nullif(o_orderstatus, 'O') DESC NULLS LAST, o_orderkey
+    LIMIT 50
+    """,
+)
+def order_by_nulls_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in ORDER BY (NULLS FIRST/LAST): engines
+    disagree on the default (Hive/Spark put NULLs first ascending, DuckDB
+    last), so portable ordered output MUST pin placement explicitly - this
+    query pins DESC NULLS LAST with a total key tie-break, making the
+    LIMIT deterministic on both engines.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    status_or_null = F.nullif("o_orderstatus", F.lit("O"))
+    return (
+        o.select("o_orderkey", status_or_null.alias("status_or_null"))
+        .orderBy(
+            F.col("status_or_null").desc_nulls_last(), F.col("o_orderkey").asc()
+        )
+        .limit(50)
+    )
