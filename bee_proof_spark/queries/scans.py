@@ -34,9 +34,26 @@ def _scratch(name: str, sf_dir: str = "") -> str:
     not rmtree/rewrite the directory a first caller has yet to collect from.
     """
     leaf = name if not sf_dir else f"{name}-{os.path.basename(sf_dir.rstrip('/'))}"
-    path = os.path.join(
-        tempfile.gettempdir(), "bee-proof-tmp", "sinks", f"pid{os.getpid()}", leaf
-    )
+    sinks = os.path.join(tempfile.gettempdir(), "bee-proof-tmp", "sinks")
+    # Reclaim other processes' pid dirs once they age out (crashed or exited
+    # runs never clean up after themselves; unbounded /tmp growth otherwise).
+    # The 1-hour gate protects any live run's lazily-read sinks; our own pid
+    # dir is exempt regardless of age.
+    import time as _time
+
+    mine = f"pid{os.getpid()}"
+    try:
+        entries = os.listdir(sinks)
+    except OSError:
+        entries = []
+    for entry in entries:
+        p = os.path.join(sinks, entry)
+        try:
+            if entry != mine and _time.time() - os.stat(p).st_mtime > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    path = os.path.join(sinks, mine, leaf)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path

@@ -133,9 +133,16 @@ class ScriptRunner:
         # Expose the task-level hivevar namespace to SET display lookups so
         # 'SET hivevar:NAME' prints what ${NAME} would substitute.
         self.setproc.task_variables = dict(variables or {})
+        # Hivevar scoping parity: the reference builds a fresh CliDriver per
+        # task and setHiveVariables() REPLACES the session hivevar map
+        # (ManifestRunner.java executeScript), so SET hivevar: definitions
+        # from one script never leak into the next script or shadow a later
+        # task's manifest variables. Reset the SET-defined namespace here so
+        # each script starts from exactly its task's manifest variables.
+        self.setproc.variables = {}
         for stmt in split_statements(text):
             # hivevar namespace = manifest task variables overridden by any
-            # SET hivevar:NAME=... executed earlier in the session.
+            # SET hivevar:NAME=... executed earlier in THIS script.
             merged_vars = {**(variables or {}), **self.setproc.variables}
             try:
                 sub = substitute(stmt.text, merged_vars, self.setproc.local_conf)

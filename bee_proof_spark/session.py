@@ -89,24 +89,43 @@ def build_session(
         # getOrCreate() on a live session silently ignores every requested
         # conf (profile switches would be no-ops). Apply the runtime-settable
         # ones explicitly; warn when a static conf (warehouse, catalog) can't
-        # be changed and differs from what was asked for.
+        # be changed and differs from what was asked for, and ALSO warn when
+        # a runtime conf is being flipped on a session this call did not
+        # create (e.g. a profile='parity' call silently disabling AQE/
+        # broadcast for an unrelated caller sharing the session). Keys the
+        # caller explicitly passed via extra_conf are applied without the
+        # mutation warning - the caller asked for exactly those.
         import warnings
 
+        explicit = set(extra_conf or ())
+        mutated: list[str] = []
         for k, v in conf.items():
             try:
-                active.conf.set(k, v)
+                current = active.conf.get(k)
             except Exception:
-                try:
-                    current = active.conf.get(k)
-                except Exception:
-                    current = None
-                if current != v:
+                current = None
+            try:
+                active.conf.set(k, v)
+                if current is not None and current != v and k not in explicit:
+                    mutated.append(f"{k}: {current!r} -> {v!r}")
+            except Exception:
+                # Spark surfaces path-valued static confs as file: URIs;
+                # normalize so an equal path never false-positives the warn.
+                norm = lambda s: s.removeprefix("file:") if isinstance(s, str) else s  # noqa: E731
+                if norm(current) != norm(v):
                     warnings.warn(
                         f"build_session: static conf {k}={current!r} on the "
                         f"live session differs from requested {v!r}; "
                         "stop the session to apply it",
                         stacklevel=2,
                     )
+        if mutated:
+            warnings.warn(
+                "build_session: reusing the live SparkSession and changing "
+                "its runtime conf (shared by every other caller of this "
+                f"session): {'; '.join(mutated)}",
+                stacklevel=2,
+            )
         return active
 
     builder = SparkSession.builder.appName(app_name).master(master)

@@ -63,15 +63,25 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{os.path.basename(sf_dir)}-{fp}",
     )
     marker = os.path.join(snap, "_SUCCESS")
-    # Sweep orphaned work dirs from crashed builders (their pids never
-    # revisit these paths); age-gate so a LIVE builder's dir is never swept.
-    import glob as _glob
+    # Sweep EVERYTHING old in the stream-src parent, not just entries
+    # sharing the current fingerprint prefix: snapshots keyed by older
+    # fingerprints (changed fixture mtime/size) and build/stale dirs from
+    # crashed builders would otherwise accumulate forever. The 1-hour age
+    # gate keeps any LIVE builder's or reader's dir safe (replays finish in
+    # seconds); the current snapshot is explicitly exempt so a long-lived
+    # process doesn't rebuild it after an hour.
     import time as _time2
 
-    for orphan in _glob.glob(f"{snap}.build-*") + _glob.glob(f"{snap}.stale-*"):
+    parent = os.path.dirname(snap)
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        entries = []
+    for name in entries:
+        p = os.path.join(parent, name)
         try:
-            if _time2.time() - os.stat(orphan).st_mtime > 3600:
-                shutil.rmtree(orphan, ignore_errors=True)
+            if p != snap and _time2.time() - os.stat(p).st_mtime > 3600:
+                shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass
     if not os.path.exists(marker):

@@ -22,14 +22,19 @@ from bee_proof_spark.queries import TABLES, QuerySpec
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Fresh in-memory DuckDB with fixture tables registered as views."""
+    import os
+
     con = duckdb.connect()
     for name in TABLES:
-        try:
-            con.execute(
-                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
-            )
-        except duckdb.IOException:
-            pass  # partial fixture dir (edge-case tests); absent tables stay unregistered
+        path = f"{sf_dir}/{name}.parquet"
+        if not os.path.exists(path):
+            continue  # partial fixture dir (edge-case tests); absent tables stay unregistered
+        # A file that EXISTS but fails to read is a real error (corrupt
+        # fixture): re-raise instead of silently skipping, which would later
+        # surface as a confusing 'table does not exist' in the oracle query.
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
     return con
 
 

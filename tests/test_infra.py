@@ -1,0 +1,75 @@
+"""Verification-infrastructure contracts: the oracle harness and session
+profile helpers must fail loudly, not mask defects (round-2 advice items)."""
+
+from __future__ import annotations
+
+import warnings
+
+import duckdb
+import pytest
+
+from bee_proof_spark.queries import QuerySpec
+from bee_proof_spark.session import build_session
+from bee_proof_spark.testing import compare_to_oracle, duckdb_connect
+
+
+def test_duckdb_connect_skips_absent_tables(tmp_path):
+    """A partial fixture dir (edge-case tests write only documents.parquet)
+    registers just the present tables, silently."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"doc_id": pa.array([1], pa.int64())}),
+                   str(tmp_path / "documents.parquet"))
+    con = duckdb_connect(str(tmp_path))
+    assert con.execute("SELECT count(*) FROM documents").fetchone()[0] == 1
+    with pytest.raises(duckdb.CatalogException):
+        con.execute("SELECT * FROM lineitem")
+
+
+def test_duckdb_connect_raises_on_corrupt_fixture(tmp_path):
+    """A parquet file that EXISTS but cannot be read must raise the real I/O
+    error, not silently skip into a later 'table does not exist'."""
+    (tmp_path / "documents.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(duckdb.Error):
+        duckdb_connect(str(tmp_path))
+
+
+def test_rows_only_specs_reject_complex_outputs(spark, sf_smoke):
+    """The driver's row-hash cannot canonicalize array/map/struct cells, and
+    rows-only (oracle=None) ids skip the oracle compare - so the complex-type
+    gate must fire for them too, at pytest time, not first in the driver run."""
+    from pyspark.sql import functions as F
+
+    spec = QuerySpec(
+        "rows_only_array_probe",
+        lambda s, d: s.range(3).select(F.array("id").alias("a")),
+        oracle=None,
+    )
+    ok, msg = compare_to_oracle(spark, spec, sf_smoke)
+    assert not ok
+    assert "complex-typed" in msg
+
+
+def test_build_session_warns_on_live_runtime_mutation(spark):
+    """Reusing a live session while flipping its runtime conf must warn (the
+    mutation is visible to every other caller of the shared session); keys
+    the caller passed via extra_conf are applied silently."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        with pytest.warns(UserWarning, match="autoBroadcastJoinThreshold"):
+            build_session(profile="parity")  # flips broadcast/AQE pins
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # no warning may escape
+            build_session(
+                profile="perf",
+                extra_conf={
+                    "spark.sql.autoBroadcastJoinThreshold": "10m",
+                    "spark.sql.adaptive.skewJoin.enabled": "true",
+                },
+            )
+    finally:
+        build_session(
+            profile="perf",
+            extra_conf={"spark.sql.autoBroadcastJoinThreshold": before},
+        )

@@ -284,6 +284,26 @@ def test_set_hivevar_overrides_manifest_variable(spark, runner_out):
     assert lines == ["set-wins"]
 
 
+def test_set_hivevar_scoped_to_script(spark, runner_out):
+    """SET hivevar: definitions die with their script: the reference builds
+    a fresh CliDriver per task and setHiveVariables() REPLACES the hivevar
+    map (ManifestRunner.java executeScript), so a SET from script 1 must not
+    shadow script 2's manifest variable nor survive into a script that
+    doesn't define the variable at all."""
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=True, verbose=False, out=out)
+    r.run_text("SET hivevar:V='stale'; SELECT ${V} AS v", {"V": "'manifest1'"})
+    assert lines == ["stale"]
+    lines.clear()
+    r.run_text("SELECT ${V} AS v", {"V": "'manifest2'"})
+    assert lines == ["manifest2"]
+    lines.clear()
+    # No definition anywhere: unresolved ${...} stays verbatim (Hive keeps
+    # unresolved references as-is; inside a string literal it is visible).
+    r.run_text("SELECT '${V}' AS v")
+    assert lines == ["${V}"]
+
+
 def test_cyclic_substitution_aborts_script(spark, runner_out):
     lines, out = runner_out
     r = ScriptRunner(spark, execute=True, verbose=False, out=out)
