@@ -46,8 +46,9 @@ _REGISTRY = load_all()
 # The r1 driver run recorded CORRECTNESS rows for only the first 50 entries
 # of queries(), so dict order IS the test schedule. Order: (0) ids fixed or
 # newly oracled this round, (1) never-driver-tested ids that have oracles
-# (family-prioritized), (2) rows-only ids, (3) ids already driver-green in a
-# previous round (re-verify last).
+# (family-prioritized), (2) ids already driver-green in a previous round
+# (re-verify once untested ids run out), (3) rows-only ids last (their
+# ledger row is err=no_oracle forever - a front-50 slot is wasted on them).
 
 _FRONT = [
     # r1 FAILs, fixed (array outputs serialized / scalarized)
@@ -119,8 +120,12 @@ def _ordered_ids() -> list[str]:
         if spec.oracle is not None and qid not in green:
             return (1, 0, fam, idx)
         if spec.oracle is None:
-            return (3, 0, fam, idx)
-        return (4, 0, fam, idx)
+            # permanent rows-only rows sort LAST: once every oracled id is
+            # green, front-50 slots should re-verify greens (which can
+            # regress) before burning on ids whose ledger row can never
+            # change from err=no_oracle
+            return (4, 0, fam, idx)
+        return (3, 0, fam, idx)
 
     return [qid for _, qid in sorted(enumerate(ids), key=key)]
 
