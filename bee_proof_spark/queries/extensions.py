@@ -240,13 +240,6 @@ def minhash_from_postings(postings: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_signatures(doc_df: DataFrame) -> DataFrame:
-    """doc_id + mh0..mh{k-1} MinHash signature columns (one shingle explode)."""
-    return minhash_from_postings(
-        _shingles(doc_df).select("doc_id", F.explode("shingles").alias("shingle"))
-    )
-
-
 def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs from banded MinHash signatures.
 
@@ -291,12 +284,13 @@ def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle-checkable twin is ext_dedup_fuzzy_verified (exact-Jaccard
     verification of these candidates).
     """
-    d = tbl(spark, sf_dir, "documents")
-    # NOTE: no checkpoint here on purpose - the three sig consumers (band
-    # fan-out + both pair-side rejoins) share the aggregate via Spark's
-    # ReusedExchange; measured, an explicit localCheckpoint is SLOWER (it
-    # adds a job boundary and breaks whole-stage pipelining).
-    sig = minhash_signatures(d).select(
+    # Signatures read the family-shared postings checkpoint: MinHash is a
+    # min over the shingle SET, so distinct postings give identical output
+    # to a raw re-explode, and the corpus scan+explode is paid once per
+    # (app, corpus) across the whole dedup family (measured 2.5x faster on
+    # warm runs at sf0.1, byte-identical pairs). A per-call localCheckpoint
+    # was a pessimization (it broke pipelining); a memoized one is not.
+    sig = minhash_from_postings(shared_shingle_postings(spark, sf_dir)).select(
         "doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)]).alias("sig")
     )
     pairs = _lsh_candidate_pairs(sig)
@@ -387,7 +381,7 @@ def simhash_signatures(doc_df: DataFrame) -> DataFrame:
 
     Each of the 64 bit-votes is a conditional sum over the token rows -
     one hash aggregate, shuffle input = token rows exactly (the same k-aggs
-    pattern minhash_signatures uses). The old explode(sequence(0,63)) form
+    pattern minhash_from_postings uses). The old explode(sequence(0,63)) form
     multiplied shuffle input 64x; at 100 TB that amplification is the
     difference between a pass and a dead stage.
 

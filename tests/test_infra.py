@@ -51,6 +51,26 @@ def test_rows_only_specs_reject_complex_outputs(spark, sf_smoke):
     assert "complex-typed" in msg
 
 
+def test_family_cache_materializes_once(spark, sf_smoke):
+    """The near-dup family's shared intermediates (shingle postings, jaccard
+    pairs) are checkpointed once per (app, corpus): repeat calls return the
+    SAME checkpointed DataFrame, so ext_dedup_cluster's edge list reuses the
+    pipeline instead of rebuilding it (r2 bench: 13.6 s -> ~3 s)."""
+    from bee_proof_spark.queries.extensions import (
+        jaccard_pairs,
+        shared_shingle_postings,
+    )
+
+    p1 = shared_shingle_postings(spark, sf_smoke)
+    p2 = shared_shingle_postings(spark, sf_smoke)
+    assert p1 is p2
+    j1 = jaccard_pairs(spark, sf_smoke)
+    assert j1 is jaccard_pairs(spark, sf_smoke)
+    # The checkpointed table is a materialized RDD scan, not a re-derivation
+    # of the corpus parquet.
+    assert "ExistingRDD" in j1._jdf.queryExecution().executedPlan().toString()
+
+
 def test_build_session_warns_on_live_runtime_mutation(spark):
     """Reusing a live session while flipping its runtime conf must warn (the
     mutation is visible to every other caller of the shared session); keys
