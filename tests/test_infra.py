@@ -51,6 +51,20 @@ def test_rows_only_specs_reject_complex_outputs(spark, sf_smoke):
     assert "complex-typed" in msg
 
 
+def test_bench_queries_are_registered():
+    """Every id bench.py times must exist in the registry — a rename that
+    silently drops a query from the driver's per-round bench is a regression
+    the JSON artifact would never surface."""
+    import bench
+
+    from bee_proof_spark.queries import load_all
+
+    reg = load_all()
+    missing = [q for q in bench.BENCH_QUERIES if q not in reg]
+    assert not missing, f"bench queries not registered: {missing}"
+    assert not set(bench.STABLE_QUERIES) & set(bench.TAIL_QUERIES)
+
+
 def test_family_cache_materializes_once(spark, sf_smoke):
     """The near-dup family's shared intermediates (shingle postings, jaccard
     pairs) are checkpointed once per (app, corpus): repeat calls return the
