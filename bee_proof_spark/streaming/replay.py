@@ -144,6 +144,14 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise RuntimeError(
                     f"stream snapshot at {snap} is incomplete and could not be replaced"
                 )
+    # Refresh the snapshot DIR's mtime on every use so the age sweep above
+    # reads as "unused for 1h": a long-lived process replaying an old
+    # snapshot keeps it alive against concurrent sweepers. Part-file mtimes
+    # (the replay-order contract) live inside the dir and are untouched.
+    try:
+        os.utime(snap, None)
+    except OSError:
+        pass
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
