@@ -36,6 +36,12 @@ _COMMON_CONF: dict[str, str] = {
     # Local-mode shuffle sizing; a real cluster would size this to cores*2-3
     # or rely on AQE coalescing.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Local mode runs all 32 executor threads inside ONE driver JVM whose
+    # default heap is 1g - far below what 32-way shuffles need (measured:
+    # window aggs over a 6M-row fixture OOM at 1g, breeze at 8g). Only read
+    # at JVM launch, so it applies to sessions this process creates; a live
+    # session keeps its own (static-conf warn path).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # Arrow for any pandas interchange (UDF paths).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Keep the UI off in tests/bench.
