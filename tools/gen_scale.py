@@ -1,0 +1,117 @@
+"""Generate a 10x-scale fixture set under /tmp/sfbig and re-time the heavy
+operators against it (the SCALE.md "10x scale probe" evidence).
+
+Replication is semantics-preserving at scale:
+
+- documents: 10 replicas per doc with REPLICA-SALTED vocabulary (every word
+  suffixed `_<rep>`), so replicas share no shingles and the near-dup RATE
+  stays constant - a naive copy would make every doc a 10-way exact dup and
+  quadratically inflate the pair graph, testing nothing real.
+- lineitem/orders: order keys remapped `k*10+rep` so join fan-out per key is
+  unchanged; customer/part/supplier dims stay as-is (10x orders/customer is
+  a realistic growth axis).
+- embeddings: vec_id remapped, deterministic per-replica perturbation so
+  vectors are distinct but the space keeps its cluster structure.
+
+Usage:
+    python tools/gen_scale.py            # generate + probe
+    python tools/gen_scale.py --gen-only
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sfbig"
+
+PROBE_QUERIES = [
+    "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q18_large_volume",
+    "agg_skew_salted", "win_topk_per_group", "ext_dedup_exact",
+    "ext_text_wordcount", "ext_dedup_fuzzy", "ext_dedup_fuzzy_verified",
+    "ext_dedup_cluster", "ext_decontaminate", "ext_knn_cosine",
+    "ext_chunk_documents", "ext_pack_sequences",
+]
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    rep = spark.range(10).withColumnRenamed("id", "rep")
+
+    def rd(name):
+        return spark.read.parquet(f"{SRC}/{name}.parquet")
+
+    d = rd("documents").crossJoin(F.broadcast(rep)).select(
+        (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+        F.array_join(
+            F.expr("transform(split(text, ' '), w -> concat(w, '_', rep))"), " "
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    d.repartition(32).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+    li = rd("lineitem").crossJoin(F.broadcast(rep))
+    li = li.withColumn("l_orderkey", F.col("l_orderkey") * 10 + F.col("rep")).drop("rep")
+    li.repartition(64).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+    o = rd("orders").crossJoin(F.broadcast(rep))
+    o = o.withColumn("o_orderkey", F.col("o_orderkey") * 10 + F.col("rep")).drop("rep")
+    o.repartition(32).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+
+    e = rd("embeddings").crossJoin(F.broadcast(rep)).select(
+        (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + cast(rep as float) * 1e-4 * cast(i % 7 as float))"
+        ).alias("embedding"),
+        "label",
+    )
+    e.repartition(32).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        rd(t).write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS) - byte-copy to preserve it.
+    shutil.copyfile(f"{SRC}/events.parquet", f"{DST}/events.parquet")
+
+
+def probe(spark) -> None:
+    from bee_proof_spark.queries import load_all
+
+    reg = load_all()
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def timed(qid: str, sf: str) -> float:
+        ts = []
+        for _ in range(2):  # min of two: first pass warms caches/codegen
+            t0 = time.perf_counter()
+            noop(reg[qid].builder(spark, sf))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    noop(reg["tpch_q1_pricing"].builder(spark, SRC))  # JVM warmup
+    print("%-26s %8s %8s %6s" % ("query", "sf0.1", "10x", "ratio"), flush=True)
+    for q in PROBE_QUERIES:
+        a, b = timed(q, SRC), timed(q, DST)
+        print("%-26s %8.2f %8.2f %6.1f" % (q, a, b, b / a), flush=True)
+
+
+def main() -> None:
+    # 32-way shuffles over the 10x set need a real heap (see SCALE.md).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    from bee_proof_spark.session import build_session
+
+    spark = build_session(app_name="bee-proof-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark)
+    if "--gen-only" not in sys.argv:
+        probe(spark)
+
+
+if __name__ == "__main__":
+    main()
