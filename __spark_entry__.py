@@ -44,11 +44,13 @@ _REGISTRY = load_all()
 
 # ---------------------------------------------------------------- ordering
 # The r1 driver run recorded CORRECTNESS rows for only the first 50 entries
-# of queries(), so dict order IS the test schedule. Order: (0) ids fixed or
-# newly oracled this round, (1) never-driver-tested ids that have oracles
-# (family-prioritized), (2) ids already driver-green in a previous round
-# (re-verify once untested ids run out), (3) rows-only ids last (their
-# ledger row is err=no_oracle forever - a front-50 slot is wasted on them).
+# of queries(), so dict order IS the test schedule. Sort-key buckets (the
+# first tuple element key() returns): (0) _FRONT ids fixed or newly oracled,
+# (1) never-driver-tested ids that have oracles (family-prioritized),
+# (2) untested _NEW_THIS_ROUND ids, (3) ids already driver-green in a
+# previous round (re-verify once untested ids run out), (4) rows-only ids
+# last (their ledger row is err=no_oracle forever - a front-50 slot is
+# wasted on them).
 
 _FRONT = [
     # r1 FAILs, fixed (array outputs serialized / scalarized)

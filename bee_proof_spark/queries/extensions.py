@@ -124,6 +124,14 @@ def _shingle_postings(d: DataFrame) -> DataFrame:
 #: process (TESTDATA.md), which is what makes per-path memoization sound.
 _FAMILY_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+#: Bound on cached checkpoints per process: a long-lived session sweeping
+#: many corpora (oracle sweeps over tmp fixtures, multi-sf benches) must not
+#: pin unbounded block-manager memory. FIFO eviction drops the dict's (and
+#: thus Python's) last reference; Spark's ContextCleaner releases the
+#: checkpoint blocks after GC unless a still-live derived plan holds the
+#: RDD - which is exactly when the blocks must survive anyway.
+_FAMILY_CACHE_MAX = 8
+
 
 def _family_checkpoint(spark: SparkSession, sf_dir: str, stage: str, build) -> DataFrame:
     app = spark.sparkContext.applicationId
@@ -134,6 +142,8 @@ def _family_checkpoint(spark: SparkSession, sf_dir: str, stage: str, build) -> D
     if df is None:
         df = build().localCheckpoint(eager=True)
         _FAMILY_CACHE[key] = df
+        while len(_FAMILY_CACHE) > _FAMILY_CACHE_MAX:
+            _FAMILY_CACHE.pop(next(iter(_FAMILY_CACHE)))
     return df
 
 

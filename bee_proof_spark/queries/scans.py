@@ -33,26 +33,21 @@ def _scratch(name: str, sf_dir: str = "") -> str:
     so a concurrent sweep at another scale factor (or another process) must
     not rmtree/rewrite the directory a first caller has yet to collect from.
     """
+    from bee_proof_spark.tmputil import pid_dir_alive, sweep_aged_dirs
+
     leaf = name if not sf_dir else f"{name}-{os.path.basename(sf_dir.rstrip('/'))}"
     sinks = os.path.join(tempfile.gettempdir(), "bee-proof-tmp", "sinks")
-    # Reclaim other processes' pid dirs once they age out (crashed or exited
-    # runs never clean up after themselves; unbounded /tmp growth otherwise).
-    # The 1-hour gate protects any live run's lazily-read sinks; our own pid
-    # dir is exempt regardless of age.
-    import time as _time
-
     mine = f"pid{os.getpid()}"
-    try:
-        entries = os.listdir(sinks)
-    except OSError:
-        entries = []
-    for entry in entries:
-        p = os.path.join(sinks, entry)
-        try:
-            if entry != mine and _time.time() - os.stat(p).st_mtime > 3600:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass
+    # Reclaim DEAD processes' pid dirs once they age out (crashed or exited
+    # runs never clean up after themselves; unbounded /tmp growth otherwise).
+    # A live pid's dir is never reclaimed regardless of age - its lazily-read
+    # sink DataFrames may still reference files there.
+    sweep_aged_dirs(
+        sinks,
+        exempt=(os.path.join(sinks, mine),),
+        max_age_s=3600,
+        keep=lambda p, age: pid_dir_alive(p),
+    )
     path = os.path.join(sinks, mine, leaf)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)

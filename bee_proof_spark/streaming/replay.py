@@ -63,27 +63,33 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{os.path.basename(sf_dir)}-{fp}",
     )
     marker = os.path.join(snap, "_SUCCESS")
-    # Sweep EVERYTHING old in the stream-src parent, not just entries
-    # sharing the current fingerprint prefix: snapshots keyed by older
-    # fingerprints (changed fixture mtime/size) and build/stale dirs from
-    # crashed builders would otherwise accumulate forever. The 1-hour age
-    # gate keeps any LIVE builder's or reader's dir safe (replays finish in
-    # seconds); the current snapshot is explicitly exempt so a long-lived
-    # process doesn't rebuild it after an hour.
-    import time as _time2
-
-    parent = os.path.dirname(snap)
-    try:
-        entries = os.listdir(parent)
-    except OSError:
-        entries = []
-    for name in entries:
-        p = os.path.join(parent, name)
+    # Refresh the current snapshot's mtime BEFORE sweeping: the sweep below
+    # (and any concurrent process's sweep) reads mtime age as "unused for
+    # that long", so touching first keeps this replay's snapshot out of
+    # every sweeper's kill window. Part-file mtimes (the deterministic
+    # replay-order contract) live inside the dir and are untouched.
+    if os.path.exists(marker):
         try:
-            if p != snap and _time2.time() - os.stat(p).st_mtime > 3600:
-                shutil.rmtree(p, ignore_errors=True)
+            os.utime(snap, None)
         except OSError:
             pass
+    # Sweep everything old in the stream-src parent, not just entries
+    # sharing the current fingerprint prefix: snapshots keyed by older
+    # fingerprints (changed fixture mtime/size) and build/stale dirs from
+    # crashed builders would otherwise accumulate forever. Incomplete dirs
+    # (no _SUCCESS) are orphans after 1h; COMPLETE snapshots get a 24h grace
+    # window because another process may still be replaying one (a replay
+    # touches its snapshot's mtime first, so only a reader that has been
+    # streaming for >24h straight could ever lose its files).
+    from bee_proof_spark.tmputil import sweep_aged_dirs
+
+    sweep_aged_dirs(
+        os.path.dirname(snap),
+        exempt=(snap,),
+        max_age_s=3600,
+        keep=lambda p, age: age < 86400
+        and os.path.exists(os.path.join(p, "_SUCCESS")),
+    )
     if not os.path.exists(marker):
         # The snapshot path is SHARED across processes (a concurrent pytest +
         # sweep both replay it): build in a pid-unique dir, then atomically
@@ -144,14 +150,6 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise RuntimeError(
                     f"stream snapshot at {snap} is incomplete and could not be replaced"
                 )
-    # Refresh the snapshot DIR's mtime on every use so the age sweep above
-    # reads as "unused for 1h": a long-lived process replaying an old
-    # snapshot keeps it alive against concurrent sweepers. Part-file mtimes
-    # (the replay-order contract) live inside the dir and are untouched.
-    try:
-        os.utime(snap, None)
-    except OSError:
-        pass
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -65,6 +65,64 @@ def test_bench_queries_are_registered():
     assert not set(bench.STABLE_QUERIES) & set(bench.TAIL_QUERIES)
 
 
+def test_sweep_aged_dirs_protections(tmp_path):
+    """The /tmp reclamation rules: age gate, exempt paths, keep predicate
+    (live pids; complete snapshots within their grace window)."""
+    import os
+    import time
+
+    from bee_proof_spark.tmputil import pid_dir_alive, sweep_aged_dirs
+
+    old = time.time() - 7200  # 2h ago
+    fresh_d = tmp_path / "fresh"
+    fresh_d.mkdir()
+    old_orphan = tmp_path / "orphan"
+    old_orphan.mkdir()
+    os.utime(old_orphan, (old, old))
+    old_complete = tmp_path / "complete"
+    old_complete.mkdir()
+    (old_complete / "_SUCCESS").touch()
+    os.utime(old_complete, (old, old))
+    exempt_d = tmp_path / "mine"
+    exempt_d.mkdir()
+    os.utime(exempt_d, (old, old))
+
+    sweep_aged_dirs(
+        str(tmp_path),
+        exempt=(str(exempt_d),),
+        max_age_s=3600,
+        keep=lambda p, age: age < 86400 and os.path.exists(os.path.join(p, "_SUCCESS")),
+    )
+    assert fresh_d.exists()          # under the age gate
+    assert not old_orphan.exists()   # aged out, no protection
+    assert old_complete.exists()     # complete snapshot inside grace window
+    assert exempt_d.exists()         # exempt outright
+
+    # pid-liveness: our own pid is alive; a pid from /proc/sys ranges that
+    # cannot exist (pid_max is < 2^22 + 1 slack) is dead.
+    alive = tmp_path / f"pid{os.getpid()}"
+    alive.mkdir()
+    os.utime(alive, (old, old))
+    dead = tmp_path / "pid4194999"
+    dead.mkdir()
+    os.utime(dead, (old, old))
+    sweep_aged_dirs(str(tmp_path), max_age_s=3600, keep=lambda p, a: pid_dir_alive(p))
+    assert alive.exists()
+    assert not dead.exists()
+
+
+def test_family_cache_bounded(spark, sf_smoke):
+    """The checkpoint cache must not pin unbounded block-manager memory:
+    FIFO eviction caps it at _FAMILY_CACHE_MAX entries per process."""
+    from bee_proof_spark.queries import extensions as ext
+
+    for i in range(ext._FAMILY_CACHE_MAX + 3):
+        ext._family_checkpoint(
+            spark, sf_smoke, f"probe_{i}", lambda: spark.range(2)
+        )
+    assert len(ext._FAMILY_CACHE) <= ext._FAMILY_CACHE_MAX
+
+
 def test_family_cache_materializes_once(spark, sf_smoke):
     """The near-dup family's shared intermediates (shingle postings, jaccard
     pairs) are checkpointed once per (app, corpus): repeat calls return the
