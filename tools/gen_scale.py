@@ -14,8 +14,9 @@ Replication is semantics-preserving at scale:
   vectors are distinct but the space keeps its cluster structure.
 
 Usage:
-    python tools/gen_scale.py            # generate + probe
-    python tools/gen_scale.py --gen-only
+    python tools/gen_scale.py              # generate + probe
+    python tools/gen_scale.py --gen-only   # fixtures only
+    python tools/gen_scale.py --probe-only # reuse existing /tmp/sfbig
 """
 
 from __future__ import annotations
@@ -30,10 +31,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sfbig"
 
+#: Probes limited to queries over the SCALED tables (lineitem, orders,
+#: documents, embeddings); events is byte-copied unscaled, so event-window
+#: queries would measure nothing.
 PROBE_QUERIES = [
-    "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q18_large_volume",
-    "agg_skew_salted", "win_topk_per_group", "ext_dedup_exact",
-    "ext_text_wordcount", "ext_dedup_fuzzy", "ext_dedup_fuzzy_verified",
+    "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q9_profit",
+    "tpch_q18_large_volume", "agg_basic", "agg_skew_salted",
+    "win_topk_per_group", "win_running_sum", "union_distinct",
+    "ext_dedup_exact", "ext_text_wordcount", "ext_text_tfidf",
+    "ext_text_topk_ngrams", "ext_dedup_fuzzy", "ext_dedup_fuzzy_verified",
     "ext_dedup_cluster", "ext_decontaminate", "ext_knn_cosine",
     "ext_chunk_documents", "ext_pack_sequences",
 ]
@@ -108,7 +114,8 @@ def main() -> None:
 
     spark = build_session(app_name="bee-proof-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    generate(spark)
+    if not ("--probe-only" in sys.argv and os.path.exists(f"{DST}/lineitem.parquet")):
+        generate(spark)
     if "--gen-only" not in sys.argv:
         probe(spark)
 
