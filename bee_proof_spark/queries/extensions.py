@@ -181,19 +181,27 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied on both engines, so Jaccard is computed over identical capped
     sets; integer count arithmetic keeps it exact.
     """
-    from pyspark.sql import Window
-
     d = tbl(spark, sf_dir, "documents")
     sh0 = shared_shingle_postings(spark, sf_dir)
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    # df via a window over the shingle partition: ONE shuffle on shingle
-    # computes the frequency and keeps the postings rows, and the resulting
-    # hash(shingle) partitioning is exactly what the pair self-join below
-    # needs - no separate df table, no second explode of the corpus.
-    w = (
-        sh0.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    # Hot-shingle blacklist via groupBy, NOT a window over the shingle
+    # partition: the window form shuffles EVERY posting row to compute df
+    # (no partial aggregation exists for windows), while groupBy map-side
+    # combines so only distinct-shingle partial counts cross the wire, and
+    # the resulting blacklist (shingles with df > cap, each costing >= 10
+    # postings) is small enough to broadcast into a shuffle-free anti-join.
+    # Measured on the 10x corpus: 9.4 s vs 12.2 s for the window form, and
+    # the gap widens with data volume (~0.7 s slower at sf0.1 where the two
+    # extra tiny jobs dominate - the 100 TB posture wins the trade).
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
         .join(nd)  # 1-row side: broadcast scalar, no shuffle
-        .filter(F.col("df") <= F.greatest(0.02 * F.col("n_docs"), F.lit(10.0)))
+        .filter(F.col("df") > F.greatest(0.02 * F.col("n_docs"), F.lit(10.0)))
+        .select("shingle")
+    )
+    w = (
+        sh0.join(F.broadcast(hot), "shingle", "left_anti")
         .select("doc_id", "shingle")
         # Three consumers read the capped postings (both self-join sides +
         # the per-doc sizes agg): checkpoint once so the corpus scan/explode
