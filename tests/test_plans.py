@@ -375,3 +375,27 @@ def test_knn_jvm_and_arrow_paths_agree(spark, sf_smoke):
         for r in reg["ext_knn_cosine_arrow"].builder(spark, sf_smoke).collect()
     }
     assert jvm == arrow
+
+
+def test_registry_wide_no_unallowlisted_antipatterns(spark, sf_smoke):
+    """Every registered query's physical plan, swept for the three hard
+    100 TB anti-patterns (CartesianProduct, BroadcastNestedLoopJoin,
+    BatchEvalPython). The per-id assertions above guard the heavy hitters;
+    this guards the other ~170 - a NEW operator that quietly plans a
+    cartesian or a row-at-a-time Python eval fails here before it reaches
+    a driver round. An exemption requires a written reason in
+    tools/plan_audit.py::ALLOW."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import ALLOW, flags_for
+
+    reg = load_all()
+    bad = []
+    for qid in sorted(reg):
+        plan = _plan(spark, qid, sf_smoke)
+        for pat in flags_for(plan):
+            if pat not in ALLOW.get(qid, {}):
+                bad.append(f"{qid}: {pat}")
+    assert not bad, f"unallowlisted plan anti-patterns: {bad}"
