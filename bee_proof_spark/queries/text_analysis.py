@@ -299,15 +299,20 @@ def ext_text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = tbl(spark, sf_dir, "documents")
+    # Split ONCE per row into a materialized array column; referencing ws
+    # inside the lambda reads that array. Inlining split(text, ' ') in the
+    # lambda re-tokenizes the whole document for EVERY bigram index -
+    # O(words^2) character work per doc (measured 3.1 s -> 1.0 s at sf0.1).
+    words = d.select("lang", F.split("text", " ").alias("ws"))
     # The >=2-word guard must be a row filter: sequence(1, greatest(n-1, 0))
     # DESCENDS ([1, 0]) for 1-word docs, emitting spurious half-bigrams
     # (the oracle's generate_series(1, 0) is empty).
-    bigrams = d.filter(F.size(F.split("text", " ")) >= 2).select(
+    bigrams = words.filter(F.size("ws") >= 2).select(
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> concat_ws(' ', split(text, ' ')[i - 1], split(text, ' ')[i]))"
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat_ws(' ', ws[i - 1], ws[i]))"
             )
         ).alias("bigram"),
     )
