@@ -219,7 +219,9 @@ def test_simhash_matches_numpy_bit_twiddle(spark, sf_smoke):
 
     expected = {}
     for doc_id, hashes in by_doc.items():
-        arr = np.array(hashes, dtype=np.uint64)
+        # xxhash64 yields signed longs; go int64 -> uint64 via view (a direct
+        # uint64 cast of negative Python ints is deprecated in numpy).
+        arr = np.array(hashes, dtype=np.int64).view(np.uint64)
         votes = np.zeros(64, dtype=np.int64)
         for i in range(64):
             bits = (arr >> np.uint64(i)) & np.uint64(1)
