@@ -1,0 +1,179 @@
+"""Differential fuzzing: randomized SQL vs DuckDB on the same parquet.
+
+The oracle suite pins 193 hand-written queries; this layer generates
+predicate/aggregation SQL from a small AST grammar and asserts Spark and
+DuckDB agree on the SAME query string, catching semantic gaps the curated
+set can't enumerate (3VL edge cases, BETWEEN/IN boundaries, grouping on
+filtered-empty inputs, HAVING over empty groups).
+
+Grammar is restricted to constructs with exact cross-engine semantics:
+
+- comparisons / BETWEEN / IN over int, double, string, timestamp columns;
+- AND / OR / NOT combinations;
+- per-row double arithmetic in projections (IEEE ops in identical order are
+  bit-exact in both engines since both read the same parquet doubles);
+- aggregates limited to count(*)/count(col)/min/max/sum(int): no cross-row
+  float accumulation, whose result depends on reduction order and would
+  force a tolerance comparison.
+
+Every example runs the literal same SQL text on both engines, so a mismatch
+is a real semantic divergence, never a translation artifact.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bee_proof_spark.testing import _rowset
+from tests.conftest import SF_ORACLE
+
+LINEITEM = f"{SF_ORACLE}/lineitem.parquet"
+
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+DBL_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+TS_COL = "l_shipdate"
+STR_VALS = ["A", "N", "R", "F", "O", "Z"]  # Z never occurs: empty-result path
+
+# ----------------------------------------------------------------- grammar
+
+int_cmp = st.tuples(
+    st.sampled_from(INT_COLS),
+    st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]),
+    st.integers(0, 7000),
+).map(lambda t: f"{t[0]} {t[1]} {t[2]}")
+
+dbl_cmp = st.tuples(
+    st.sampled_from(DBL_COLS),
+    st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]),
+    st.floats(0.0, 110000.0, allow_nan=False, allow_infinity=False),
+).map(lambda t: f"{t[0]} {t[1]} {t[2]!r}")
+
+int_between = st.tuples(
+    st.sampled_from(INT_COLS), st.integers(0, 4000), st.integers(0, 4000)
+).map(lambda t: f"{t[0]} BETWEEN {min(t[1], t[2])} AND {max(t[1], t[2])}")
+
+int_in = st.tuples(
+    st.sampled_from(INT_COLS), st.lists(st.integers(0, 100), min_size=1, max_size=6)
+).map(lambda t: f"{t[0]} IN ({', '.join(map(str, t[1]))})")
+
+str_pred = st.tuples(
+    st.sampled_from(STR_COLS),
+    st.sampled_from(["=", "<>", "IN"]),
+    st.lists(st.sampled_from(STR_VALS), min_size=1, max_size=3),
+).map(
+    lambda t: f"{t[0]} IN ({', '.join(repr(v) for v in t[2])})"
+    if t[1] == "IN"
+    else f"{t[0]} {t[1]} '{t[2][0]}'"
+)
+
+ts_pred = st.tuples(
+    st.sampled_from(["<", ">=", ">"]),
+    st.integers(1995, 2001),
+    st.integers(1, 12),
+    st.integers(1, 28),
+).map(lambda t: f"{TS_COL} {t[0]} TIMESTAMP '{t[1]}-{t[2]:02d}-{t[3]:02d} 00:00:00'")
+
+leaf = st.one_of(int_cmp, dbl_cmp, int_between, int_in, str_pred, ts_pred)
+
+
+def _combine(children: list[str]) -> st.SearchStrategy[str]:
+    return st.sampled_from(["AND", "OR"]).flatmap(
+        lambda op: st.just("(" + f" {op} ".join(children) + ")")
+    )
+
+
+predicate = st.recursive(
+    leaf,
+    lambda inner: st.one_of(
+        st.lists(inner, min_size=2, max_size=3).flatmap(_combine),
+        inner.map(lambda p: f"NOT ({p})"),
+    ),
+    max_leaves=6,
+)
+
+# Exact-valued projection expressions (per-row IEEE arithmetic, no reduce).
+projection = st.sampled_from(
+    [
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_shipdate",
+        "l_quantity",
+        "l_extendedprice * (1 - l_discount) AS net_price",
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged",
+        "l_quantity + l_tax AS qt",
+    ]
+)
+
+agg_expr = st.sampled_from(
+    [
+        "count(*) AS cnt",
+        "count(l_partkey) AS cnt_pk",
+        "sum(l_suppkey) AS sum_supp",
+        "sum(l_linenumber) AS sum_ln",
+        "min(l_extendedprice) AS min_price",
+        "max(l_extendedprice) AS max_price",
+        "min(l_shipdate) AS min_ship",
+        "max(l_returnflag) AS max_flag",
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    spark.read.parquet(LINEITEM).createOrReplaceTempView("fuzz_lineitem")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW fuzz_lineitem AS SELECT * FROM read_parquet('{LINEITEM}')"
+    )
+    yield spark, con
+    con.close()
+    spark.catalog.dropTempView("fuzz_lineitem")
+
+
+def _both_agree(engines, sql: str) -> None:
+    spark, con = engines
+    sdf = spark.sql(sql)
+    s_rows = _rowset(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+    res = con.execute(sql)
+    o_cols = [d[0] for d in res.description]
+    o_rows = _rowset(o_cols, res.fetchall())
+    assert sorted(sdf.columns) == sorted(o_cols), sql
+    assert s_rows == o_rows, f"{len(s_rows)} vs {len(o_rows)} rows for: {sql}"
+
+
+@given(pred=predicate, cols=st.lists(projection, min_size=1, max_size=4, unique=True))
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_filter_projection(engines, pred, cols):
+    _both_agree(engines, f"SELECT {', '.join(cols)} FROM fuzz_lineitem WHERE {pred}")
+
+
+@given(
+    pred=predicate,
+    keys=st.lists(st.sampled_from(STR_COLS + ["l_linenumber"]), min_size=1, max_size=2, unique=True),
+    aggs=st.lists(agg_expr, min_size=1, max_size=3, unique=True),
+    having_min=st.one_of(st.none(), st.integers(0, 50)),
+)
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_group_aggregate(engines, pred, keys, aggs, having_min):
+    key_sql = ", ".join(keys)
+    having = f" HAVING count(*) > {having_min}" if having_min is not None else ""
+    _both_agree(
+        engines,
+        f"SELECT {key_sql}, {', '.join(aggs)} FROM fuzz_lineitem "
+        f"WHERE {pred} GROUP BY {key_sql}{having}",
+    )
