@@ -10,9 +10,11 @@ Every capability row in SURVEY.md section 2 declares a query id. A registered
 Determinism discipline (FIXTURES.md "Timezone / hashing"):
 
 - Session timezone UTC; computed timestamps are cast to STRING in outputs.
-- Double aggregates go through exact DECIMAL sums then cast back to double,
-  so distributed (order-varying) summation cannot drift from the sequential
-  oracle: ``cast(sum(cast(x as decimal(25,6))) as double)``.
+- Double aggregates go through exact scaled-integer sums (see
+  :func:`_exact_sum`) then cast back to double, so distributed
+  (order-varying) summation cannot drift from the sequential oracle, whose
+  rendering stays ``cast(sum(cast(x as decimal(25,6))) as double)`` - the
+  same exact number computed the slow way.
 - Transcendental results are rounded to 4dp on both sides.
 - Collected lists are sorted; every computed column is aliased identically
   on both sides.
@@ -89,12 +91,74 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
         tbl(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def _exact_sum(c: F.Column, scale: int) -> F.Column:
+    """Exact sum of ``round(x, scale)`` as a decimal Column, at long-sum speed.
+
+    The naive exact sum, ``sum(cast(x as decimal(25,S)))``, forces Spark's
+    slow aggregation path: the accumulator type decimal(35,S) exceeds the
+    18-digit compact-long threshold, so every row pays a BigDecimal add +
+    changePrecision + byte-array buffer write (measured: TPC-H Q1 over 60M
+    rows spends ~85% of its CPU there - tools/gen_scale.py 100x probe).
+
+    This computes the bit-identical result through two BIGINT sums:
+
+    - ``d = cast(x as decimal(S+8, S))`` - the same HALF_UP rounding as the
+      wide cast for the documented domain |x| < 10^8, but compact-long backed.
+    - ``ticks = floor(double(d) * 10^S + 0.5)`` - the integer d*10^S. Exact
+      because |d*10^S| < 10^14 with <= 2 double roundings (error < 1e-2 tick,
+      and the true value IS an integer, so +0.5/floor recovers it).
+    - ``hi = cast(d as bigint)`` (whole units, truncated toward zero) and
+      ``lo = ticks - hi*10^S`` (signed fractional ticks) sum as plain longs
+      in Tungsten's fixed-width codegen path.
+    - recombined once per GROUP: ``sum(hi) + sum(lo)/10^S`` in decimal(38,S)
+      arithmetic - exact (sum(lo) is an integer tick count; the division
+      only rescales), and identical to what the wide-decimal sum yields.
+
+    Overflow headroom (long sums wrap silently with ANSI off): sum(hi) is
+    safe below 9.2e18 / max|x| rows per group (8e13 rows at money-scale
+    1e5) and sum(lo) below 9.2e12 rows per group; beyond that - or for
+    |x| >= 10^8, where d overflows to NULL while the wide cast wouldn't -
+    use :func:`dsum_wide`.
+    """
+    hi, lo, unit = _exact_parts(c, scale)
+    return _exact_combine(F.sum(hi), F.sum(lo), unit)
+
+
+def _exact_parts(c: F.Column, scale: int) -> tuple[F.Column, F.Column, int]:
+    """Per-row decomposition of ``round(x, scale)`` into long (units, ticks)."""
+    # scale > 6 would fall below Spark's minimum adjusted scale in the final
+    # rescaling division and silently round; every engine call site uses <= 6.
+    assert 0 < scale <= 6, f"exact-sum scale must be in (0, 6], got {scale}"
+    unit = 10**scale
+    d = c.cast(f"decimal({scale + 8},{scale})")
+    ticks = F.floor(d.cast("double") * F.lit(float(unit)) + F.lit(0.5))
+    hi = d.cast("bigint")
+    lo = ticks - hi * F.lit(unit)
+    return hi, lo, unit
+
+
+def _exact_combine(sum_hi: F.Column, sum_lo: F.Column, unit: int) -> F.Column:
+    """Recombine summed (units, ticks) exactly in decimal(38,6) arithmetic."""
+    return sum_hi.cast("decimal(38,6)") + sum_lo.cast("decimal(38,6)") / F.lit(unit)
+
+
 def dsum(col: str | F.Column, alias: str, scale: int = 6) -> F.Column:
     """Exact distributed sum of a double column.
 
-    Routes through DECIMAL so partial-aggregate ordering cannot change the
-    result vs a sequential oracle; final cast back to double is exact on
-    both engines. Oracle side mirror: ``cast(sum(cast(x as decimal(25,S))) as double)``.
+    Routes through scaled-integer arithmetic (see :func:`_exact_sum`) so
+    partial-aggregate ordering cannot change the result vs a sequential
+    oracle; final cast back to double is exact on both engines. Oracle side
+    mirror: ``cast(sum(cast(x as decimal(25,S))) as double)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return _exact_sum(c, scale).cast("double").alias(alias)
+
+
+def dsum_wide(col: str | F.Column, alias: str, scale: int = 6) -> F.Column:
+    """Wide-decimal exact sum (the slow path :func:`dsum` replaced).
+
+    Kept for values outside dsum's |x| < 10^8 domain and as the in-engine
+    oracle for tests/test_exact_sum.py's equivalence property.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(25,{scale})")).cast("double").alias(alias)
@@ -103,9 +167,13 @@ def dsum(col: str | F.Column, alias: str, scale: int = 6) -> F.Column:
 def davg(col: str | F.Column, alias: str, scale: int = 6) -> F.Column:
     """Exact-sum average: decimal sum / count, deterministic on both engines."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum(c.cast(f"decimal(25,{scale})")).cast("double") / F.count(c)
-    ).alias(alias)
+    return (_exact_sum(c, scale).cast("double") / F.count(c)).alias(alias)
+
+
+# NOTE: no windowed variant of the hi/lo split exists on purpose - a window
+# emits one result per ROW, so the decimal(38,6) recombine would execute per
+# row and cost more than the wide-decimal frame accumulator it replaces
+# (measured at 100x on win_running_sum: 2.9 s split vs 2.4 s wide).
 
 
 def o_dsum(expr: str, scale: int = 6) -> str:

@@ -126,10 +126,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(q.cast("decimal(25,6)")).cast("double").alias("s1"),
-        F.sum((q * q).cast("decimal(25,6)")).cast("double").alias("s2"),
-        F.sum(p.cast("decimal(25,6)")).cast("double").alias("p1"),
-        F.sum((q * p).cast("decimal(25,6)")).cast("double").alias("qp"),
+        dsum(q, "s1"),
+        dsum(q * q, "s2"),
+        dsum(p, "p1"),
+        dsum(q * p, "qp"),
     )
     n, s1, s2, p1, qp = (F.col(c) for c in ("n", "s1", "s2", "p1", "qp"))
     return agg.select(

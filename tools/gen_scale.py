@@ -1,22 +1,22 @@
-"""Generate a 10x-scale fixture set under /tmp/sfbig and re-time the heavy
-operators against it (the SCALE.md "10x scale probe" evidence).
+"""Generate an Nx-scale fixture set under /tmp/sfbig{N} and re-time the
+heavy operators against it (the SCALE.md "10x/100x scale probe" evidence).
 
 Replication is semantics-preserving at scale:
 
-- documents: 10 replicas per doc with REPLICA-SALTED vocabulary (every word
+- documents: N replicas per doc with REPLICA-SALTED vocabulary (every word
   suffixed `_<rep>`), so replicas share no shingles and the near-dup RATE
-  stays constant - a naive copy would make every doc a 10-way exact dup and
+  stays constant - a naive copy would make every doc an N-way exact dup and
   quadratically inflate the pair graph, testing nothing real.
-- lineitem/orders: order keys remapped `k*10+rep` so join fan-out per key is
-  unchanged; customer/part/supplier dims stay as-is (10x orders/customer is
+- lineitem/orders: order keys remapped `k*N+rep` so join fan-out per key is
+  unchanged; customer/part/supplier dims stay as-is (Nx orders/customer is
   a realistic growth axis).
 - embeddings: vec_id remapped, deterministic per-replica perturbation so
   vectors are distinct but the space keeps its cluster structure.
 
 Usage:
-    python tools/gen_scale.py              # generate + probe
+    python tools/gen_scale.py [--reps N]   # generate + probe (default N=10)
     python tools/gen_scale.py --gen-only   # fixtures only
-    python tools/gen_scale.py --probe-only # reuse existing /tmp/sfbig
+    python tools/gen_scale.py --probe-only # reuse existing /tmp/sfbig{N}
 """
 
 from __future__ import annotations
@@ -29,7 +29,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sfbig"
+
+
+def _reps() -> int:
+    if "--reps" in sys.argv:
+        return int(sys.argv[sys.argv.index("--reps") + 1])
+    return 10
+
+
+REPS = _reps()
+# 10x keeps the original path (the SCALE.md 10x table was measured there).
+DST = "/tmp/sfbig" if REPS == 10 else f"/tmp/sfbig{REPS}"
 
 #: Probes limited to queries over the SCALED tables (lineitem, orders,
 #: documents, embeddings); events is byte-copied unscaled, so event-window
@@ -48,13 +58,13 @@ PROBE_QUERIES = [
 def generate(spark) -> None:
     from pyspark.sql import functions as F
 
-    rep = spark.range(10).withColumnRenamed("id", "rep")
+    rep = spark.range(REPS).withColumnRenamed("id", "rep")
 
     def rd(name):
         return spark.read.parquet(f"{SRC}/{name}.parquet")
 
     d = rd("documents").crossJoin(F.broadcast(rep)).select(
-        (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+        (F.col("doc_id") * REPS + F.col("rep")).alias("doc_id"),
         F.array_join(
             F.expr("transform(split(text, ' '), w -> concat(w, '_', rep))"), " "
         ).alias("text"),
@@ -63,14 +73,14 @@ def generate(spark) -> None:
     d.repartition(32).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
 
     li = rd("lineitem").crossJoin(F.broadcast(rep))
-    li = li.withColumn("l_orderkey", F.col("l_orderkey") * 10 + F.col("rep")).drop("rep")
+    li = li.withColumn("l_orderkey", F.col("l_orderkey") * REPS + F.col("rep")).drop("rep")
     li.repartition(64).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
     o = rd("orders").crossJoin(F.broadcast(rep))
-    o = o.withColumn("o_orderkey", F.col("o_orderkey") * 10 + F.col("rep")).drop("rep")
+    o = o.withColumn("o_orderkey", F.col("o_orderkey") * REPS + F.col("rep")).drop("rep")
     o.repartition(32).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
 
     e = rd("embeddings").crossJoin(F.broadcast(rep)).select(
-        (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+        (F.col("vec_id") * REPS + F.col("rep")).alias("vec_id"),
         F.expr(
             "transform(embedding, (x, i) -> x + cast(rep as float) * 1e-4 * cast(i % 7 as float))"
         ).alias("embedding"),
@@ -101,15 +111,16 @@ def probe(spark) -> None:
         return min(ts)
 
     noop(reg["tpch_q1_pricing"].builder(spark, SRC))  # JVM warmup
-    print("%-26s %8s %8s %6s" % ("query", "sf0.1", "10x", "ratio"), flush=True)
+    print("%-26s %8s %8s %6s" % ("query", "sf0.1", f"{REPS}x", "ratio"), flush=True)
     for q in PROBE_QUERIES:
         a, b = timed(q, SRC), timed(q, DST)
         print("%-26s %8.2f %8.2f %6.1f" % (q, a, b, b / a), flush=True)
 
 
 def main() -> None:
-    # 32-way shuffles over the 10x set need a real heap (see SCALE.md).
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # 32-way shuffles over the scaled set need a real heap (see SCALE.md);
+    # scale it with the replication factor (measured: 16g carries 10x).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g" if REPS <= 10 else "48g")
     from bee_proof_spark.session import build_session
 
     spark = build_session(app_name="bee-proof-scale-probe")
