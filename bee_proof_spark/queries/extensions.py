@@ -167,6 +167,30 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + 32-hash signature array, materialized once per (app, corpus):
+    the signature aggregation over the full postings table is the most
+    expensive stage shared by ext_dedup_fuzzy and ext_dedup_fuzzy_verified."""
+
+    def build() -> DataFrame:
+        return minhash_from_postings(shared_shingle_postings(spark, sf_dir)).select(
+            "doc_id",
+            F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)]).alias("sig"),
+        )
+
+    return _family_checkpoint(spark, sf_dir, "minhash_sig", build)
+
+
+def shared_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct LSH candidate pairs (doc_a < doc_b), materialized once per
+    (app, corpus): both fuzzy pipelines band the same signatures, so the
+    band self-join is paid once."""
+    return _family_checkpoint(
+        spark, sf_dir, "lsh_pairs",
+        lambda: _lsh_candidate_pairs(shared_minhash_signatures(spark, sf_dir)),
+    )
+
+
 @register("ext_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection by exact 3-gram-shingle Jaccard >= 0.5 over the
@@ -308,10 +332,9 @@ def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (app, corpus) across the whole dedup family (measured 2.5x faster on
     # warm runs at sf0.1, byte-identical pairs). A per-call localCheckpoint
     # was a pessimization (it broke pipelining); a memoized one is not.
-    sig = minhash_from_postings(shared_shingle_postings(spark, sf_dir)).select(
-        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)]).alias("sig")
-    )
-    pairs = _lsh_candidate_pairs(sig)
+    # Signatures and banded candidate pairs are likewise family-shared.
+    sig = shared_minhash_signatures(spark, sf_dir)
+    pairs = shared_lsh_candidates(spark, sf_dir)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (
@@ -370,13 +393,23 @@ def ext_dedup_fuzzy_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # family): the checkpointed distinct postings table is read by the
     # signature aggregation AND the exact verification join.
     sh0 = shared_shingle_postings(spark, sf_dir)
-    sig = minhash_from_postings(sh0).select(
-        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)]).alias("sig")
+    pairs = shared_lsh_candidates(spark, sf_dir)
+    # Exact verification only ever touches docs that appear in a candidate
+    # pair - at a constant dup RATE that is a small fraction of the corpus,
+    # so semi-filtering the postings FIRST keeps the wide shuffles (both
+    # join sides and the size agg) proportional to candidate docs, not to
+    # the corpus (measured at 100x: 29.5 s -> see SCALE.md). The broadcast
+    # holds one long per candidate doc; at corpus scales where that set
+    # outgrows the broadcast budget, swap in a runtime bloom semi-filter.
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    pairs = _lsh_candidate_pairs(sig)
-    sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    pa = sh0.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    pb = sh0.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
+    sh_c = sh0.join(F.broadcast(cand_docs), "doc_id", "leftsemi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pa = sh_c.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    pb = sh_c.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
     shared = (
         pairs.join(pa, "doc_a")
         .join(pb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")))
