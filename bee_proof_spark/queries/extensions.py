@@ -1199,8 +1199,10 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     count aggregation. This is the contains-any-ngram join every
     decontamination pass runs before training.
     """
-    d = tbl(spark, sf_dir, "documents")
-    sh0 = _shingle_postings(d)
+    # The family postings checkpoint (one corpus explode per app) feeds all
+    # three consumers below; inline _shingle_postings would re-explode the
+    # corpus once per subtree (eval branch, size agg, hits join).
+    sh0 = shared_shingle_postings(spark, sf_dir)
     eval_sh = (
         sh0.filter(F.col("doc_id") < 50).select("shingle").distinct()
     )
