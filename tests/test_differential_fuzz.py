@@ -123,16 +123,46 @@ agg_expr = st.sampled_from(
 )
 
 
+ORDERS = f"{SF_ORACLE}/orders.parquet"
+
+# Predicates over the joined (lineitem x orders) shape: order-side leaves
+# exercise filter placement above/below the join on both engines.
+ord_pred = st.one_of(
+    st.tuples(
+        st.sampled_from(["<", ">=", "=", "<>"]),
+        st.sampled_from(["P", "O", "F", "Z"]),
+    ).map(lambda t: f"o_orderstatus {t[0]} '{t[1]}'"),
+    st.tuples(
+        st.sampled_from(["<", "<=", ">", ">="]),
+        st.floats(1000.0, 510000.0, allow_nan=False, allow_infinity=False),
+    ).map(lambda t: f"o_totalprice {t[0]} {t[1]!r}"),
+    st.tuples(
+        st.sampled_from(["<", ">="]),
+        st.integers(1995, 2001),
+        st.integers(1, 12),
+    ).map(lambda t: f"o_orderdate {t[0]} TIMESTAMP '{t[1]}-{t[2]:02d}-01 00:00:00'"),
+)
+
+join_predicate = st.tuples(leaf, ord_pred, st.sampled_from(["AND", "OR"])).map(
+    lambda t: f"({t[0]} {t[2]} {t[1]})"
+)
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     spark.read.parquet(LINEITEM).createOrReplaceTempView("fuzz_lineitem")
+    spark.read.parquet(ORDERS).createOrReplaceTempView("fuzz_orders")
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW fuzz_lineitem AS SELECT * FROM read_parquet('{LINEITEM}')"
     )
+    con.execute(
+        f"CREATE VIEW fuzz_orders AS SELECT * FROM read_parquet('{ORDERS}')"
+    )
     yield spark, con
     con.close()
     spark.catalog.dropTempView("fuzz_lineitem")
+    spark.catalog.dropTempView("fuzz_orders")
 
 
 def _both_agree(engines, sql: str) -> None:
@@ -176,4 +206,38 @@ def test_fuzz_group_aggregate(engines, pred, keys, aggs, having_min):
         engines,
         f"SELECT {key_sql}, {', '.join(aggs)} FROM fuzz_lineitem "
         f"WHERE {pred} GROUP BY {key_sql}{having}",
+    )
+
+
+@given(
+    pred=join_predicate,
+    join_type=st.sampled_from(["JOIN", "LEFT JOIN"]),
+    keys=st.lists(
+        st.sampled_from(["l_returnflag", "o_orderstatus", "o_orderpriority"]),
+        min_size=1,
+        max_size=2,
+        unique=True,
+    ),
+    aggs=st.lists(agg_expr, min_size=1, max_size=2, unique=True),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_join_aggregate(engines, pred, join_type, keys, aggs):
+    """Joined-shape fuzzing: the same predicate must yield identical groups
+    whether either engine pushes it below or keeps it above the join.
+    LEFT JOIN keeps every lineitem row, so order-side predicate columns are
+    NULL-laden on unmatched rows, exercising 3VL across the join boundary.
+    (Every l_orderkey has a parent order in TPC-H data, so the left side is
+    made lossy by filtering orders inside a derived table instead.)"""
+    key_sql = ", ".join(keys)
+    right = "(SELECT * FROM fuzz_orders WHERE o_orderkey % 3 = 0) o"
+    _both_agree(
+        engines,
+        f"SELECT {key_sql}, {', '.join(aggs)} FROM fuzz_lineitem l "
+        f"{join_type} {right} ON l.l_orderkey = o.o_orderkey "
+        f"WHERE {pred} GROUP BY {key_sql}",
     )
