@@ -241,3 +241,55 @@ def test_fuzz_join_aggregate(engines, pred, join_type, keys, aggs):
         f"{join_type} {right} ON l.l_orderkey = o.o_orderkey "
         f"WHERE {pred} GROUP BY {key_sql}",
     )
+
+
+# Window grammar: deterministic-only shapes. The fixture's (l_orderkey,
+# l_linenumber) is NOT unique (1161 duplicate pairs, some with different
+# l_suppkey), so no ORDER BY here is truly total - each shape must be
+# invariant under permutation of its tie-runs: rank/dense_rank depend only
+# on order-key values; row_number's tied rows project identical output keys,
+# so the rowset is permutation-invariant; lag(l_orderkey) is constant inside
+# a tie-run; the running sum additionally orders by l_suppkey so tie-runs
+# are constant in the summed column (without it the fuzzer caught Spark and
+# DuckDB breaking ties differently - sum 866 vs 859 at (131,1)).
+_wpart = st.sampled_from(
+    ["l_returnflag", "l_linestatus", "l_returnflag, l_linestatus"]
+)
+_worder = st.sampled_from(["l_quantity", "l_extendedprice", "l_shipdate"])
+
+window_fn = st.one_of(
+    _wpart.map(
+        lambda p: f"row_number() OVER (PARTITION BY {p} "
+        "ORDER BY l_orderkey, l_linenumber) AS wf"
+    ),
+    st.tuples(st.sampled_from(["rank", "dense_rank"]), _wpart, _worder).map(
+        lambda t: f"{t[0]}() OVER (PARTITION BY {t[1]} ORDER BY {t[2]}) AS wf"
+    ),
+    _wpart.map(
+        lambda p: f"sum(l_suppkey) OVER (PARTITION BY {p} "
+        "ORDER BY l_orderkey, l_linenumber, l_suppkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wf"
+    ),
+    _wpart.map(
+        lambda p: f"lag(l_orderkey, 1) OVER (PARTITION BY {p} "
+        "ORDER BY l_orderkey, l_linenumber) AS wf"
+    ),
+    _wpart.map(lambda p: f"min(l_extendedprice) OVER (PARTITION BY {p}) AS wf"),
+)
+
+
+@given(pred=predicate, wf=window_fn)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_window_functions(engines, pred, wf):
+    """Windowed fuzzing: the filter runs below the window on both engines
+    (it references no window output), so partition contents - and thus every
+    rank/frame result - must agree row-for-row."""
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {wf} FROM fuzz_lineitem WHERE {pred}",
+    )
