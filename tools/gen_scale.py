@@ -61,7 +61,12 @@ def generate(spark) -> None:
     rep = spark.range(REPS).withColumnRenamed("id", "rep")
 
     def rd(name):
-        return spark.read.parquet(f"{SRC}/{name}.parquet")
+        # The sf0.1 fixtures are single parquet files = single-task scans;
+        # repartition BEFORE the crossJoin so the Nx explode runs on all
+        # cores instead of one task emitting N x |table| rows serially
+        # (measured at 1000x: the serial shape crawled at 1 core for 20+
+        # minutes on lineitem alone).
+        return spark.read.parquet(f"{SRC}/{name}.parquet").repartition(32)
 
     d = rd("documents").crossJoin(F.broadcast(rep)).select(
         (F.col("doc_id") * REPS + F.col("rep")).alias("doc_id"),
@@ -70,14 +75,17 @@ def generate(spark) -> None:
         ).alias("text"),
         "lang", "source", "n_chars",
     )
-    d.repartition(32).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+    # No post-explode repartition anywhere: the pre-partitioned input gives
+    # 32 parallel writers directly, where a repartition here would shuffle
+    # the full exploded output (tens of GB at 1000x) for nothing.
+    d.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
 
     li = rd("lineitem").crossJoin(F.broadcast(rep))
     li = li.withColumn("l_orderkey", F.col("l_orderkey") * REPS + F.col("rep")).drop("rep")
-    li.repartition(64).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+    li.write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
     o = rd("orders").crossJoin(F.broadcast(rep))
     o = o.withColumn("o_orderkey", F.col("o_orderkey") * REPS + F.col("rep")).drop("rep")
-    o.repartition(32).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+    o.write.mode("overwrite").parquet(f"{DST}/orders.parquet")
 
     e = rd("embeddings").crossJoin(F.broadcast(rep)).select(
         (F.col("vec_id") * REPS + F.col("rep")).alias("vec_id"),
@@ -86,10 +94,13 @@ def generate(spark) -> None:
         ).alias("embedding"),
         "label",
     )
-    e.repartition(32).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+    e.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
 
     for t in ("region", "nation", "customer", "supplier", "part"):
-        rd(t).write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        # dims copy unscaled; single-file layout is fine at their size
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet"
+        )
     # events.ts is parquet TIMESTAMP(NANOS) - byte-copy to preserve it.
     shutil.copyfile(f"{SRC}/events.parquet", f"{DST}/events.parquet")
 
