@@ -130,7 +130,7 @@ _FAMILY_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 #: thus Python's) last reference; Spark's ContextCleaner releases the
 #: checkpoint blocks after GC unless a still-live derived plan holds the
 #: RDD - which is exactly when the blocks must survive anyway.
-_FAMILY_CACHE_MAX = 8
+_FAMILY_CACHE_MAX = 12
 
 
 def _family_checkpoint(spark: SparkSession, sf_dir: str, stage: str, build) -> DataFrame:
@@ -613,6 +613,20 @@ def _unit_vectors(emb_df: DataFrame) -> DataFrame:
     ).withColumn("unit", F.expr("transform(vec, x -> x / norm)"))
 
 
+def shared_unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, unit): the L2-normalized embedding corpus, materialized
+    once per (app, corpus). Every ANN / embedding-dedup query starts from this
+    table, so the embeddings scan + normalize pass is paid once per family -
+    the same _family_checkpoint pattern that collapsed the dedup family's
+    repeated postings/signature builds."""
+    return _family_checkpoint(
+        spark, sf_dir, "unit_vec",
+        lambda: _unit_vectors(tbl(spark, sf_dir, "embeddings")).select(
+            "vec_id", "label", "unit"
+        ),
+    )
+
+
 _DOT = "aggregate(zip_with(a_unit, b_unit, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
 
 # Exact cosine top-k expressed in DuckDB. Ranking happens on the 4dp-ROUNDED
@@ -655,7 +669,7 @@ def ext_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = _unit_vectors(tbl(spark, sf_dir, "embeddings"))
+    e = shared_unit_vectors(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("unit").alias("a_unit")
     )
@@ -725,7 +739,7 @@ def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = _unit_vectors(tbl(spark, sf_dir, "embeddings")).select("vec_id", "unit")
+    e = shared_unit_vectors(spark, sf_dir).select("vec_id", "unit")
     bucketed = _lsh_bucketed(e)
     qb = bucketed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
@@ -773,8 +787,15 @@ def ext_knn_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the fixtures; the bound leaves margin for data drift). This is how an
     approximate index becomes oracle-checkable: the index output itself is
     engine-specific, but its quality contract is not.
+
+    All three top-k tables (exact truth, LSH, IVF) come from family-shared
+    checkpoints - this query no longer re-plans three full ANN pipelines
+    inline (it was the registry's heaviest shuffle consumer at 35 exchanges);
+    it now joins three tiny (~50-row) checkpointed results.
     """
-    exact = ext_knn_cosine(spark, sf_dir).select("q_id", "c_id")
+    exact = _family_checkpoint(
+        spark, sf_dir, "knn_exact", lambda: ext_knn_cosine(spark, sf_dir)
+    ).select("q_id", "c_id")
 
     def mean_recall(approx: DataFrame, method: str) -> DataFrame:
         hit = approx.select("q_id", "c_id").withColumn("hit", F.lit(1))
@@ -788,9 +809,13 @@ def ext_knn_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.avg("recall") >= 0.3).alias("recall_ok"),
         )
 
-    lsh = mean_recall(ext_knn_lsh(spark, sf_dir), "lsh")
-    ivf = mean_recall(ext_knn_ivf(spark, sf_dir), "ivf")
-    return lsh.unionAll(ivf)
+    lsh = _family_checkpoint(
+        spark, sf_dir, "knn_lsh", lambda: ext_knn_lsh(spark, sf_dir)
+    )
+    ivf = _family_checkpoint(
+        spark, sf_dir, "knn_ivf", lambda: ext_knn_ivf(spark, sf_dir)
+    )
+    return mean_recall(lsh, "lsh").unionAll(mean_recall(ivf, "ivf"))
 
 
 _EMB_DEDUP_ORACLE = """
@@ -817,7 +842,7 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the blocking pattern that survives scale; cross-block recall comes from
     the LSH variant). Threshold applies to the 4dp-rounded score so the
     cutoff is engine-stable (oracle-checkable)."""
-    e = _unit_vectors(tbl(spark, sf_dir, "embeddings")).select("vec_id", "label", "unit")
+    e = shared_unit_vectors(spark, sf_dir)
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"), F.col("unit").alias("a_unit")
     )
@@ -910,7 +935,7 @@ def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K, NPROBE, TOPK = 8, 2, 5
 
-    e = _unit_vectors(tbl(spark, sf_dir, "embeddings"))
+    e = shared_unit_vectors(spark, sf_dir)
     feat = e.withColumn("features", array_to_vector("unit"))
     model = KMeans(k=K, seed=42, maxIter=10).fit(feat)
     assigned = model.transform(feat).select(
@@ -1283,7 +1308,7 @@ def ext_knn_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from pyspark.sql import Window
 
-    e = _unit_vectors(tbl(spark, sf_dir, "embeddings")).select("vec_id", "unit")
+    e = shared_unit_vectors(spark, sf_dir).select("vec_id", "unit")
     # driver-ok: 10-row query-vector fetch, broadcast to executors
     q_rows = e.filter(F.col("vec_id") < 10).orderBy("vec_id").collect()  # driver-ok: tiny query set
     q_ids = np.array([r["vec_id"] for r in q_rows])

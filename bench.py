@@ -14,11 +14,21 @@ Methodology (self-adjudicating, round-3):
   table) can no longer masquerade as a regression. Measured: a tail
   query's single cold pass ran 3-4x its warm floor purely on parquet
   page-in (dml_scd2_history 3.8 s cold vs 0.84 s warm, identical
-  one-shuffle plan), which is I/O noise, not operator cost. Raw per-pass
-  times are emitted under "runs" so a reader can adjudicate noise vs real
-  slowdown from the artifact alone. STABLE_QUERIES marks the core set
-  benched every round since r1 (the round-over-round comparison basis);
-  TAIL_QUERIES are heavier/newer operators added to the headline later.
+  one-shuffle plan), which is I/O noise, not operator cost. If the two
+  samples disagree by more than 3x, a THIRD pass adjudicates (the min of
+  three is reported) - bounding the warmup blind spot for queries late in
+  the list whose first timed pass is cold.
+- Raw per-pass times are emitted as a separate JSON line
+  ``{"bench_runs": {...}}`` (and to ``$SPARK_GRAFT_BENCH_RUNS`` if set)
+  BEFORE the compact result line, so a reader can adjudicate noise vs real
+  slowdown from the artifact while the driver's tail-capture still sees
+  the compact ``{metric,value,queries,sf}`` line LAST and intact
+  (round-3 lesson: a single fat line overflowed the capture window and
+  truncated the head). ``spark.ui.showConsoleProgress`` is pinned off so
+  progress bars can't pollute the captured stream. STABLE_QUERIES marks
+  the core set benched every round since r1 (the round-over-round
+  comparison basis); TAIL_QUERIES are heavier/newer operators added to
+  the headline later.
 """
 
 from __future__ import annotations
@@ -83,7 +93,11 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
-    spark = build_session(app_name="bee-proof-spark-bench")
+    spark = build_session(
+        app_name="bee-proof-spark-bench",
+        # Keep stdout clean for the driver's line capture: no progress bars.
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     stable = [q for q in STABLE_QUERIES if q in registry]
@@ -110,6 +124,12 @@ def main() -> None:
         one_pass(name)
     for name in stable + tail:
         one_pass(name)
+    # Self-tuning third pass: two samples >3x apart means one of them was
+    # cold/noisy - a cheap extra sample settles which (min-of-three).
+    for name in stable + tail:
+        ts = runs[name]
+        if max(ts) > 3 * min(ts):
+            one_pass(name)
 
     per_query = {name: min(ts) for name, ts in runs.items()}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -118,11 +138,19 @@ def main() -> None:
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
-        "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
     spark.stop()
+    # Raw samples first (own line + optional side file), compact line LAST -
+    # the driver's tail capture must always see the full compact line.
+    runs_line = json.dumps({"bench_runs": runs})
+    print(runs_line)
+    side = os.environ.get("SPARK_GRAFT_BENCH_RUNS")
+    if side:
+        with open(side, "w") as fh:
+            fh.write(runs_line + "\n")
+    sys.stdout.flush()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
