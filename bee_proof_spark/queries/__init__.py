@@ -116,12 +116,31 @@ def _exact_sum(c: F.Column, scale: int) -> F.Column:
 
     Overflow headroom (long sums wrap silently with ANSI off): sum(hi) is
     safe below 9.2e18 / max|x| rows per group (8e13 rows at money-scale
-    1e5) and sum(lo) below 9.2e12 rows per group; beyond that - or for
-    |x| >= 10^8, where d overflows to NULL while the wide cast wouldn't -
-    use :func:`dsum_wide`.
+    1e5) and sum(lo) below 9.2e12 rows per group; beyond that use
+    :func:`dsum_wide`. For |x| >= 10^8 the compact cast overflows to NULL
+    while the wide cast wouldn't - that case is GUARDED: a per-group
+    count(c) vs count(hi) mismatch raises at execution instead of silently
+    dropping the overflowed rows (tests/test_exact_sum.py).
     """
     hi, lo, unit = _exact_parts(c, scale)
-    return _exact_combine(F.sum(hi), F.sum(lo), unit)
+    # Domain guard: with ANSI off, the compact cast overflows to NULL for
+    # |x| >= 10^8 (and +/-Inf), which would silently DROP those rows from
+    # the sum. hi is NULL exactly when c is NULL, NaN, or out of domain;
+    # NaN is excluded from the lhs count because BOTH the compact and the
+    # wide cast null it out (engines agree, not a divergence). A per-group
+    # count mismatch therefore detects exactly the out-of-domain inputs;
+    # the CASE arm is lazy, so raise_error fires only on actual violation.
+    # Cost: two long counters in the agg buffer next to the two long sums.
+    cd = c.cast("double")
+    ok = F.count(F.when(~F.isnan(cd), cd)) == F.count(hi)
+    return F.when(ok, _exact_combine(F.sum(hi), F.sum(lo), unit, scale)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"dsum: input outside the |x| < 10^8 exact-sum domain "
+                f"(scale={scale}); use dsum_wide for wide values"
+            )
+        )
+    )
 
 
 def _exact_parts(c: F.Column, scale: int) -> tuple[F.Column, F.Column, int]:
@@ -137,8 +156,18 @@ def _exact_parts(c: F.Column, scale: int) -> tuple[F.Column, F.Column, int]:
     return hi, lo, unit
 
 
-def _exact_combine(sum_hi: F.Column, sum_lo: F.Column, unit: int) -> F.Column:
-    """Recombine summed (units, ticks) exactly in decimal(38,6) arithmetic."""
+def _exact_combine(sum_hi: F.Column, sum_lo: F.Column, unit: int, scale: int) -> F.Column:
+    """Recombine summed (units, ticks) exactly in decimal(38,6) arithmetic.
+
+    The cast scale is pinned at 6 (not ``scale``) on purpose: 6 is the
+    exactness floor for every admissible ``scale`` - 10^scale ticks are
+    representable at scale 6 whenever scale <= 6, and 6 is also Spark's
+    minimum adjusted scale for the rescaling division, so a smaller cast
+    scale buys nothing and a larger one breaks the division. The assert
+    makes the coupling to _exact_parts' (0, 6] domain explicit here rather
+    than relying on the caller's assert alone.
+    """
+    assert 0 < scale <= 6, f"exact-combine scale must be in (0, 6], got {scale}"
     return sum_hi.cast("decimal(38,6)") + sum_lo.cast("decimal(38,6)") / F.lit(unit)
 
 

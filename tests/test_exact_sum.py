@@ -111,6 +111,27 @@ def test_exact_sum_rejects_unsupported_scale():
         dsum("x", "s", scale=7)
 
 
+def test_fast_sum_raises_on_out_of_domain_input(spark):
+    """|x| >= 10^8 overflows the compact cast to NULL; the guard must fail
+    LOUDLY instead of silently dropping the row from the sum (the wide cast
+    would have kept it, so silence here is a wrong answer)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = (
+        spark.createDataFrame([("a", 1.0), ("a", 2.5e8)], SCHEMA)
+        .groupBy("g")
+        .agg(dsum("x", "s"))
+    )
+    with pytest.raises(SparkRuntimeException, match="exact-sum domain"):
+        df.collect()
+
+
+def test_fast_sum_in_domain_not_tripped_by_guard(spark):
+    """Values just inside the domain boundary pass the guard untouched."""
+    got = _agg_both(spark, [("a", 99_999_999.999), ("a", -99_999_999.999)])["a"]
+    assert got["fast"] == got["wide"] == 0.0
+
+
 def test_fast_sum_plan_has_no_wide_decimal_accumulator(spark):
     """The point of the rewrite: no sum over a >18-digit decimal (which
     forces the BigDecimal/byte-buffer aggregation path) may appear."""

@@ -21,6 +21,7 @@ Usage:
 
 from __future__ import annotations
 
+import argparse
 import os
 import shutil
 import sys
@@ -31,13 +32,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SRC = "/root/testdata/sf0.1"
 
 
-def _reps() -> int:
-    if "--reps" in sys.argv:
-        return int(sys.argv[sys.argv.index("--reps") + 1])
-    return 10
+def _parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--reps", type=int, default=10, help="replication factor (default 10)")
+    p.add_argument("--gen-only", action="store_true", help="generate fixtures, skip probe")
+    p.add_argument("--probe-only", action="store_true", help="probe existing fixtures")
+    return p.parse_args()
 
 
-REPS = _reps()
+_ARGS = _parse_args()
+REPS = _ARGS.reps
 # 10x keeps the original path (the SCALE.md 10x table was measured there).
 DST = "/tmp/sfbig" if REPS == 10 else f"/tmp/sfbig{REPS}"
 
@@ -60,13 +64,15 @@ def generate(spark) -> None:
 
     rep = spark.range(REPS).withColumnRenamed("id", "rep")
 
-    def rd(name):
+    def rd(name, parts=32):
         # The sf0.1 fixtures are single parquet files = single-task scans;
         # repartition BEFORE the crossJoin so the Nx explode runs on all
         # cores instead of one task emitting N x |table| rows serially
         # (measured at 1000x: the serial shape crawled at 1 core for 20+
-        # minutes on lineitem alone).
-        return spark.read.parquet(f"{SRC}/{name}.parquet").repartition(32)
+        # minutes on lineitem alone). Pre-explode repartition also fixes the
+        # output file count, so the shuffle moves sf0.1-sized input, never
+        # the exploded output.
+        return spark.read.parquet(f"{SRC}/{name}.parquet").repartition(parts)
 
     d = rd("documents").crossJoin(F.broadcast(rep)).select(
         (F.col("doc_id") * REPS + F.col("rep")).alias("doc_id"),
@@ -80,7 +86,9 @@ def generate(spark) -> None:
     # the full exploded output (tens of GB at 1000x) for nothing.
     d.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
 
-    li = rd("lineitem").crossJoin(F.broadcast(rep))
+    # 64 parts preserves the layout the SCALE.md 100x probe was measured at
+    # (64-file lineitem; the other scaled tables were measured at 32).
+    li = rd("lineitem", parts=64).crossJoin(F.broadcast(rep))
     li = li.withColumn("l_orderkey", F.col("l_orderkey") * REPS + F.col("rep")).drop("rep")
     li.write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
     o = rd("orders").crossJoin(F.broadcast(rep))
@@ -136,9 +144,9 @@ def main() -> None:
 
     spark = build_session(app_name="bee-proof-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    if not ("--probe-only" in sys.argv and os.path.exists(f"{DST}/lineitem.parquet")):
+    if not (_ARGS.probe_only and os.path.exists(f"{DST}/lineitem.parquet")):
         generate(spark)
-    if "--gen-only" not in sys.argv:
+    if not _ARGS.gen_only:
         probe(spark)
 
 
