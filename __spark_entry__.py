@@ -84,26 +84,35 @@ _FAMILY_PRIORITY = [
 ]
 
 
-def _prev_green() -> set[str]:
-    """Ids with a hash-green row in any previous round's driver ledger."""
+def _green_rounds() -> dict[str, int]:
+    """qid -> LATEST round with a hash-green driver-ledger row for it."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
+    latest: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 for qid, row in json.load(f).items():
                     if row.get("hash_match"):
-                        green.add(qid)
+                        latest[qid] = max(latest.get(qid, 0), rnd)
         except Exception:
             pass
-    return green
+    return latest
+
+
+def _prev_green() -> set[str]:
+    """Ids with a hash-green row in any previous round's driver ledger."""
+    return set(_green_rounds())
 
 
 def _ordered_ids() -> list[str]:
-    green = _prev_green()
+    green_round = _green_rounds()
+    green = set(green_round)
     ids = list(_REGISTRY)
 
     def key(pair):
@@ -127,7 +136,9 @@ def _ordered_ids() -> list[str]:
             # regress) before burning on ids whose ledger row can never
             # change from err=no_oracle
             return (4, 0, fam, idx)
-        return (3, 0, fam, idx)
+        # re-verify STALEST greens first: an id last green in r1 is three
+        # rounds of code churn stale by r5; fresher greens wait their turn
+        return (3, green_round.get(qid, 0), fam, idx)
 
     return [qid for _, qid in sorted(enumerate(ids), key=key)]
 
