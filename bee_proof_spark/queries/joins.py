@@ -249,14 +249,28 @@ def join_smb_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    # explicit location under the engine tmp tree: table placement never
-    # depends on the caller session's warehouse/cwd
+    from bee_proof_spark.tmputil import pid_dir_alive, sweep_aged_dirs
+
+    # Explicit location under the engine tmp tree: table placement never
+    # depends on the caller session's warehouse/cwd. Keyed by (sf, pid):
+    # the catalog is per-process (in-memory) but the PATH is shared, so two
+    # concurrent processes writing the same location would race each other's
+    # rmtree/write; and a catalog keyed by bare table name would silently
+    # serve a previous sf_dir's buckets to a session that switched scales.
     base = os.path.join(tempfile.gettempdir(), "bee-proof-tmp", "bucketed")
+    mine = f"pid{os.getpid()}"
+    sweep_aged_dirs(
+        base,
+        exempt=(os.path.join(base, mine),),
+        max_age_s=3600,
+        keep=lambda p, age: pid_dir_alive(p),
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-        table = f"bps_bucketed_{name}"
-        loc = os.path.join(base, name)
+        table = f"bps_bucketed_{name}_{sf_tag}"
+        loc = os.path.join(base, mine, sf_tag, name)
         if not spark.catalog.tableExists(table):
-            # a previous session may have left the location behind
+            # a previous session of this pid may have left the location behind
             shutil.rmtree(loc, ignore_errors=True)
             (
                 tbl(spark, sf_dir, name)
@@ -270,8 +284,8 @@ def join_smb_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hint("merge"): at bench SFs both sides fit a broadcast, but the pattern
     # under demonstration is the 100 TB fact-fact case where neither does -
     # force the sort-merge strategy so the bucketed (shuffle-free) path shows.
-    li = spark.table("bps_bucketed_lineitem").hint("merge")
-    o = spark.table("bps_bucketed_orders")
+    li = spark.table(f"bps_bucketed_lineitem_{sf_tag}").hint("merge")
+    o = spark.table(f"bps_bucketed_orders_{sf_tag}")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
