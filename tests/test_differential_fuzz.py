@@ -293,3 +293,61 @@ def test_fuzz_window_functions(engines, pred, wf):
         engines,
         f"SELECT l_orderkey, l_linenumber, {wf} FROM fuzz_lineitem WHERE {pred}",
     )
+
+
+# Set-op grammar: both branches project the same exact-valued columns from
+# the same table under independent fuzzed predicates. DISTINCT variants
+# exercise the dedup shuffle; ALL variants exercise bag semantics (INTERSECT
+# ALL / EXCEPT ALL multiplicity math differs between naive implementations).
+_setop_cols = st.sampled_from(
+    [
+        "l_orderkey, l_linenumber",
+        "l_returnflag, l_linestatus",
+        "l_orderkey, l_returnflag, l_quantity",
+    ]
+)
+_setop_op = st.sampled_from(
+    ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+)
+
+
+@given(cols=_setop_cols, op=_setop_op, pa=predicate, pb=predicate)
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_set_operations(engines, cols, op, pa, pb):
+    """Set-op fuzzing: identical branch SQL on both engines, so any
+    disagreement is in the set operator itself (dedup scope, ALL
+    multiplicity, column-position matching)."""
+    _both_agree(
+        engines,
+        f"SELECT {cols} FROM fuzz_lineitem WHERE {pa} "
+        f"{op} SELECT {cols} FROM fuzz_lineitem WHERE {pb}",
+    )
+
+
+@given(
+    pred=predicate,
+    corr=ord_pred,
+    quantifier=st.sampled_from(["EXISTS", "NOT EXISTS"]),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_exists_subquery(engines, pred, corr, quantifier):
+    """Correlated EXISTS/NOT EXISTS fuzzing: Spark decorrelates to
+    LeftSemi/LeftAnti, DuckDB to its own semi plans - the rowsets must agree
+    for every (outer predicate, inner predicate) combination, including
+    inner predicates that are empty or always-true on the matched orders."""
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, l_returnflag FROM fuzz_lineitem l "
+        f"WHERE {pred} AND {quantifier} (SELECT 1 FROM fuzz_orders o "
+        f"WHERE o.o_orderkey = l.l_orderkey AND {corr})",
+    )
