@@ -836,22 +836,111 @@ WHERE round(list_dot_product(a.unit, b.unit), 4) >= 0.4
 """
 
 
+#: Target rows per similarity tile. Tile-pair cross products are computed
+#: in-core (numpy), so a tile-pair costs S^2 dot products on one worker;
+#: 2048 keeps that at ~4M dots (~0.3 GFLOP) per task while bounding the
+#: explode replication to ceil(block/S) copies of each vector.
+_EMB_TILE_ROWS = 2048
+
+
 @register("ext_dedup_embedding", oracle=_EMB_DEDUP_ORACLE)
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (in-block pairs only
-    - the blocking pattern that survives scale; cross-block recall comes from
-    the LSH variant). Threshold applies to the 4dp-rounded score so the
-    cutoff is engine-stable (oracle-checkable)."""
+    - cross-block recall comes from the LSH variant). Threshold applies to
+    the 4dp-rounded score so the cutoff is engine-stable (oracle-checkable).
+
+    Scale shape - tile-pair block join, NOT a pair join: the naive
+    label-equi-join materializes C(block,2) pair rows carrying two unit
+    vectors each, which is quadratic SHUFFLE (measured at 100x: 2.0e9 pair
+    rows, ~10 min on 32 cores, vs 2.0e5 at sf0.1 - a 10,000x blow-up for
+    100x data). Instead each label block is hash-split into tiles of
+    ~_EMB_TILE_ROWS vectors; every vector is shipped once per partner tile
+    (ceil(block/S) copies, NOT block copies), and each (tile_a, tile_b)
+    group computes its full similarity matrix in-core with one BLAS matmul,
+    emitting only pairs that clear the threshold. Shuffle volume is
+    O(vectors x tiles_per_block); the quadratic dot-product work stays
+    vectorized inside workers where it belongs.
+
+    Exactness: the BLAS matrix product is only a CANDIDATE mask (taken at
+    threshold-minus-1e-9 slack, far above blas-vs-fold float divergence);
+    surviving pairs get their cosine recomputed as the same left-to-right
+    fold _DOT performs (dimension-at-a-time accumulation is IEEE-identical
+    to the sequential sum), so scores - and the DuckDB oracle hash - are
+    bit-identical to the pair-join formulation."""
     e = shared_unit_vectors(spark, sf_dir)
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"), F.col("unit").alias("a_unit")
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_lbl"))
+    et = (
+        e.join(F.broadcast(counts), "label")
+        .withColumn(
+            "n_tiles",
+            F.ceil(F.col("n_lbl") / F.lit(_EMB_TILE_ROWS)).cast("int"),
+        )
+        .withColumn(
+            "tile", F.pmod(F.xxhash64("vec_id"), F.col("n_tiles")).cast("int")
+        )
     )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("lbl_b"), F.col("unit").alias("b_unit")
+    # Role a: this vector's tile is the LEFT tile of pairs (tile, j>=tile).
+    # Role b: this vector's tile is the RIGHT tile of pairs (i<tile, tile) -
+    # strict, so the diagonal pair holds each tile's rows exactly once.
+    cols = ["label", "vec_id", "unit"]
+    left = et.select(
+        *cols,
+        F.col("tile").alias("ti"),
+        F.explode(F.sequence(F.col("tile"), F.col("n_tiles") - 1)).alias("tj"),
+        F.lit("a").alias("role"),
     )
+    right = et.select(
+        *cols,
+        # filter(sequence(0, tile), x -> x < tile) is empty at tile=0;
+        # sequence(0, tile-1) would count DOWN there and fabricate tiles.
+        F.explode(F.expr("filter(sequence(0, tile), x -> x < tile)")).alias("ti"),
+        F.col("tile").alias("tj"),
+        F.lit("b").alias("role"),
+    )
+
+    def tile_pair(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf[pdf["role"] == "a"]
+        b = pdf[pdf["role"] == "b"]
+        diagonal = len(b) == 0  # (k, k): role-b membership is strict
+        if len(a) == 0:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cosine": [], "lbl": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64", "lbl": "int32"})
+        ua = np.stack(a["unit"].to_numpy())
+        ids_a = a["vec_id"].to_numpy()
+        if diagonal:
+            ub, ids_b = ua, ids_a
+        else:
+            ub = np.stack(b["unit"].to_numpy())
+            ids_b = b["vec_id"].to_numpy()
+        sim = ua @ ub.T
+        ia, ib = np.nonzero(sim >= 0.39995 - 1e-9)  # round4(x)>=0.4 <=> x>=0.39995
+        id1, id2 = ids_a[ia], ids_b[ib]
+        keep = id1 < id2 if diagonal else id1 != id2  # drop self + mirror pairs
+        ia, ib, id1, id2 = ia[keep], ib[keep], id1[keep], id2[keep]
+        # Exact recompute in _DOT's fold order: one accumulation per
+        # dimension is elementwise IEEE add, identical to the scalar fold.
+        va, vb = ua[ia], ub[ib]
+        acc = np.zeros(len(ia))
+        for d in range(va.shape[1] if len(ia) else 0):
+            acc += va[:, d] * vb[:, d]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(id1, id2),
+                "id_b": np.maximum(id1, id2),
+                "cosine": acc,
+                "lbl": pdf["label"].iloc[0],
+            }
+        )
+
     return (
-        a.join(b, (F.col("lbl") == F.col("lbl_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cosine", F.round(F.expr(_DOT), 4))
+        left.unionByName(right)
+        .groupBy("label", "ti", "tj")
+        .applyInPandas(tile_pair, "id_a long, id_b long, cosine double, lbl int")
+        .withColumn("cosine", F.round("cosine", 4))
         .filter(F.col("cosine") >= 0.4)
         .select("id_a", "id_b", "cosine", "lbl")
     )
