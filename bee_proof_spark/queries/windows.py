@@ -167,10 +167,51 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame over a numeric ordering (value-based, not row-based)."""
-    w = Window.orderBy("o_totalprice").rangeBetween(-5000, Window.currentRow)
-    return _orders(spark, sf_dir).select(
-        "o_orderkey", F.count(F.lit(1)).over(w).alias("n_in_band")
+    """RANGE frame over a numeric ordering (value-based, not row-based).
+
+    Scale shape - banded aggregation, NOT a global window: the direct
+    ``Window.orderBy(price).rangeBetween(-5000, 0)`` has no PARTITION BY, so
+    Spark sorts the ENTIRE table in one task - measured 225 s at 100x data
+    vs 1.8 s at sf0.1 (122x time for 100x rows, and a dead stage at 1000x).
+    Because the frame width is a constant 5000, a row's frame can only
+    reach rows in its own price band of width 5000 or the one below:
+    each row is shipped to its own band (as probe + build) and to the band
+    above (build-only ghost), and every band counts its probes' frames
+    in-core against a sorted build array (two binary searches per row,
+    inclusive bounds exactly as RANGE ... PRECEDING AND CURRENT ROW).
+    One shuffle on the band key, O(n log n/band) per band, parallelism =
+    number of occupied bands - the count is exact, including order-value
+    ties, and integer, so no float-divergence risk vs the oracle."""
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    band = F.floor(F.col("o_totalprice") / F.lit(5000.0)).cast("long")
+    probe = o.select(
+        "o_orderkey", "o_totalprice", band.alias("band"), F.lit(True).alias("is_probe")
+    )
+    ghost = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        (band + 1).alias("band"),
+        F.lit(False).alias("is_probe"),
+    )
+
+    def count_frames(pdf):
+        import numpy as np
+        import pandas as pd
+
+        prices = pdf["o_totalprice"].to_numpy(dtype="float64")
+        build = np.sort(prices)
+        probes = pdf[pdf["is_probe"]]
+        p = probes["o_totalprice"].to_numpy(dtype="float64")
+        hi = np.searchsorted(build, p, side="right")
+        lo = np.searchsorted(build, p - 5000.0, side="left")
+        return pd.DataFrame(
+            {"o_orderkey": probes["o_orderkey"].to_numpy(), "n_in_band": hi - lo}
+        )
+
+    return (
+        probe.unionByName(ghost)
+        .groupBy("band")
+        .applyInPandas(count_frames, "o_orderkey long, n_in_band long")
     )
 
 
