@@ -837,10 +837,13 @@ WHERE round(list_dot_product(a.unit, b.unit), 4) >= 0.4
 
 
 #: Target rows per similarity tile. Tile-pair cross products are computed
-#: in-core (numpy), so a tile-pair costs S^2 dot products on one worker;
-#: 2048 keeps that at ~4M dots (~0.3 GFLOP) per task while bounding the
-#: explode replication to ceil(block/S) copies of each vector.
-_EMB_TILE_ROWS = 2048
+#: in-core (numpy), so a tile-pair's similarity matrix costs S^2 doubles
+#: (~134 MB at 4096 - transient, per task) while the shuffle replicates
+#: each vector ceil(block/S) times: raising S trades bounded task memory
+#: for linearly less shuffle, the binding constraint at large block sizes
+#: (measured: at 1000x data, S=2048 shipped ~100 GB of tile copies and
+#: exhausted local spill disk; S=4096 + float32 payloads fit).
+_EMB_TILE_ROWS = 4096
 
 
 @register("ext_dedup_embedding", oracle=_EMB_DEDUP_ORACLE)
@@ -866,8 +869,15 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving pairs get their cosine recomputed as the same left-to-right
     fold _DOT performs (dimension-at-a-time accumulation is IEEE-identical
     to the sequential sum), so scores - and the DuckDB oracle hash - are
-    bit-identical to the pair-join formulation."""
-    e = shared_unit_vectors(spark, sf_dir)
+    bit-identical to the pair-join formulation.
+
+    Payload: tiles ship the RAW float32 embedding (half the bytes of the
+    family's double unit vectors - the shuffle is this operator's binding
+    cost) and normalize in-core, replaying _unit_vectors' exact math:
+    float->double cast is exact, the norm accumulates dimension-at-a-time
+    in the same fold order, and the elementwise divide matches the JVM's,
+    so the resulting units are bit-identical to shared_unit_vectors'."""
+    e = tbl(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_lbl"))
     et = (
         e.join(F.broadcast(counts), "label")
@@ -882,7 +892,7 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Role a: this vector's tile is the LEFT tile of pairs (tile, j>=tile).
     # Role b: this vector's tile is the RIGHT tile of pairs (i<tile, tile) -
     # strict, so the diagonal pair holds each tile's rows exactly once.
-    cols = ["label", "vec_id", "unit"]
+    cols = ["label", "vec_id", "embedding"]
     left = et.select(
         *cols,
         F.col("tile").alias("ti"),
@@ -902,6 +912,16 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        def units(rows):
+            # Bit-identical replay of _unit_vectors: exact float->double
+            # cast, dimension-at-a-time norm accumulation (the fold order),
+            # elementwise divide.
+            emb = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+            nsq = np.zeros(len(emb))
+            for d in range(emb.shape[1]):
+                nsq += emb[:, d] * emb[:, d]
+            return emb / np.sqrt(nsq)[:, None]
+
         a = pdf[pdf["role"] == "a"]
         b = pdf[pdf["role"] == "b"]
         diagonal = len(b) == 0  # (k, k): role-b membership is strict
@@ -909,12 +929,12 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 {"id_a": [], "id_b": [], "cosine": [], "lbl": []}
             ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64", "lbl": "int32"})
-        ua = np.stack(a["unit"].to_numpy())
+        ua = units(a)
         ids_a = a["vec_id"].to_numpy()
         if diagonal:
             ub, ids_b = ua, ids_a
         else:
-            ub = np.stack(b["unit"].to_numpy())
+            ub = units(b)
             ids_b = b["vec_id"].to_numpy()
         sim = ua @ ub.T
         ia, ib = np.nonzero(sim >= 0.39995 - 1e-9)  # round4(x)>=0.4 <=> x>=0.39995
