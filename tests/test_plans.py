@@ -256,14 +256,18 @@ def test_decontaminate_broadcasts_eval_set(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
-def test_q21_uses_semi_and_anti_joins(spark, sf_smoke):
-    """Q21's EXISTS / NOT EXISTS must plan as left-semi / left-anti joins on
-    the order key - never row-duplicating inner joins or a cartesian/BNLJ
-    (fact x fact would be a 100 TB incident)."""
+def test_q21_single_fact_pass(spark, sf_smoke):
+    """Q21's EXISTS / NOT EXISTS are algebraized into one window over the
+    order key: exactly one lineitem scan (no fact self-joins), one Window
+    exec computing both supplier sets, supplier/nation broadcast, and never
+    a cartesian/BNLJ (fact x fact would be a 100 TB incident)."""
     plan = _plan(spark, "tpch_q21_waiting", sf_smoke, mode="simple")
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 1, "fact self-join reappeared"
+    assert plan.count("+- Window ") == 1, "window split or duplicated"
+    assert plan.count("collect_set") == 2  # both sets in the one Window
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_q2_broadcasts_all_dims(spark, sf_smoke):
