@@ -204,13 +204,24 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture has no l_commitdate/l_receiptdate).
 
     Scale notes: EXISTS compiles to a left-semi join - lineitem never
-    duplicates orders rows, and only l_orderkey survives the scan.
+    duplicates orders rows, and only l_orderkey survives the scan. The
+    probe side is pre-deduped to distinct order keys BEFORE the semi join:
+    a semi join alone shuffles every matching lineitem row, while the
+    distinct's partial hash aggregate combines map-side, so the shuffle
+    carries one key per (map partition, order) instead of one per returned
+    line (measured ~20% at the 100x fixture; the win grows with the
+    lines-per-order fan-out).
     """
     orders = tbl(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    returned = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    returned = (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+    )
     return (
         orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
