@@ -12,6 +12,9 @@ Replication is semantics-preserving at scale:
   a realistic growth axis).
 - embeddings: vec_id remapped, deterministic per-replica perturbation so
   vectors are distinct but the space keeps its cluster structure.
+- events: user_id/event_id remapped so each replica user replays the
+  original user's exact timeline - Nx users, Nx events, per-user session
+  and lateness structure unchanged.
 
 Usage:
     python tools/gen_scale.py [--reps N]   # generate + probe (default N=10)
@@ -23,7 +26,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import shutil
 import sys
 import time
 
@@ -45,9 +47,9 @@ REPS = _ARGS.reps
 # 10x keeps the original path (the SCALE.md 10x table was measured there).
 DST = "/tmp/sfbig" if REPS == 10 else f"/tmp/sfbig{REPS}"
 
-#: Probes limited to queries over the SCALED tables (lineitem, orders,
-#: documents, embeddings); events is byte-copied unscaled, so event-window
-#: queries would measure nothing.
+#: Probes over the SCALED tables (lineitem, orders, documents, embeddings,
+#: events - events replicas carry each source user's exact timeline on Nx
+#: the users, so windowed/session/stateful shapes scale on the group axis).
 PROBE_QUERIES = [
     "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q9_profit",
     "tpch_q18_large_volume", "agg_basic", "agg_skew_salted",
@@ -56,6 +58,9 @@ PROBE_QUERIES = [
     "ext_text_topk_ngrams", "ext_dedup_fuzzy", "ext_dedup_fuzzy_verified",
     "ext_dedup_cluster", "ext_decontaminate", "ext_knn_cosine",
     "ext_chunk_documents", "ext_pack_sequences",
+    "stream_tumbling_batch", "stream_sliding_batch", "stream_session_batch",
+    "stream_session_dynamic_gap", "stream_stream_join",
+    "stream_foreach_batch_upsert",
 ]
 
 
@@ -109,8 +114,24 @@ def generate(spark) -> None:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{DST}/{t}.parquet"
         )
-    # events.ts is parquet TIMESTAMP(NANOS) - byte-copy to preserve it.
-    shutil.copyfile(f"{SRC}/events.parquet", f"{DST}/events.parquet")
+    # events scales on the user axis: user_id (and event_id, for
+    # uniqueness) remap like order keys, so every replica user carries the
+    # ORIGINAL user's exact timeline - sessions per user, gaps, and
+    # watermark lateness structure are preserved while user cardinality and
+    # total event volume grow Nx (the realistic growth axis for a
+    # clickstream). ts values are unchanged; the rewrite does convert the
+    # fixture's parquet TIMESTAMP(NANOS) to Spark's micros - irrelevant for
+    # scale probes (timing only, and tbl() reads both layouts).
+    from bee_proof_spark.queries import tbl
+
+    ev = tbl(spark, SRC, "events")
+    ev = ev.repartition(32).crossJoin(F.broadcast(rep)).select(
+        (F.col("event_id") * REPS + F.col("rep")).alias("event_id"),
+        "ts",
+        (F.col("user_id") * REPS + F.col("rep")).alias("user_id"),
+        "event_type", "value", "props",
+    )
+    ev.write.mode("overwrite").parquet(f"{DST}/events.parquet")
 
 
 def probe(spark) -> None:
