@@ -520,3 +520,82 @@ def test_fuzz_order_by_limit(engines, pred, keys, n, direction):
         f"SELECT {keys} FROM fuzz_lineitem WHERE {pred} "
         f"ORDER BY {order} LIMIT {n}",
     )
+
+
+# RANGE frames are tie-INCLUSIVE (all peers of the current row join the
+# frame), so unlike ROWS frames they are deterministic even when the
+# ORDER BY column has duplicates - sum an int column and any tie-run
+# contributes identically regardless of physical order.
+_range_frame = st.tuples(
+    _wpart,
+    st.sampled_from(["l_quantity", "l_extendedprice"]),
+    st.integers(0, 1000),
+    st.sampled_from(["CURRENT ROW", "UNBOUNDED FOLLOWING"]),
+).map(
+    lambda t: f"sum(l_suppkey) OVER (PARTITION BY {t[0]} ORDER BY {t[1]} "
+    f"RANGE BETWEEN {t[2]} PRECEDING AND {t[3]}) AS wf"
+)
+
+
+@given(pred=predicate, wf=_range_frame)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_range_frames(engines, pred, wf):
+    """RANGE-frame fuzzing: numeric-offset frames over double order keys
+    must agree - boundary inclusion at exactly `offset` away, peer-run
+    inclusion, and empty-frame NULL semantics are all engine-implemented."""
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {wf} FROM fuzz_lineitem WHERE {pred}",
+    )
+
+
+@given(
+    pred=predicate,
+    corr=ord_pred,
+    quantifier=st.sampled_from(["IN", "NOT IN"]),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_in_subquery(engines, pred, corr, quantifier):
+    """IN / NOT IN subquery fuzzing: the membership list varies with the
+    inner predicate (including empty lists, where NOT IN must keep every
+    outer row and IN none). o_orderkey is non-null so the NOT-IN NULL trap
+    stays out of scope here - the curated subquery_not_in_nulls id covers
+    it; this exercises decorrelation over arbitrary inner filters."""
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, l_returnflag FROM fuzz_lineitem "
+        f"WHERE {pred} AND l_orderkey {quantifier} "
+        f"(SELECT o_orderkey FROM fuzz_orders WHERE {corr})",
+    )
+
+
+@given(pred=predicate, agg=st.sampled_from(["max", "min", "count"]))
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_scalar_subquery(engines, pred, agg):
+    """Correlated scalar-subquery fuzzing: a per-row aggregate over the
+    matching orders (exact: min/max/count, no float accumulation). The
+    unmatched case must yield NULL for min/max and 0 for count on both
+    engines."""
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, "
+        f"(SELECT {agg}(o_totalprice) FROM fuzz_orders o "
+        f" WHERE o.o_orderkey = fuzz_lineitem.l_orderkey "
+        f" AND o.o_orderstatus <> 'P') AS sc "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
