@@ -599,3 +599,35 @@ def test_fuzz_scalar_subquery(engines, pred, agg):
         f" AND o.o_orderstatus <> 'P') AS sc "
         f"FROM fuzz_lineitem WHERE {pred}",
     )
+
+
+# Bounded ROWS frames over the tie-run-constant sum: inside any ORDER BY
+# tie-run the summed column (l_suppkey, part of the ORDER BY) is constant,
+# so the sequence of summed values is identical under any permutation of a
+# tie-run and every [i-n, i+m] frame sum is permutation-invariant.
+_rows_frame = st.tuples(
+    _wpart,
+    st.integers(0, 5),
+    st.sampled_from(["CURRENT ROW", "1 FOLLOWING", "3 FOLLOWING"]),
+).map(
+    lambda t: f"sum(l_suppkey) OVER (PARTITION BY {t[0]} "
+    f"ORDER BY l_orderkey, l_linenumber, l_suppkey "
+    f"ROWS BETWEEN {t[1]} PRECEDING AND {t[2]}) AS wf"
+)
+
+
+@given(pred=predicate, wf=_rows_frame)
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_bounded_rows_frames(engines, pred, wf):
+    """Bounded ROWS-frame fuzzing: physical offsets before/after the current
+    row - frame clipping at partition edges and preceding/following
+    arithmetic must agree row-for-row."""
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {wf} FROM fuzz_lineitem WHERE {pred}",
+    )

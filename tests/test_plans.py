@@ -57,6 +57,11 @@ def test_dimension_joins_broadcast(spark, sf_smoke, qid):
 def test_semi_anti_joins_planned(spark, sf_smoke):
     q4 = _plan(spark, "tpch_q4_priority", sf_smoke)
     assert "LeftSemi" in q4
+    # The probe side pre-dedups to distinct order keys: a partial+final
+    # HashAggregate pair for the distinct (on top of the count agg's own
+    # pair) so the semi-join shuffle carries one key per (map partition,
+    # order), not one row per returned lineitem (~20% at the 100x fixture).
+    assert q4.count("HashAggregate") >= 4, "probe-side distinct dropped"
     q22 = _plan(spark, "tpch_q22_global_sales", sf_smoke)
     assert "LeftAnti" in q22
 
