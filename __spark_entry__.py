@@ -48,9 +48,10 @@ _REGISTRY = load_all()
 # first tuple element key() returns): (0) _FRONT ids fixed or newly oracled,
 # (1) never-driver-tested ids that have oracles (family-prioritized),
 # (2) untested _NEW_THIS_ROUND ids, (3) ids already driver-green in a
-# previous round (re-verify once untested ids run out), (4) rows-only ids
-# last (their ledger row is err=no_oracle forever - a front-50 slot is
-# wasted on them).
+# previous round (stalest-green first) interleaved with ONE-TIME slots for
+# rows-only ids that have never produced any ledger row (evidence the true
+# readStream/sampler paths execute on driver hardware), (4) rows-only ids
+# whose permanent err=no_oracle row already landed - last forever.
 
 _FRONT = [
     # r1 FAILs, fixed (array outputs serialized / scalarized)
@@ -110,9 +111,29 @@ def _prev_green() -> set[str]:
     return set(_green_rounds())
 
 
+def _ever_ran() -> set[str]:
+    """Ids with ANY driver-ledger row (green, red, or err=no_oracle)."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ran: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                ran |= set(json.load(f))
+        except Exception:
+            pass
+    return ran
+
+
 def _ordered_ids() -> list[str]:
     green_round = _green_rounds()
     green = set(green_round)
+    ran = _ever_ran()
+    # the stalest green round currently in the ledger (0 when ledger empty):
+    # never-run rows-only ids slot right AFTER that cohort (see below)
+    stalest = min(green_round.values(), default=0)
     ids = list(_REGISTRY)
 
     def key(pair):
@@ -131,11 +152,18 @@ def _ordered_ids() -> list[str]:
         if spec.oracle is not None and qid not in green:
             return (1, 0, fam, idx)
         if spec.oracle is None:
-            # permanent rows-only rows sort LAST: once every oracled id is
-            # green, front-50 slots should re-verify greens (which can
-            # regress) before burning on ids whose ledger row can never
-            # change from err=no_oracle
-            return (4, 0, fam, idx)
+            if qid in ran:
+                # rows-only ids WITH a ledger row sort LAST forever: their
+                # row can never change from err=no_oracle, so a front-50
+                # slot is wasted on them while any green could be refreshed
+                return (4, 0, fam, idx)
+            # ONE-TIME evidence slot: a rows-only id with NO ledger row of
+            # any kind has never executed on driver hardware. A spark_rows>0
+            # row is still evidence the true readStream/sampler path runs
+            # there, so it outranks all-but-the-stalest green refreshes
+            # (those re-verify again next round anyway); once the row lands,
+            # the id sinks to bucket 4 for good.
+            return (3, stalest + 0.5, fam, idx)
         # re-verify STALEST greens first: an id last green in r1 is three
         # rounds of code churn stale by r5; fresher greens wait their turn
         return (3, green_round.get(qid, 0), fam, idx)

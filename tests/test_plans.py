@@ -268,7 +268,9 @@ def test_q21_single_fact_pass(spark, sf_smoke):
     a cartesian/BNLJ (fact x fact would be a 100 TB incident)."""
     plan = _plan(spark, "tpch_q21_waiting", sf_smoke, mode="simple")
     assert plan.count("lineitem.parquet") == 1, "fact self-join reappeared"
-    assert plan.count("+- Window ") == 1, "window split or duplicated"
+    import re
+
+    assert len(re.findall(r"\bWindow \[", plan)) == 1, "window split or duplicated"
     assert plan.count("collect_set") == 2  # both sets in the one Window
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan

@@ -119,9 +119,7 @@ def generate(spark) -> None:
     # ORIGINAL user's exact timeline - sessions per user, gaps, and
     # watermark lateness structure are preserved while user cardinality and
     # total event volume grow Nx (the realistic growth axis for a
-    # clickstream). ts values are unchanged; the rewrite does convert the
-    # fixture's parquet TIMESTAMP(NANOS) to Spark's micros - irrelevant for
-    # scale probes (timing only, and tbl() reads both layouts).
+    # clickstream). ts values are carried through unchanged.
     from bee_proof_spark.queries import tbl
 
     ev = tbl(spark, SRC, "events")
