@@ -25,6 +25,39 @@ from pyspark.sql import SparkSession
 
 TMP_ROOT = "bee-proof-tmp"
 
+
+def auto_shuffle_partitions(data_dir: str | None = None) -> int:
+    """Shuffle-partition count sized to the input corpus, not a constant.
+
+    A fixed count is wrong at both ends: 32 partitions over a 600M-row
+    fixture spill (measured: ext_text_tfidf 107.8 s at 1000x with 32 vs
+    71.0 s with 256, SCALE.md), while 256 over sf0.1 pays per-task overhead
+    for nothing. Target ~24 MB of compressed parquet input per partition -
+    parquet expands ~4-8x decoded, so this lands near the ~128 MB-per-task
+    post-AQE sizing a cluster deployment would use - clamped to [32, 1024]
+    and rounded to the nearest power of two for run-to-run stability (the
+    probe fixtures land on exactly the measured-best 256 at 1000x, and on
+    the long-standing 32 at sf0.1/100x). Returns 32 when the directory is
+    unset/missing so sessions without a corpus keep the historical default.
+    """
+    if not data_dir or not os.path.isdir(data_dir):
+        return 32
+    total = 0
+    for root, _, files in os.walk(data_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return _partitions_for_bytes(total)
+
+
+def _partitions_for_bytes(total: int) -> int:
+    import math
+
+    raw = max(32, min(1024, total // (24 * 1024 * 1024) or 1))
+    return 2 ** round(math.log2(raw))
+
 #: Conf shared by both profiles. Values are strings per SparkConf convention.
 _COMMON_CONF: dict[str, str] = {
     # Hive-compat semantics (SURVEY.md section 4.2 "semantic gaps" row).
@@ -33,9 +66,11 @@ _COMMON_CONF: dict[str, str] = {
     # In-memory catalog = the reference's throwaway Derby metastore
     # (ManifestRunner.java:195).
     "spark.sql.catalogImplementation": "in-memory",
-    # Local-mode shuffle sizing; a real cluster would size this to cores*2-3
-    # or rely on AQE coalescing.
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Local-mode shuffle sizing: explicit SPARK_GRAFT_SHUFFLE wins; else
+    # sized to the corpus named by SPARK_GRAFT_SF_DIR (auto_shuffle_partitions
+    # - 32 at sf0.1, 256 at the 1000x fixture); else the historical 32.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE")
+    or str(auto_shuffle_partitions(os.environ.get("SPARK_GRAFT_SF_DIR"))),
     # Local mode runs all 32 executor threads inside ONE driver JVM whose
     # default heap is 1g - far below what 32-way shuffles need (measured:
     # window aggs over a 6M-row fixture OOM at 1g, breeze at 8g). Only read

@@ -165,3 +165,25 @@ def test_build_session_warns_on_live_runtime_mutation(spark):
             profile="perf",
             extra_conf={"spark.sql.autoBroadcastJoinThreshold": before},
         )
+
+
+def test_auto_shuffle_partitions_scales_with_corpus_bytes(tmp_path):
+    """Corpus-sized shuffle parallelism: 32 floor for small/absent dirs,
+    power-of-two growth at ~24 MB compressed input per partition, 1024 cap."""
+    from bee_proof_spark.session import auto_shuffle_partitions
+
+    assert auto_shuffle_partitions(None) == 32
+    assert auto_shuffle_partitions(str(tmp_path / "missing")) == 32
+    assert auto_shuffle_partitions(str(tmp_path)) == 32  # empty dir
+    big = tmp_path / "t.parquet"
+    big.write_bytes(b"\0" * (6 * 1024 * 1024))
+    assert auto_shuffle_partitions(str(tmp_path)) == 32  # under the floor
+    from bee_proof_spark.session import _partitions_for_bytes as pfb
+
+    gib = 1024**3
+    assert pfb(76 * 1024 * 1024) == 32  # the sf0.1 fixture's size class
+    assert pfb(5 * gib) == 256  # the 1000x fixture's measured-best value
+    assert pfb(10**15) == 1024  # capped
+    for total in (0, gib, 37 * gib, 10**15):
+        n = pfb(total)
+        assert n & (n - 1) == 0 and 32 <= n <= 1024

@@ -134,13 +134,20 @@ def generate(spark) -> None:
 
 def probe(spark) -> None:
     from bee_proof_spark.queries import load_all
+    from bee_proof_spark.session import auto_shuffle_partitions
 
     reg = load_all()
+    # Corpus-sized shuffle parallelism per probed dir (shuffle.partitions is
+    # runtime-settable): sf0.1 keeps 32, the 1000x fixture gets 256 - the
+    # value the hand-tuned @shuffle=256 re-measurements already showed wins.
+    nparts = {sf: auto_shuffle_partitions(sf) for sf in (SRC, DST)}
+    print(f"shuffle partitions: sf0.1={nparts[SRC]} {REPS}x={nparts[DST]}", flush=True)
 
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
     def timed(qid: str, sf: str) -> float:
+        spark.conf.set("spark.sql.shuffle.partitions", str(nparts[sf]))
         ts = []
         for _ in range(2):  # min of two: first pass warms caches/codegen
             t0 = time.perf_counter()
