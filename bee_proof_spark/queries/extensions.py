@@ -16,6 +16,8 @@ Scale posture is the whole point here:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -124,6 +126,63 @@ def _shingle_postings(d: DataFrame) -> DataFrame:
 #: process (TESTDATA.md), which is what makes per-path memoization sound.
 _FAMILY_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+#: Corpus-size cutover from block-manager checkpoints to disk staging: a
+#: documents fixture above this many bytes of compressed parquet explodes
+#: into postings that outgrow one JVM's block-manager budget (the 783 MB
+#: 1000x fixture's ~1e9-row postings OOMed the 48 g probe heap under
+#: localCheckpoint, SCALE.md r4 near-dup note), so its family stages are
+#: written to parquet under the engine tmp tree and read back - exactly the
+#: staged-table shape a cluster deployment uses on the object store, with
+#: columnar compression instead of java-serialized blocks. The 100x fixture
+#: (76 MB docs) stays on the fast in-memory path.
+_DISK_STAGE_DOC_BYTES = int(
+    os.environ.get("BEE_PROOF_FAMILY_DISK_BYTES", 256 * 1024 * 1024)
+)
+
+
+def _corpus_doc_bytes(sf_dir: str) -> int:
+    """Compressed size of the corpus documents fixture (file or dir)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(path):
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return 0
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _family_stage_dir(sf_dir: str, stage: str) -> str:
+    """Deterministic parquet-staging dir for a (corpus, stage), pid-scoped.
+
+    Same hygiene contract as the sink scratch dirs (scans._scratch): aged
+    dirs from dead pids are reclaimed, a live pid's dirs never are (its
+    read-back DataFrames lazily reference the files). Staged stages survive
+    session restarts within a process - sound because fixture dirs are
+    immutable per process (TESTDATA.md).
+    """
+    import hashlib
+    import tempfile
+
+    from bee_proof_spark.tmputil import pid_dir_alive, sweep_aged_dirs
+
+    base = os.path.join(tempfile.gettempdir(), "bee-proof-tmp", "familystage")
+    mine = f"pid{os.getpid()}"
+    sweep_aged_dirs(
+        base,
+        exempt=(os.path.join(base, mine),),
+        max_age_s=3600,
+        keep=lambda p, a: pid_dir_alive(p),
+    )
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    return os.path.join(base, mine, f"{tag}-{stage}")
+
 #: Bound on cached checkpoints per process: a long-lived session sweeping
 #: many corpora (oracle sweeps over tmp fixtures, multi-sf benches) must not
 #: pin unbounded block-manager memory. FIFO eviction drops the dict's (and
@@ -140,7 +199,16 @@ def _family_checkpoint(spark: SparkSession, sf_dir: str, stage: str, build) -> D
     key = (app, sf_dir, stage)
     df = _FAMILY_CACHE.get(key)
     if df is None:
-        df = build().localCheckpoint(eager=True)
+        if _corpus_doc_bytes(sf_dir) >= _DISK_STAGE_DOC_BYTES:
+            # big corpus: stage to parquet (see _DISK_STAGE_DOC_BYTES). The
+            # _SUCCESS check makes the stage restart-safe within a pid; a
+            # half-written dir from a killed run is overwritten whole.
+            path = _family_stage_dir(sf_dir, stage)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                build().write.mode("overwrite").parquet(path)
+            df = spark.read.parquet(path)
+        else:
+            df = build().localCheckpoint(eager=True)
         _FAMILY_CACHE[key] = df
         while len(_FAMILY_CACHE) > _FAMILY_CACHE_MAX:
             _FAMILY_CACHE.pop(next(iter(_FAMILY_CACHE)))
@@ -191,6 +259,41 @@ def shared_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_capped_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-capped (doc_id, shingle) postings - the hot-shingle blacklist
+    applied - materialized once per (app, corpus). Consumed by the exact
+    Jaccard self-join, which reads it three times: both join sides + the
+    per-doc sizes agg.
+
+    Hot-shingle blacklist via groupBy, NOT a window over the shingle
+    partition: the window form shuffles EVERY posting row to compute df
+    (no partial aggregation exists for windows), while groupBy map-side
+    combines so only distinct-shingle partial counts cross the wire, and
+    the resulting blacklist (shingles with df > cap, each costing >= 10
+    postings) is small enough to broadcast into a shuffle-free anti-join.
+    Measured on the 10x corpus: 9.4 s vs 12.2 s for the window form, and
+    the gap widens with data volume (~0.7 s slower at sf0.1 where the two
+    extra tiny jobs dominate - the 100 TB posture wins the trade).
+    """
+
+    def build() -> DataFrame:
+        d = tbl(spark, sf_dir, "documents")
+        sh0 = shared_shingle_postings(spark, sf_dir)
+        nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+        hot = (
+            sh0.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .join(nd)  # 1-row side: broadcast scalar, no shuffle
+            .filter(F.col("df") > F.greatest(0.02 * F.col("n_docs"), F.lit(10.0)))
+            .select("shingle")
+        )
+        return sh0.join(F.broadcast(hot), "shingle", "left_anti").select(
+            "doc_id", "shingle"
+        )
+
+    return _family_checkpoint(spark, sf_dir, "capped_postings", build)
+
+
 @register("ext_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection by exact 3-gram-shingle Jaccard >= 0.5 over the
@@ -205,33 +308,7 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied on both engines, so Jaccard is computed over identical capped
     sets; integer count arithmetic keeps it exact.
     """
-    d = tbl(spark, sf_dir, "documents")
-    sh0 = shared_shingle_postings(spark, sf_dir)
-    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    # Hot-shingle blacklist via groupBy, NOT a window over the shingle
-    # partition: the window form shuffles EVERY posting row to compute df
-    # (no partial aggregation exists for windows), while groupBy map-side
-    # combines so only distinct-shingle partial counts cross the wire, and
-    # the resulting blacklist (shingles with df > cap, each costing >= 10
-    # postings) is small enough to broadcast into a shuffle-free anti-join.
-    # Measured on the 10x corpus: 9.4 s vs 12.2 s for the window form, and
-    # the gap widens with data volume (~0.7 s slower at sf0.1 where the two
-    # extra tiny jobs dominate - the 100 TB posture wins the trade).
-    hot = (
-        sh0.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .join(nd)  # 1-row side: broadcast scalar, no shuffle
-        .filter(F.col("df") > F.greatest(0.02 * F.col("n_docs"), F.lit(10.0)))
-        .select("shingle")
-    )
-    w = (
-        sh0.join(F.broadcast(hot), "shingle", "left_anti")
-        .select("doc_id", "shingle")
-        # Three consumers read the capped postings (both self-join sides +
-        # the per-doc sizes agg): checkpoint once so the corpus scan/explode
-        # isn't recomputed per consumer (at warehouse scale: persist/cache).
-        .localCheckpoint(eager=False)
-    )
+    w = shared_capped_postings(spark, sf_dir)
     sizes = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = w.alias("a")
     b = w.alias("b")
@@ -376,6 +453,35 @@ WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.5
 """
 
 
+def shared_candidate_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED (doc_id, shingle) postings restricted to docs appearing in
+    an LSH candidate pair, materialized once per (app, corpus).
+
+    Exact verification only ever touches docs that appear in a candidate
+    pair - at a constant dup RATE that is a small fraction of the corpus,
+    so semi-filtering the postings FIRST keeps the wide shuffles (both
+    join sides and the size agg) proportional to candidate docs, not to
+    the corpus (measured at 100x: 29.5 s -> see SCALE.md). The broadcast
+    holds one long per candidate doc; at corpus scales where that set
+    outgrows the broadcast budget, swap in a runtime bloom semi-filter.
+    Materializing the filtered table (rather than re-deriving it per
+    consumer) is what collapses the verification plan's exchange count:
+    sizes and both pair-join sides read the same tiny staged table.
+    """
+
+    def build() -> DataFrame:
+        sh0 = shared_shingle_postings(spark, sf_dir)
+        pairs = shared_lsh_candidates(spark, sf_dir)
+        cand_docs = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        return sh0.join(F.broadcast(cand_docs), "doc_id", "leftsemi")
+
+    return _family_checkpoint(spark, sf_dir, "cand_postings", build)
+
+
 @register("ext_dedup_fuzzy_verified", oracle=_FUZZY_VERIFIED_ORACLE)
 def ext_dedup_fuzzy_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production fuzzy-dedup pipeline: MinHash+LSH candidate
@@ -389,24 +495,8 @@ def ext_dedup_fuzzy_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings for CANDIDATE pairs only (never all pairs); at 100 TB the
     verify cost is O(candidates x doc shingles), not O(n^2).
     """
-    # ONE shingle explode feeds both pipelines (and the jaccard/cluster
-    # family): the checkpointed distinct postings table is read by the
-    # signature aggregation AND the exact verification join.
-    sh0 = shared_shingle_postings(spark, sf_dir)
     pairs = shared_lsh_candidates(spark, sf_dir)
-    # Exact verification only ever touches docs that appear in a candidate
-    # pair - at a constant dup RATE that is a small fraction of the corpus,
-    # so semi-filtering the postings FIRST keeps the wide shuffles (both
-    # join sides and the size agg) proportional to candidate docs, not to
-    # the corpus (measured at 100x: 29.5 s -> see SCALE.md). The broadcast
-    # holds one long per candidate doc; at corpus scales where that set
-    # outgrows the broadcast budget, swap in a runtime bloom semi-filter.
-    cand_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh_c = sh0.join(F.broadcast(cand_docs), "doc_id", "leftsemi")
+    sh_c = shared_candidate_postings(spark, sf_dir)
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pa = sh_c.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     pb = sh_c.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))

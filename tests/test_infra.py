@@ -187,3 +187,31 @@ def test_auto_shuffle_partitions_scales_with_corpus_bytes(tmp_path):
     for total in (0, gib, 37 * gib, 10**15):
         n = pfb(total)
         assert n & (n - 1) == 0 and 32 <= n <= 1024
+
+
+def test_family_disk_staging_matches_memory_path(spark, sf_smoke):
+    """Above the corpus-size cutover the family stages go to parquet under
+    the tmp tree instead of the block manager; the output must be identical
+    row-for-row (this is what makes the 1000x floors comparable evidence)."""
+    from bee_proof_spark.queries import extensions as ext
+
+    def run():
+        return sorted(
+            map(tuple, ext.ext_dedup_ngram_jaccard(spark, sf_smoke).collect())
+        )
+
+    ext._FAMILY_CACHE.clear()
+    mem = run()
+    old = ext._DISK_STAGE_DOC_BYTES
+    ext._DISK_STAGE_DOC_BYTES = 0  # force every stage onto the disk path
+    try:
+        ext._FAMILY_CACHE.clear()
+        disk = run()
+        # the read-back plan really is a parquet scan of the staged stage
+        df = ext.shared_capped_postings(spark, sf_smoke)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "familystage" in plan
+    finally:
+        ext._DISK_STAGE_DOC_BYTES = old
+        ext._FAMILY_CACHE.clear()
+    assert mem == disk
