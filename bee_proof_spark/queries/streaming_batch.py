@@ -213,6 +213,20 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the watermark, sharded by the groupBy key across executors.
     The pandas function sees Arrow record batches per key, never whole
     partitions.
+
+    **Do not use this operator at scale.** The Python state API itself is
+    the measured floor: 168 s at the 100x fixture (SCALE.md) after the
+    timestamp conversion was vectorized - the residual cost is per-key
+    state marshalling, not this function body. Fixed-or-expression gap
+    sessionization is covered by the JVM ``session_window`` twins
+    (``stream_session_batch`` / ``stream_session_dynamic_gap``, both
+    oracle-green) at ~12 s for the same 100x shape; reach for this
+    operator only when the state machine genuinely cannot be expressed as
+    a session window. Spark 4's ``transformWithStateInPandas`` is the
+    designated migration path for custom state at cluster scale (timers +
+    typed state over RocksDB); it cannot be measured in this container -
+    its state protocol imports ``google.protobuf``, which is absent - so
+    the steer to the session_window twins stands on the measured numbers.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
