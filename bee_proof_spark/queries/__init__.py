@@ -85,6 +85,31 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """Compressed on-disk size of one fixture table (file or directory).
+
+    Plan-time size heuristics (pre-aggregation gates, memory-vs-disk
+    staging cutovers) key off this: it is the same statistic a warehouse
+    catalog exposes as table size, available without running a job.
+    """
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return 0
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register fixture tables as temp views for SQL-expressed builders."""
     for name in names:

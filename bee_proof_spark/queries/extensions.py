@@ -142,20 +142,9 @@ _DISK_STAGE_DOC_BYTES = int(
 
 def _corpus_doc_bytes(sf_dir: str) -> int:
     """Compressed size of the corpus documents fixture (file or dir)."""
-    path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isfile(path):
-        try:
-            return os.path.getsize(path)
-        except OSError:
-            return 0
-    total = 0
-    for root, _, files in os.walk(path):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
-    return total
+    from bee_proof_spark.queries import table_bytes
+
+    return table_bytes(sf_dir, "documents")
 
 
 def _family_stage_dir(sf_dir: str, stage: str) -> str:

@@ -54,14 +54,21 @@ def test_dimension_joins_broadcast(spark, sf_smoke, qid):
     assert "CartesianProduct" not in plan
 
 
-def test_semi_anti_joins_planned(spark, sf_smoke):
-    q4 = _plan(spark, "tpch_q4_priority", sf_smoke)
+def test_semi_anti_joins_planned(spark, sf_smoke, monkeypatch):
+    # Small fixture: the fact-size gate must NOT pay the probe-side
+    # distinct's two extra jobs (r5 A/B: +25% at sf0.1 for nothing).
+    q4 = _plan(spark, "tpch_q4_priority", sf_smoke, mode="simple")
     assert "LeftSemi" in q4
-    # The probe side pre-dedups to distinct order keys: a partial+final
-    # HashAggregate pair for the distinct (on top of the count agg's own
-    # pair) so the semi-join shuffle carries one key per (map partition,
-    # order), not one row per returned lineitem (~20% at the 100x fixture).
-    assert q4.count("HashAggregate") >= 4, "probe-side distinct dropped"
+    assert q4.count("HashAggregate") == 2, "distinct paid on a small fixture"
+    # Above the gate: the probe side pre-dedups to distinct order keys - a
+    # partial+final HashAggregate pair (on top of the count agg's own pair)
+    # so the semi-join shuffle carries one key per (map partition, order),
+    # not one row per returned lineitem (30% at the 100x fixture).
+    from bee_proof_spark.queries import tpch
+
+    monkeypatch.setattr(tpch, "table_bytes", lambda sf, name: 1 << 40)
+    q4_big = _plan(spark, "tpch_q4_priority", sf_smoke, mode="simple")
+    assert q4_big.count("HashAggregate") == 4, "probe-side distinct dropped"
     q22 = _plan(spark, "tpch_q22_global_sales", sf_smoke)
     assert "LeftAnti" in q22
 
