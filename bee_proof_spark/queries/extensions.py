@@ -197,7 +197,11 @@ def _family_checkpoint(spark: SparkSession, sf_dir: str, stage: str, build) -> D
                 build().write.mode("overwrite").parquet(path)
             df = spark.read.parquet(path)
         else:
-            df = build().localCheckpoint(eager=True)
+            # Lazy: the checkpoint materializes fused into its first
+            # consumer's job instead of as a separate pass (same-host A/B,
+            # r5: lazy is 5-10% faster cold AND warm across the family at
+            # sf0.1 - the eager form paid one extra traversal per stage).
+            df = build().localCheckpoint(eager=False)
         _FAMILY_CACHE[key] = df
         while len(_FAMILY_CACHE) > _FAMILY_CACHE_MAX:
             _FAMILY_CACHE.pop(next(iter(_FAMILY_CACHE)))
