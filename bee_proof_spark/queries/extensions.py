@@ -925,8 +925,11 @@ WHERE round(list_dot_product(a.unit, b.unit), 4) >= 0.4
 #: each vector ceil(block/S) times: raising S trades bounded task memory
 #: for linearly less shuffle, the binding constraint at large block sizes
 #: (measured: at 1000x data, S=2048 shipped ~100 GB of tile copies and
-#: exhausted local spill disk; S=4096 + float32 payloads fit).
-_EMB_TILE_ROWS = 4096
+#: exhausted local spill disk; S=4096 + float32 payloads fit the 200k-vector
+#: blocks at 100x but kernel-OOMed one box at 2M vectors / 218k-row blocks,
+#: where S=8192 halves the copy count and fits). Like shuffle parallelism,
+#: this is an executor-memory sizing knob, env-overridable per deployment.
+_EMB_TILE_ROWS = int(os.environ.get("SPARK_GRAFT_EMB_TILE", "4096"))
 
 
 @register("ext_dedup_embedding", oracle=_EMB_DEDUP_ORACLE)
