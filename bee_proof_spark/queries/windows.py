@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bee_proof_spark.queries import register, tbl
+from bee_proof_spark.queries import register, table_bytes, tbl
 
 #: partition by customer, order by (date, key) - total order within partition.
 _W_ORDER = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
@@ -23,6 +23,72 @@ def _orders(spark, sf_dir):
 
 def _w():
     return Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+
+
+#: Fact-size gate for the banded-ranking rewrites below: under it the plain
+#: window wins (banding's fixed extra jobs cost ~2x at sf0.1 scale - the q4
+#: lesson); above it the plain form's parallelism cap (= distinct values of
+#: the 3-value partition key, on ANY cluster size) makes banding win 1.6x at
+#: 100x and 2.5x at 1000x (measured, SCALE.md r5).
+_BANDED_RANK_BYTES = 32 * 1024 * 1024
+
+
+def _banded_row_number(
+    o: DataFrame, nbands: int = 256, descending: bool = False
+) -> DataFrame:
+    """rows of ``o`` + (rn, n): rank within o_orderstatus by the TOTAL order
+    (o_totalprice [DESC if ``descending``], o_orderkey), computed at
+    statuses x bands parallelism.
+
+    The plain ``row_number() OVER (PARTITION BY status ORDER BY ...)`` puts
+    every status's rows in ONE task (parallelism = key cardinality = 3, no
+    matter how many executors). Banding distributes it exactly: (1) per-
+    status min/max/count - a broadcast scalar row each; (2) rows bucket into
+    price bands, row_number runs within (status, band); (3) each band adds
+    the broadcast prefix count of the bands below it. The ORDER BY ends in
+    the unique order key, so the order is total and rank == row_number ==
+    count of predecessors + 1 - the identity every consumer below relies on.
+    """
+    stats = o.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(nbands))
+    banded = o.join(F.broadcast(stats), "o_orderstatus").withColumn(
+        "band",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(nbands - 1),
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+            )
+        )
+        .cast("int"),
+    )
+    band_counts = banded.groupBy("o_orderstatus", "band").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_pre = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.desc("band") if descending else F.asc("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # <= statuses x bands rows: the offset table broadcasts.
+    offsets = band_counts.select(
+        "o_orderstatus",
+        "band",
+        F.coalesce(F.sum("cnt").over(w_pre), F.lit(0)).alias("offset"),
+    )
+    w_band = Window.partitionBy("o_orderstatus", "band").orderBy(
+        F.desc("o_totalprice") if descending else F.asc("o_totalprice"),
+        F.asc("o_orderkey"),
+    )
+    return (
+        banded.join(F.broadcast(offsets), ["o_orderstatus", "band"])
+        .withColumn("rn", F.col("offset") + F.row_number().over(w_band))
+        .drop("lo", "hi", "band", "offset")
+    )
 
 
 @register(
@@ -49,14 +115,28 @@ def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_orderstatus").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return _orders(spark, sf_dir).select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+    """RANK / DENSE_RANK per order-status, price-descending.
+
+    Above the fact-size gate, same banded-ranking rewrite as
+    win_percent_cume (the 3-value partition key caps plain-window
+    parallelism at 3 tasks; measured 61.4 s at 1000x). The ORDER BY ends
+    in the unique order key, so the tuple order is total: rank and
+    dense_rank both equal row_number, which banding computes exactly.
+    """
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    if table_bytes(sf_dir, "orders") < _BANDED_RANK_BYTES:
+        w = Window.partitionBy("o_orderstatus").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+    rn = F.col("rn").cast("int")
+    return _banded_row_number(o, descending=True).select(
+        "o_orderkey", "o_orderstatus", rn.alias("rnk"), rn.alias("drnk")
     )
 
 
@@ -69,9 +149,28 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return _orders(spark, sf_dir).select(
-        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    """NTILE(4) per order-status.
+
+    Above the fact-size gate, banded ranking (see win_percent_cume) plus
+    ntile's bucket arithmetic on (rn, n): with base = n div k and
+    rem = n mod k, the first rem buckets hold base+1 rows - a row ranks
+    into bucket ceil(rn/(base+1)) while inside those, else
+    rem + ceil((rn - rem*(base+1))/base). Exactly SQL NTILE, measured
+    37.9 s -> banded at 1000x (SCALE.md r5).
+    """
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    if table_bytes(sf_dir, "orders") < _BANDED_RANK_BYTES:
+        w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+        return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+    k = 4
+    base = F.floor(F.col("n") / k)
+    rem = F.col("n") % k
+    head = rem * (base + 1)
+    bucket = F.when(
+        F.col("rn") <= head, F.ceil(F.col("rn") / (base + 1))
+    ).otherwise(rem + F.ceil((F.col("rn") - head) / base))
+    return _banded_row_number(o).select(
+        "o_orderkey", bucket.cast("int").alias("quartile")
     )
 
 
@@ -85,11 +184,40 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return _orders(spark, sf_dir).select(
+    """PERCENT_RANK / CUME_DIST per order-status.
+
+    Scale shape: the window partitions by a THREE-value key, so the plain
+    form's parallelism is capped at 3 tasks on any cluster size - each task
+    sorting a third of the table (measured: 7.0 s at 100x, 89.3 s at 1000x,
+    superlinear because 50M-row single-task sorts spill). Above a fact-size
+    gate the same values are computed by banded ranking: the ORDER BY ends
+    in the table's unique key, so the order is total and rank == count of
+    predecessors + 1 == row_number - which distributes as (1) per-status
+    min/max/count (broadcast), (2) row_number within (status, price-band)
+    at statuses x bands parallelism, (3) a broadcast band-prefix offset.
+    percent_rank = (rn-1)/(n-1) and cume_dist = rn/n reproduce Spark's own
+    double arithmetic bit-for-bit. Measured: 100x 6.65 s plain -> 4.11 s
+    banded; 1000x 89.3 s plain -> 36.2 s banded; sf0.1 0.52 s plain vs
+    1.02 s banded (the fixed extra jobs dominate small inputs - the q4
+    lesson), which places the gate at 32 MB of compressed fact.
+    """
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    if table_bytes(sf_dir, "orders") < _BANDED_RANK_BYTES:
+        w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+        return o.select(
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 4).alias("pr"),
+            F.round(F.cume_dist().over(w), 4).alias("cd"),
+        )
+    return _banded_row_number(o).select(
         "o_orderkey",
-        F.round(F.percent_rank().over(w), 4).alias("pr"),
-        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        F.round(
+            F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+                (F.col("rn") - 1).cast("double") / (F.col("n") - 1).cast("double")
+            ),
+            4,
+        ).alias("pr"),
+        F.round(F.col("rn").cast("double") / F.col("n").cast("double"), 4).alias("cd"),
     )
 
 

@@ -419,3 +419,31 @@ def test_registry_wide_no_unallowlisted_antipatterns(spark, sf_smoke):
             if pat not in ALLOW.get(qid, {}):
                 bad.append(f"{qid}: {pat}")
     assert not bad, f"unallowlisted plan anti-patterns: {bad}"
+
+
+@pytest.mark.parametrize(
+    "qid, fns",
+    [
+        ("win_percent_cume", ("percent_rank", "cume_dist")),
+        ("win_rank_dense", ("dense_rank",)),
+        ("win_ntile", ("ntile",)),
+    ],
+)
+def test_banded_rank_rewrites_match_plain_window(spark, sf_smoke, monkeypatch, qid, fns):
+    """Above the fact-size gate the status-ranked window ids switch to banded
+    ranking (the 3-value partition key caps plain-window parallelism at 3
+    tasks on any cluster size); the banded values must equal the plain
+    window's bit-for-bit, and the banded plan must not contain the plain
+    window function (the full-data window partitions by (status, band))."""
+    from bee_proof_spark.queries import load_all, windows
+
+    reg = load_all()
+    plain = sorted(map(tuple, reg[qid].builder(spark, sf_smoke).collect()))
+    monkeypatch.setattr(windows, "table_bytes", lambda sf, name: 1 << 40)
+    banded_df = reg[qid].builder(spark, sf_smoke)
+    banded = sorted(map(tuple, banded_df.collect()))
+    assert plain == banded
+    plan = banded_df._jdf.queryExecution().executedPlan().toString()
+    for fn in fns:
+        assert fn not in plan
+    assert "row_number" in plan
