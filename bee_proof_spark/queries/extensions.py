@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bee_proof_spark.queries import register, tbl
+from bee_proof_spark.queries import register, table_bytes, tbl
 
 # ------------------------------------------------------------------ helpers
 
@@ -1306,26 +1306,62 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2048-token packs per language by running-token-count binning
     (deterministic doc_id order -> exact SQL oracle).
 
-    Scale notes: one window shuffle on the partition key (lang); the
-    running sum never materializes per-pack state. True first-fit bin
-    packing is order-dependent anyway - contiguous binning is the variant
-    that parallelizes, wasting at most one document's overhang per bin.
+    Scale notes: ``lang`` is a HANDFUL of values, so the plain running-sum
+    window caps parallelism at the language count on any cluster size
+    (every lang's rows sort in one task). Above a corpus-size gate the
+    running sum is computed as a banded prefix sum instead: rows band by
+    doc_id range, the per-(lang, band) token totals prefix-sum in a
+    broadcastable table, and the full-data window runs within
+    (lang, band) at langs x bands parallelism - pure integer arithmetic,
+    bit-identical to the plain window (tested at the gate boundary).
+    True first-fit bin packing is order-dependent anyway - contiguous
+    binning is the variant that parallelizes, wasting at most one
+    document's overhang per bin.
     """
     from pyspark.sql import Window
 
     d = tbl(spark, sf_dir, "documents")
     toks = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
-    w = (
+    pack = lambda cum: F.floor((cum - toks) / 2048).cast("bigint").alias("pack_id")  # noqa: E731
+    if table_bytes(sf_dir, "documents") < 128 * 1024 * 1024:
+        w = (
+            Window.partitionBy("lang")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return d.select(
+            "doc_id", "lang", toks.alias("est_tokens"), pack(F.sum(toks).over(w))
+        )
+    nbands = 256
+    stats = d.groupBy("lang").agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(nbands))
+    banded = d.join(F.broadcast(stats), "lang").withColumn(
+        "band",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(F.lit(nbands - 1), F.floor((F.col("doc_id") - F.col("lo")) / width))
+        )
+        .cast("int"),
+    )
+    band_sums = banded.groupBy("lang", "band").agg(F.sum(toks).alias("tok_sum"))
+    w_pre = (
         Window.partitionBy("lang")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = band_sums.select(
+        "lang", "band", F.coalesce(F.sum("tok_sum").over(w_pre), F.lit(0)).alias("offset")
+    )
+    w_band = (
+        Window.partitionBy("lang", "band")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(toks).over(w)
-    return d.select(
-        "doc_id",
-        "lang",
-        toks.alias("est_tokens"),
-        F.floor((cum - toks) / 2048).cast("bigint").alias("pack_id"),
+    cum = F.col("offset") + F.sum(toks).over(w_band)
+    return banded.join(F.broadcast(offsets), ["lang", "band"]).select(
+        "doc_id", "lang", toks.alias("est_tokens"), pack(cum)
     )
 
 

@@ -447,3 +447,17 @@ def test_banded_rank_rewrites_match_plain_window(spark, sf_smoke, monkeypatch, q
     for fn in fns:
         assert fn not in plan
     assert "row_number" in plan
+
+
+def test_pack_sequences_banded_prefix_sum_matches_plain(spark, sf_smoke, monkeypatch):
+    """ext_pack_sequences' banded prefix-sum (above the corpus gate) must
+    reproduce the plain lang-partitioned running sum exactly - integer
+    token arithmetic, so equality is bitwise."""
+    from bee_proof_spark.queries import extensions, load_all
+
+    reg = load_all()
+    plain = sorted(map(tuple, reg["ext_pack_sequences"].builder(spark, sf_smoke).collect()))
+    monkeypatch.setattr(extensions, "table_bytes", lambda sf, name: 1 << 40)
+    banded_df = reg["ext_pack_sequences"].builder(spark, sf_smoke)
+    banded = sorted(map(tuple, banded_df.collect()))
+    assert plain == banded
