@@ -112,3 +112,48 @@ def test_substitution_cycle_raises():
 
     with pytest.raises(SubstitutionError, match="exceeds 40 iterations"):
         substitute("${A}", {"A": "${B}", "B": "${A}"})
+
+
+# ---------------------------------------------------------------- banded rank
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["F", "O", "P"]),           # 3-value status
+            st.integers(0, 50).map(float),              # price - duplicates likely
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 5),  # band count - small so bands actually split groups
+)
+@settings(max_examples=25, deadline=None)
+def test_banded_row_number_equals_plain_window(spark, rows, nbands):
+    """_banded_row_number must equal the plain status-partitioned window for
+    ANY data: duplicate prices (incl. ties spanning band boundaries), 1-row
+    groups, all-equal-price groups (the hi==lo degenerate band), both
+    directions. Unique keys are part of the contract (o_orderkey is the PK)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bee_proof_spark.queries.windows import _banded_row_number
+
+    data = [(i, status, price) for i, (status, price) in enumerate(rows)]
+    o = spark.createDataFrame(data, "o_orderkey long, o_orderstatus string, o_totalprice double")
+    for descending in (False, True):
+        order = [
+            F.desc("o_totalprice") if descending else F.asc("o_totalprice"),
+            F.asc("o_orderkey"),
+        ]
+        w = Window.partitionBy("o_orderstatus").orderBy(*order)
+        plain = {
+            r["o_orderkey"]: r["rn"]
+            for r in o.select("o_orderkey", F.row_number().over(w).alias("rn")).collect()
+        }
+        banded = {
+            r["o_orderkey"]: r["rn"]
+            for r in _banded_row_number(o, nbands=nbands, descending=descending)
+            .select("o_orderkey", "rn")
+            .collect()
+        }
+        assert plain == banded
