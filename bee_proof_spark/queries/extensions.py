@@ -79,7 +79,7 @@ w AS (
   SELECT doc_id, shingle FROM (
     SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
     FROM sh0
-  ) WHERE df <= greatest(0.02 * (SELECT n_docs FROM nd), 10)
+  ) WHERE df <= least(greatest(0.02 * (SELECT n_docs FROM nd), 10), 10000)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
 shared AS (
@@ -277,7 +277,21 @@ def shared_capped_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             sh0.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .join(nd)  # 1-row side: broadcast scalar, no shuffle
-            .filter(F.col("df") > F.greatest(0.02 * F.col("n_docs"), F.lit(10.0)))
+            # Relative floor, ABSOLUTE ceiling: a purely relative cap
+            # (2% of corpus) scales the worst-case per-shingle pair blob
+            # quadratically with corpus size - at 1B docs a 2%-df shingle
+            # alone would emit C(20M, 2) pairs. The 10k ceiling bounds any
+            # shingle's pair contribution to C(10k, 2) regardless of
+            # corpus, making total join work postings-linear. Identical
+            # formula in the oracle; no fixture shingle's df falls between
+            # the old and new cap at any probed scale, so outputs are
+            # unchanged on every fixture.
+            .filter(
+                F.col("df")
+                > F.least(
+                    F.greatest(0.02 * F.col("n_docs"), F.lit(10.0)), F.lit(10000.0)
+                )
+            )
             .select("shingle")
         )
         return sh0.join(F.broadcast(hot), "shingle", "left_anti").select(
@@ -293,13 +307,16 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHOLE corpus (oracle-checked).
 
     Candidate pairs come from an inverted-index self-join on shared shingles
-    (never a cross join). A document-frequency cap - df <= max(2% of corpus,
-    10) - drops any hot shingle before the self-join: a boilerplate shingle
-    shared by millions of docs would otherwise create an O(df^2) pair blob
-    (the classic skew bomb). On long-tail shingles the cap never binds; at
-    100 TB it bounds every posting list the join sees. The same cap is
-    applied on both engines, so Jaccard is computed over identical capped
-    sets; integer count arithmetic keeps it exact.
+    (never a cross join). A document-frequency cap - df <= min(max(2% of
+    corpus, 10), 10k) - drops any hot shingle before the self-join: a
+    boilerplate shingle shared by millions of docs would otherwise create
+    an O(df^2) pair blob (the classic skew bomb), and the ABSOLUTE 10k
+    ceiling keeps that bound corpus-independent (a purely relative cap
+    would re-admit quadratic blobs as the corpus grows). On long-tail
+    shingles the cap never binds; at 100 TB it bounds every posting list
+    the join sees. The same cap is applied on both engines, so Jaccard is
+    computed over identical capped sets; integer count arithmetic keeps
+    it exact.
     """
     w = shared_capped_postings(spark, sf_dir)
     sizes = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
