@@ -369,11 +369,26 @@ def minhash_from_postings(postings: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+#: Per-bucket membership ceiling for the LSH band join. A degenerate bucket
+#: (mass-identical signatures - empty/boilerplate documents are common in
+#: real corpora) would emit C(bucket, 2) candidate pairs; 10k bounds any one
+#: bucket's contribution to ~5e7 regardless of corpus size - the same
+#: absolute-ceiling principle as the Jaccard df cap. A bucket that large is
+#: not near-dup SIGNAL (real dup clusters are orders of magnitude smaller);
+#: its members are exact/trivial dups that the digest-keyed content-dup
+#: family catches without pair enumeration. Never binds on any fixture
+#: (verified: fuzzy_verified's equality with the all-pairs oracle holds).
+_LSH_BUCKET_CAP = 10_000
+
+
 def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs from banded MinHash signatures.
 
     The band self-join moves only 3-column rows (doc_id, band_idx,
-    band_hash); only bucket-mates are ever paired.
+    band_hash); only bucket-mates are ever paired, and buckets above
+    _LSH_BUCKET_CAP are dropped before the join (the hot-bucket blacklist
+    is tiny - each entry costs >= cap rows - so it broadcasts into a
+    shuffle-free anti-join, exactly like the Jaccard hot-shingle cap).
     """
     bands = sig.select(
         "doc_id",
@@ -386,6 +401,13 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             )
         ).alias("band_idx", "band_hash"),
     )
+    hot = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("members"))
+        .filter(F.col("members") > _LSH_BUCKET_CAP)
+        .select("band_idx", "band_hash")
+    )
+    bands = bands.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
