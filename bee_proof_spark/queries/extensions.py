@@ -695,6 +695,14 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single hash aggregate over un-exploded token rows (no 64x shuffle
     amplification); a numpy bit-twiddle cross-check asserts the same
     signatures (tests/test_plans.py).
+
+    Scale bounds: buckets above _LSH_BUCKET_CAP are dropped before pairing
+    (degenerate low-entropy signatures; same ceiling as the MinHash bands).
+    Inherent saturation note: 16-bit bands give 65,536 buckets per band, so
+    expected bucket size grows as n/65,536 - at ~650M docs the cap would
+    start binding on HEALTHY buckets, which is the signal to widen bands
+    (e.g. 8 x 8-bit -> 4 x 16-bit -> 2 x 32-bit as the corpus decade grows);
+    band width is the simhash recall/candidate-volume knob, not this cap.
     """
     d = tbl(spark, sf_dir, "documents")
     sig = simhash_signatures(d)
@@ -705,6 +713,13 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.expr(f"(simhash >> {16 * i}) & 65535") for i in range(4)])
         ).alias("band_idx", "band_val"),
     )
+    hot = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("members"))
+        .filter(F.col("members") > _LSH_BUCKET_CAP)
+        .select("band_idx", "band_val")
+    )
+    banded = banded.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
