@@ -712,7 +712,10 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(*[F.expr(f"(simhash >> {16 * i}) & 65535") for i in range(4)])
         ).alias("band_idx", "band_val"),
-    )
+        # Three consumers (hot-bucket agg + both self-join sides) would
+        # otherwise re-run the 64-agg signature aggregation each; one lazy
+        # checkpoint materializes it fused into the first consumer.
+    ).localCheckpoint(eager=False)
     hot = (
         banded.groupBy("band_idx", "band_val")
         .agg(F.count(F.lit(1)).alias("members"))
