@@ -155,6 +155,42 @@ def roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+_XML_ORACLE = """
+SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+"""
+
+
+@register("roundtrip_xml", oracle=_XML_ORACLE)
+def roundtrip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink roundtrip via Spark 4's BUILT-IN xml datasource (the
+    spark-xml package was folded into core in 4.0 - no external jar). Covers
+    the Hive XML-SerDe use case the same way roundtrip_csv covers
+    OpenCSVSerde: write with an explicit rowTag, read back schema-on-read.
+
+    Scale shape: like the csv/json sinks, the write is embarrassingly
+    parallel (one file per partition, no shuffle) and the read is a
+    splittable-by-file scan; XML cannot push filters, so at warehouse scale
+    this format is an INGEST/EXPORT boundary, not a query-layer format -
+    query paths convert to parquet first (scan_parquet/ctas_table).
+    """
+    path = _scratch("xml", sf_dir)
+    src = tbl(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    src.write.mode("overwrite").format("xml").option("rowTag", "part").save(path)
+    schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.format("xml").option("rowTag", "part").schema(schema).load(path)
+    )
+
+
 _CTAS_ORACLE = """
 SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag
 """

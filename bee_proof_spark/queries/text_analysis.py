@@ -449,3 +449,95 @@ def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "word", "tfidf", "rnk")
     )
+
+
+_BOILERPLATE_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, pos, array_to_string(ws[pos:pos + 4], ' ') AS gram
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - 4)) AS pos
+        FROM words)
+),
+hot AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+  ) WHERE df >= 2
+),
+cov AS (
+  SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS cp
+  FROM grams JOIN hot USING (gram)
+),
+covered AS (
+  SELECT doc_id, count(DISTINCT cp) AS n_covered FROM cov GROUP BY doc_id
+),
+base AS (SELECT doc_id, cast(len(ws) AS bigint) AS n_words FROM words)
+SELECT b.doc_id, b.n_words,
+       cast(coalesce(c.n_covered, 0) AS bigint) AS n_covered,
+       round(coalesce(c.n_covered, 0) / b.n_words, 4) AS dup_span_ratio,
+       (coalesce(c.n_covered, 0) / b.n_words <= 0.5) AS keep
+FROM base b LEFT JOIN covered c USING (doc_id)
+"""
+
+
+@register("ext_boilerplate_ngrams", oracle=_BOILERPLATE_ORACLE)
+def ext_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage (C4/RefinedWeb/Dolma-style
+    boilerplate signal): the fraction of each document's words lying inside
+    a 5-gram that also occurs in at least one OTHER document. Complements
+    `ext_repetition_ratio` (within-doc repetition): together they are the
+    two standard repetition axes a pretraining cleanup pass filters on -
+    nav bars, cookie banners and license headers score high here long
+    before whole-document dedup would catch them.
+
+    Scale shape: the positional 5-gram table is one row per word position -
+    the same corpus-token-bounded inverted-index class as the shingle
+    postings family (measured there at 100x/1000x, SCALE.md). Its df
+    aggregate map-side-combines to one shuffle proportional to the distinct
+    gram vocabulary; the hot (df >= 2) slice joins back by gram WITHOUT a
+    broadcast hint - at web scale the duplicated-gram set is itself huge,
+    so it must be allowed to shuffle-join rather than hard-fail an 8 GB
+    broadcast. Span coverage is a bounded x5 explode, and the per-doc
+    distinct-position count is a single doc_id-keyed two-phase aggregate
+    (partial distinct map-side), NOT a global distinct-then-regroup - one
+    shuffle, partitioned on the natural output key.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split("text", " ").alias("ws"))
+    # posexplode is 0-based; +1 matches the oracle's 1-based positions.
+    grams = (
+        words.filter(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 4),"
+                    " i -> array_join(slice(ws, i, 5), ' '))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    ncov = (
+        grams.join(hot, "gram")
+        .select("doc_id", F.explode(F.sequence("pos", F.col("pos") + F.lit(4))).alias("cp"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("cp").cast("bigint").alias("n_covered"))
+    )
+    base = words.select("doc_id", F.size("ws").cast("bigint").alias("n_words"))
+    ratio = F.coalesce(F.col("n_covered"), F.lit(0)) / F.col("n_words")
+    return base.join(ncov, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce("n_covered", F.lit(0).cast("bigint")).alias("n_covered"),
+        F.round(ratio, 4).alias("dup_span_ratio"),
+        (ratio <= 0.5).alias("keep"),
+    )
