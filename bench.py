@@ -80,6 +80,7 @@ TAIL_QUERIES = [
     "ext_decontaminate",         # broadcast contains-any-ngram join
     "ext_chunk_documents",       # shuffle-free sliding-window fan-out
     "ext_pack_sequences",
+    "ext_boilerplate_ngrams",    # cross-doc dup-span coverage (r5)
 ]
 
 BENCH_QUERIES = STABLE_QUERIES + TAIL_QUERIES

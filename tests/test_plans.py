@@ -461,3 +461,69 @@ def test_pack_sequences_banded_prefix_sum_matches_plain(spark, sf_smoke, monkeyp
     banded_df = reg["ext_pack_sequences"].builder(spark, sf_smoke)
     banded = sorted(map(tuple, banded_df.collect()))
     assert plain == banded
+
+
+def test_boilerplate_spans_stay_aggregate_shaped(spark, sf_smoke):
+    """Cross-doc span coverage is inverted-index work: a gram-keyed distinct
+    aggregate, equi-joins, and ONE doc_id-keyed window for the interval
+    union - never a gram-keyed window (a viral boilerplate gram would buffer
+    its entire occurrence list in a single task's frame) and never a pair
+    join. The hot-gram side carries no broadcast HINT (small fixtures may
+    auto-broadcast; a web-scale duplicated-gram set must be free to
+    shuffle-join), and the corpus scan prunes to (doc_id, text)."""
+    import re
+
+    plan = _plan(spark, "ext_boilerplate_ngrams", sf_smoke, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "count(distinct doc_id" in plan  # cross-doc df, not occurrence count
+    windows = re.findall(r"Window \[.*?\], \[(\w+)", plan)
+    assert windows and all(k.startswith("doc_id") for k in windows), windows
+    assert "struct<doc_id:bigint,text:string>" in plan  # column pruning
+
+
+def test_boilerplate_interval_union_matches_explode_distinct(spark, sf_smoke):
+    """The equal-span interval union (5 + sum(min(5, delta-pos)) over the
+    doc-keyed window) must count exactly the positions the naive x5
+    explode + per-doc distinct counts - on the real fixture, whose 1k+
+    cross-doc grams give overlapping, gapped, AND back-to-back spans."""
+    from pyspark.sql import functions as F
+
+    from bee_proof_spark.queries import load_all, tbl
+
+    got = load_all()["ext_boilerplate_ngrams"].builder(spark, sf_smoke)
+
+    d = tbl(spark, sf_smoke, "documents")
+    words = d.select("doc_id", F.split("text", " ").alias("ws"))
+    grams = (
+        words.filter(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 4),"
+                    " i -> array_join(slice(ws, i, 5), ' '))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    ref = (
+        grams.join(hot, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence("pos", F.col("pos") + F.lit(4))).alias("cp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("cp").cast("bigint").alias("n_covered"))
+    )
+    exp = {r["doc_id"]: r["n_covered"] for r in ref.collect()}
+    act = {r["doc_id"]: r["n_covered"] for r in got.collect()}
+    assert {k: v for k, v in act.items() if v} == exp
+    assert any(v for v in act.values())  # fixture actually exercises the union
