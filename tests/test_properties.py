@@ -157,3 +157,50 @@ def test_banded_row_number_equals_plain_window(spark, rows, nbands):
             .collect()
         }
         assert plain == banded
+
+
+# ------------------------------------------------------------ interval union
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),        # doc_id - few docs so they share the frame
+            st.sets(st.integers(1, 40), min_size=1, max_size=15),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_span_interval_union_equals_position_set(spark, docs):
+    """ext_boilerplate_ngrams counts covered positions as
+    5 + sum(min(5, delta-pos)) over the doc-keyed window. For ANY per-doc
+    set of unique hit starts (adjacent, overlapping, gapped, single) that
+    must equal the size of the union of [pos, pos+4] - the brute-force
+    position set."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(d, p) for d, ps in docs for p in ps]
+    hits = spark.createDataFrame(rows, "doc_id long, pos int")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    got = {
+        r["doc_id"]: r["n_covered"]
+        for r in (
+            hits.withColumn("prev", F.lag("pos").over(w))
+            .select(
+                "doc_id",
+                F.when(F.col("prev").isNull(), F.lit(5))
+                .otherwise(F.least(F.lit(5), F.col("pos") - F.col("prev")))
+                .alias("add"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("add").cast("bigint").alias("n_covered"))
+            .collect()
+        )
+    }
+    want = {
+        d: len({c for p in ps for c in range(p, p + 5)}) for d, ps in docs
+    }
+    assert got == want
