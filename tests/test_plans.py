@@ -527,3 +527,14 @@ def test_boilerplate_interval_union_matches_explode_distinct(spark, sf_smoke):
     act = {r["doc_id"]: r["n_covered"] for r in got.collect()}
     assert {k: v for k, v in act.items() if v} == exp
     assert any(v for v in act.values())  # fixture actually exercises the union
+
+
+def test_per_doc_text_signals_are_shuffle_free(spark, sf_smoke):
+    """Per-document text signals whose state lives inside the row
+    (fingerprint's distinct word set, repetition's bigram multiset) must
+    plan as pure scans: zero Exchange. An explode + groupBy(doc_id)
+    formulation that shuffles the corpus to rebuild per-row state is the
+    regression this guards against."""
+    for qid in ("ext_text_fingerprint", "ext_repetition_ratio", "ext_text_tokens"):
+        plan = _plan(spark, qid, sf_smoke, mode="simple")
+        assert "Exchange" not in plan, qid
