@@ -111,7 +111,11 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL readStream: tumbling windows under a 1-hour watermark with
     AvailableNow replay into a memory sink. Late data beyond the watermark is
     dropped by the state store; with in-order replay the totals match batch."""
-    from bee_proof_spark.streaming import replay_events_stream, run_to_memory_sink
+    from bee_proof_spark.streaming import (
+        replay_events_stream,
+        run_to_memory_sink,
+        streaming_state_partitions,
+    )
 
     stream = replay_events_stream(spark, sf_dir)
     windowed = (
@@ -120,7 +124,11 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("window.start").cast("string").alias("window_start"), "n_events")
     )
-    return run_to_memory_sink(windowed, output_mode="append")
+    return run_to_memory_sink(
+        windowed,
+        output_mode="append",
+        state_partitions=streaming_state_partitions(sf_dir),
+    )
 
 
 @register("stream_dedup_state")  # rows-only: true streaming execution
@@ -128,7 +136,11 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL readStream: stateful dropDuplicates on (user_id, event_type)
     within the watermark - the streaming dedup pattern; state is bounded by
     the event-time watermark."""
-    from bee_proof_spark.streaming import replay_events_stream, run_to_memory_sink
+    from bee_proof_spark.streaming import (
+        replay_events_stream,
+        run_to_memory_sink,
+        streaming_state_partitions,
+    )
 
     stream = replay_events_stream(spark, sf_dir)
     deduped = (
@@ -136,7 +148,11 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
         .select("event_id", "user_id", "event_type")
     )
-    return run_to_memory_sink(deduped, output_mode="append")
+    return run_to_memory_sink(
+        deduped,
+        output_mode="append",
+        state_partitions=streaming_state_partitions(sf_dir),
+    )
 
 
 @register(
@@ -162,7 +178,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark x arrival rate, keyed and sharded by user_id; this is the
     canonical enrich-clicks-with-impressions shape.
     """
-    from bee_proof_spark.streaming import replay_events_stream, run_to_memory_sink
+    from bee_proof_spark.streaming import (
+        replay_events_stream,
+        run_to_memory_sink,
+        streaming_state_partitions,
+    )
 
     stream = replay_events_stream(spark, sf_dir)
     clicks = (
@@ -195,7 +215,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_ts").cast("string").alias("click_ts"),
         F.col("v_ts").cast("string").alias("view_ts"),
     )
-    return run_to_memory_sink(joined, output_mode="append")
+    return run_to_memory_sink(
+        joined,
+        output_mode="append",
+        state_partitions=streaming_state_partitions(sf_dir),
+    )
 
 
 @register("stream_session_stateful")  # rows-only: custom stateful operator
@@ -237,7 +261,11 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    from bee_proof_spark.streaming import replay_events_stream, run_to_memory_sink
+    from bee_proof_spark.streaming import (
+        replay_events_stream,
+        run_to_memory_sink,
+        streaming_state_partitions,
+    )
 
     GAP_MS = 30 * 60 * 1000
 
@@ -320,7 +348,11 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             GroupStateTimeout.EventTimeTimeout,
         )
     )
-    return run_to_memory_sink(sessions, output_mode="append")
+    return run_to_memory_sink(
+        sessions,
+        output_mode="append",
+        state_partitions=streaming_state_partitions(sf_dir),
+    )
 
 
 _UPSERT_ORACLE = """

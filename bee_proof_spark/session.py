@@ -52,10 +52,12 @@ def auto_shuffle_partitions(data_dir: str | None = None) -> int:
     return _partitions_for_bytes(total)
 
 
-def _partitions_for_bytes(total: int) -> int:
+def _partitions_for_bytes(total: int, floor: int = 32) -> int:
+    # floor=32 is the batch default; stateful streaming passes 8 (state-store
+    # commits multiply with partition count, see replay.streaming_state_partitions)
     import math
 
-    raw = max(32, min(1024, total // (24 * 1024 * 1024) or 1))
+    raw = max(floor, min(1024, total // (24 * 1024 * 1024) or 1))
     return 2 ** round(math.log2(raw))
 
 #: Conf shared by both profiles. Values are strings per SparkConf convention.

@@ -157,17 +157,77 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_to_memory_sink(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+def streaming_state_partitions(sf_dir: str) -> int | None:
+    """Shuffle-partition count for STATEFUL streaming queries, sized to the
+    events corpus — or None to keep the session default.
+
+    Streaming pays a per-partition cost batch queries don't: every shuffle
+    partition of every stateful operator commits a versioned state-store
+    delta each micro-batch (an fsync'd file per store on the default HDFS
+    provider), so partition count is a per-batch COMMIT multiplier before it
+    is task width. Measured at sf0.1 (same-session A/B, two passes each):
+    32 -> 8 partitions takes stream_stream_join 23.1 -> 4.9 s,
+    stream_dedup_state 11.0 -> 2.0 s, stream_watermark_late 12.7 -> 2.7 s,
+    stream_session_stateful 10.9 -> 6.9 s, with identical result rows —
+    commits, not rows, dominate below ~10M events (SCALE.md streaming
+    section). The batch heuristic's floor of 32 is therefore wrong here:
+    reuse its ~24 MB-compressed-input-per-partition target over the events
+    table only (the one table that streams) with a floor of 8. State keys —
+    and with them the right fan-out — grow with the corpus, so the 1000x
+    fixture still spreads across 64+ partitions, and on a cluster (where
+    commits parallelize per executor and state must fit per-task memory)
+    the same curve holds. An explicit ``SPARK_GRAFT_SHUFFLE`` wins,
+    matching the batch path's contract.
+    """
+    if os.environ.get("SPARK_GRAFT_SHUFFLE"):
+        return None
+    from bee_proof_spark.session import _partitions_for_bytes
+
+    src = os.path.join(sf_dir, "events.parquet")
+    total = 0
+    if os.path.isfile(src):  # driver fixtures are single files
+        total = os.path.getsize(src)
+    else:  # scale fixtures are spark-written directories
+        for root, _, files in os.walk(src):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    if total == 0:
+        return None
+    return _partitions_for_bytes(total, floor=8)
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming query to completion (AvailableNow) into a memory
-    sink; return the sink contents as a DataFrame."""
+    sink; return the sink contents as a DataFrame.
+
+    ``state_partitions`` (usually ``streaming_state_partitions(sf_dir)``)
+    overrides ``spark.sql.shuffle.partitions`` for the lifetime of the
+    streaming query only: the count is read at stream-start planning time,
+    baked into the (ephemeral) checkpoint, and restored before returning,
+    so surrounding batch work keeps the corpus-sized session default.
+    """
     name = f"bps_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

@@ -126,3 +126,60 @@ def test_verification_api_end_to_end(spark, tmp_path, capsys):
 
     with pytest.raises(ValueError):
         Verification.for_release("emr-99")
+
+
+def test_streaming_state_partitions_sizing(tmp_path, monkeypatch):
+    """State-partition sizing: floor of 8 on small fixtures, corpus-scaled
+    above it, explicit SPARK_GRAFT_SHUFFLE wins, and a missing events table
+    falls back to the session default (None)."""
+    from bee_proof_spark.streaming import streaming_state_partitions
+
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE", raising=False)
+
+    # single-file fixture (the driver's layout) well under 24 MB -> floor 8
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "events.parquet").write_bytes(b"x" * 1024)
+    assert streaming_state_partitions(str(small)) == 8
+
+    # directory fixture (the scale ladder's layout): ~2 GB -> 64 partitions,
+    # i.e. the curve still fans out once state would outgrow 8 tasks
+    big = tmp_path / "big"
+    (big / "events.parquet").mkdir(parents=True)
+    part = big / "events.parquet" / "part-00000.parquet"
+    part.write_bytes(b"")
+    real_getsize = os.path.getsize
+    import bee_proof_spark.streaming.replay as replay_mod
+
+    def fake_getsize(p):
+        if str(p) == str(part):
+            return 2 * 1024**3
+        return real_getsize(p)
+
+    monkeypatch.setattr(replay_mod.os.path, "getsize", fake_getsize)
+    assert streaming_state_partitions(str(big)) == 64
+    monkeypatch.setattr(replay_mod.os.path, "getsize", real_getsize)
+
+    # explicit shuffle override: the session already carries it, don't fight
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE", "16")
+    assert streaming_state_partitions(str(small)) is None
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE")
+
+    # no events table -> keep the session default
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert streaming_state_partitions(str(empty)) is None
+
+
+def test_memory_sink_restores_shuffle_conf(spark, sf_smoke):
+    """run_to_memory_sink's state_partitions override is scoped to the
+    stream: the session's shuffle default is restored afterwards."""
+    from bee_proof_spark.queries import load_all
+    from bee_proof_spark.streaming import streaming_state_partitions
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    assert streaming_state_partitions(sf_smoke) == 8
+    reg = load_all()
+    df = reg["stream_dedup_state"].builder(spark, sf_smoke)
+    assert df.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
