@@ -239,12 +239,13 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions.
 
     **Do not use this operator at scale.** The Python state API itself is
-    the measured floor: 168 s at the 100x fixture (SCALE.md) after the
-    timestamp conversion was vectorized - the residual cost is per-key
-    state marshalling, not this function body. Fixed-or-expression gap
-    sessionization is covered by the JVM ``session_window`` twins
+    the measured floor: 62 s at the 100x fixture (SCALE.md; was 168 s
+    before state-sized partitions cut the per-batch commit count and let
+    larger Arrow batches amortize the per-key marshalling) - the residual
+    cost is the state protocol, not this function body. Fixed-or-expression
+    gap sessionization is covered by the JVM ``session_window`` twins
     (``stream_session_batch`` / ``stream_session_dynamic_gap``, both
-    oracle-green) at ~12 s for the same 100x shape; reach for this
+    oracle-green) at ~2 s for the same 100x shape; reach for this
     operator only when the state machine genuinely cannot be expressed as
     a session window. Spark 4's ``transformWithStateInPandas`` is the
     designated migration path for custom state at cluster scale (timers +

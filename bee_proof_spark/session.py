@@ -52,12 +52,13 @@ def auto_shuffle_partitions(data_dir: str | None = None) -> int:
     return _partitions_for_bytes(total)
 
 
-def _partitions_for_bytes(total: int, floor: int = 32) -> int:
-    # floor=32 is the batch default; stateful streaming passes 8 (state-store
-    # commits multiply with partition count, see replay.streaming_state_partitions)
+def _partitions_for_bytes(total: int) -> int:
+    # batch-only curve; stateful streaming sizes by ROW count instead
+    # (replay._streaming_partitions_for_rows - replica fixtures compress
+    # ~100x, so bytes under-count the state there)
     import math
 
-    raw = max(floor, min(1024, total // (24 * 1024 * 1024) or 1))
+    raw = max(32, min(1024, total // (24 * 1024 * 1024) or 1))
     return 2 ** round(math.log2(raw))
 
 #: Conf shared by both profiles. Values are strings per SparkConf convention.

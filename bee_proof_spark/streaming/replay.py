@@ -157,46 +157,67 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_partitions_for_rows(rows: int) -> int:
+    """~250k events per state partition, clamped to [8, 1024], pow2-rounded.
+
+    Both ends of the clamp are measured regimes (SCALE.md streaming
+    section): BELOW ~2M events, per-micro-batch state-store commits
+    dominate — an fsync'd delta per store per partition per batch on the
+    default HDFS provider — so partition count is a commit multiplier and
+    the floor of 8 beats the batch default of 32 by 2.5-5x at sf0.1.
+    ABOVE that, per-partition STATE drives cost (the provider snapshots
+    and GC-pressures whole per-task maps): the 1000x dedup (750k state
+    keys over 10M events) runs 20 s at 32 partitions vs 64 s degrading to
+    160 s at 8. Rows, not compressed bytes, are the proxy because the
+    replica fixtures dictionary-compress ~100x and would pin every decade
+    to the floor.
+    """
+    import math
+
+    raw = max(8, min(1024, rows // 250_000 or 1))
+    return 2 ** round(math.log2(raw))
+
+
 def streaming_state_partitions(sf_dir: str) -> int | None:
     """Shuffle-partition count for STATEFUL streaming queries, sized to the
     events corpus — or None to keep the session default.
 
-    Streaming pays a per-partition cost batch queries don't: every shuffle
-    partition of every stateful operator commits a versioned state-store
-    delta each micro-batch (an fsync'd file per store on the default HDFS
-    provider), so partition count is a per-batch COMMIT multiplier before it
-    is task width. Measured at sf0.1 (same-session A/B, two passes each):
-    32 -> 8 partitions takes stream_stream_join 23.1 -> 4.9 s,
-    stream_dedup_state 11.0 -> 2.0 s, stream_watermark_late 12.7 -> 2.7 s,
-    stream_session_stateful 10.9 -> 6.9 s, with identical result rows —
-    commits, not rows, dominate below ~10M events (SCALE.md streaming
-    section). The batch heuristic's floor of 32 is therefore wrong here:
-    reuse its ~24 MB-compressed-input-per-partition target over the events
-    table only (the one table that streams) with a floor of 8. State keys —
-    and with them the right fan-out — grow with the corpus, so the 1000x
-    fixture still spreads across 64+ partitions, and on a cluster (where
-    commits parallelize per executor and state must fit per-task memory)
-    the same curve holds. An explicit ``SPARK_GRAFT_SHUFFLE`` wins,
-    matching the batch path's contract.
+    Streaming pays a per-partition cost batch queries don't (state-store
+    commits, see ``_streaming_partitions_for_rows``), so the batch
+    heuristic's floor of 32 is wrong here. Sizes by the events table's
+    parquet-footer row count — metadata-only reads, no scan; a cluster
+    deployment would take the same number from catalog stats. Measured
+    (same-session A/B, two passes each): sf0.1 stream_stream_join
+    23.1 -> 4.9 s, stream_dedup_state 11.0 -> 2.0 s, stream_watermark_late
+    12.7 -> 2.7 s, stream_session_stateful 10.9 -> 6.9 s; 100x dedup
+    9.1 -> 2.7 s, join 14.0 -> 5.2 s; all with identical result rows.
+    An explicit ``SPARK_GRAFT_SHUFFLE`` wins, matching the batch path's
+    contract.
     """
     if os.environ.get("SPARK_GRAFT_SHUFFLE"):
         return None
-    from bee_proof_spark.session import _partitions_for_bytes
+    import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, "events.parquet")
-    total = 0
+    paths: list[str] = []
     if os.path.isfile(src):  # driver fixtures are single files
-        total = os.path.getsize(src)
+        paths = [src]
     else:  # scale fixtures are spark-written directories
         for root, _, files in os.walk(src):
-            for f in files:
-                try:
-                    total += os.path.getsize(os.path.join(root, f))
-                except OSError:
-                    pass
-    if total == 0:
+            paths.extend(
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet") or f.startswith("part-")
+            )
+    rows = 0
+    for p in paths:
+        try:
+            rows += pq.ParquetFile(p).metadata.num_rows
+        except Exception:
+            pass
+    if rows == 0:
         return None
-    return _partitions_for_bytes(total, floor=8)
+    return _streaming_partitions_for_rows(rows)
 
 
 def run_to_memory_sink(

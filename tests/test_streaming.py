@@ -129,36 +129,43 @@ def test_verification_api_end_to_end(spark, tmp_path, capsys):
 
 
 def test_streaming_state_partitions_sizing(tmp_path, monkeypatch):
-    """State-partition sizing: floor of 8 on small fixtures, corpus-scaled
+    """State-partition sizing: floor of 8 on small fixtures, row-scaled
     above it, explicit SPARK_GRAFT_SHUFFLE wins, and a missing events table
     falls back to the session default (None)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from bee_proof_spark.streaming import streaming_state_partitions
+    from bee_proof_spark.streaming.replay import _streaming_partitions_for_rows
+
+    # the pure curve: commit-bound floor below ~2M rows, state-scaled above,
+    # clamped at 1024 (the measured regimes behind each, see the docstring)
+    assert _streaming_partitions_for_rows(100_000) == 8       # sf0.1
+    assert _streaming_partitions_for_rows(1_000_000) == 8     # 100x
+    assert _streaming_partitions_for_rows(10_000_000) == 32   # 1000x
+    assert _streaming_partitions_for_rows(100_000_000) == 512
+    assert _streaming_partitions_for_rows(10**9) == 1024      # clamp
 
     monkeypatch.delenv("SPARK_GRAFT_SHUFFLE", raising=False)
 
-    # single-file fixture (the driver's layout) well under 24 MB -> floor 8
+    # single-file fixture (the driver's layout): footer row count, no scan
     small = tmp_path / "small"
     small.mkdir()
-    (small / "events.parquet").write_bytes(b"x" * 1024)
+    pq.write_table(
+        pa.table({"event_id": list(range(10))}),
+        str(small / "events.parquet"),
+    )
     assert streaming_state_partitions(str(small)) == 8
 
-    # directory fixture (the scale ladder's layout): ~2 GB -> 64 partitions,
-    # i.e. the curve still fans out once state would outgrow 8 tasks
+    # directory fixture (the scale ladder's layout): rows sum across parts
     big = tmp_path / "big"
     (big / "events.parquet").mkdir(parents=True)
-    part = big / "events.parquet" / "part-00000.parquet"
-    part.write_bytes(b"")
-    real_getsize = os.path.getsize
-    import bee_proof_spark.streaming.replay as replay_mod
-
-    def fake_getsize(p):
-        if str(p) == str(part):
-            return 2 * 1024**3
-        return real_getsize(p)
-
-    monkeypatch.setattr(replay_mod.os.path, "getsize", fake_getsize)
-    assert streaming_state_partitions(str(big)) == 64
-    monkeypatch.setattr(replay_mod.os.path, "getsize", real_getsize)
+    for i in range(2):
+        pq.write_table(
+            pa.table({"event_id": list(range(5))}),
+            str(big / "events.parquet" / f"part-0000{i}.parquet"),
+        )
+    assert streaming_state_partitions(str(big)) == 8
 
     # explicit shuffle override: the session already carries it, don't fight
     monkeypatch.setenv("SPARK_GRAFT_SHUFFLE", "16")
