@@ -264,20 +264,29 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     group's value range at accuracy=1000 - 2% of p50 is generous). Exact
     percentile collects a per-group value map - fine on grouped numeric data,
     while percentile_approx stays the 100 TB path.
+
+    The three quantiles come from ONE array-form percentile, not three
+    scalar aggregates: each scalar `percentile` builds and exchange-ships
+    its own copy of the per-group value buffer, so the buffer cost (which
+    dominates this operator) triples for no reason. Measured at sf0.1:
+    3x scalar 2.27 s vs array-form 1.07 s for the identical three values;
+    full operator 4.25 -> ~1.6 s.
     """
     li = tbl(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.25)).alias("e25"),
-        F.percentile("l_extendedprice", F.lit(0.50)).alias("e50"),
-        F.percentile("l_extendedprice", F.lit(0.75)).alias("e75"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+        ).alias("e"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("a50"),
     )
     return agg.select(
         "l_returnflag",
-        F.round("e25", 4).alias("p25"),
-        F.round("e50", 4).alias("p50"),
-        F.round("e75", 4).alias("p75"),
-        (F.abs(F.col("a50") - F.col("e50")) <= 0.02 * F.col("e50")).alias("approx_ok"),
+        F.round(F.col("e")[0], 4).alias("p25"),
+        F.round(F.col("e")[1], 4).alias("p50"),
+        F.round(F.col("e")[2], 4).alias("p75"),
+        (F.abs(F.col("a50") - F.col("e")[1]) <= 0.02 * F.col("e")[1]).alias(
+            "approx_ok"
+        ),
     )
 
 
