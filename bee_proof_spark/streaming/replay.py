@@ -166,7 +166,7 @@ def _streaming_partitions_for_rows(rows: int) -> int:
     default HDFS provider — so partition count is a commit multiplier and
     the floor of 8 beats the batch default of 32 by 2.5-5x at sf0.1.
     ABOVE that, per-partition STATE drives cost (the provider snapshots
-    and GC-pressures whole per-task maps): the 1000x dedup (750k state
+    and GC-pressures whole per-task maps): the 100x dedup (750k state
     keys over 10M events) runs 20 s at 32 partitions vs 64 s degrading to
     160 s at 8. Rows, not compressed bytes, are the proxy because the
     replica fixtures dictionary-compress ~100x and would pin every decade
@@ -189,8 +189,8 @@ def streaming_state_partitions(sf_dir: str) -> int | None:
     deployment would take the same number from catalog stats. Measured
     (same-session A/B, two passes each): sf0.1 stream_stream_join
     23.1 -> 4.9 s, stream_dedup_state 11.0 -> 2.0 s, stream_watermark_late
-    12.7 -> 2.7 s, stream_session_stateful 10.9 -> 6.9 s; 100x dedup
-    9.1 -> 2.7 s, join 14.0 -> 5.2 s; all with identical result rows.
+    12.7 -> 2.7 s, stream_session_stateful 10.9 -> 6.9 s; 10x (1M events)
+    dedup 9.1 -> 2.7 s, join 14.0 -> 5.2 s; all with identical result rows.
     An explicit ``SPARK_GRAFT_SHUFFLE`` wins, matching the batch path's
     contract.
     """

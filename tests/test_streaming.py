@@ -141,9 +141,9 @@ def test_streaming_state_partitions_sizing(tmp_path, monkeypatch):
     # the pure curve: commit-bound floor below ~2M rows, state-scaled above,
     # clamped at 1024 (the measured regimes behind each, see the docstring)
     assert _streaming_partitions_for_rows(100_000) == 8       # sf0.1
-    assert _streaming_partitions_for_rows(1_000_000) == 8     # 100x
-    assert _streaming_partitions_for_rows(10_000_000) == 32   # 1000x
-    assert _streaming_partitions_for_rows(100_000_000) == 512
+    assert _streaming_partitions_for_rows(1_000_000) == 8     # 10x
+    assert _streaming_partitions_for_rows(10_000_000) == 32   # 100x
+    assert _streaming_partitions_for_rows(100_000_000) == 512  # 1000x
     assert _streaming_partitions_for_rows(10**9) == 1024      # clamp
 
     monkeypatch.delenv("SPARK_GRAFT_SHUFFLE", raising=False)
