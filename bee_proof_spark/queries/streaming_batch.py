@@ -106,11 +106,40 @@ def stream_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_watermark_late")  # rows-only: true streaming execution
+_WATERMARK_LATE_ORACLE = """
+WITH w AS (
+  SELECT date_trunc('hour', ts) AS ws, count(*) AS n_events
+  FROM events GROUP BY 1
+), mx AS (SELECT max(ts) AS mt FROM events)
+SELECT cast(ws AS varchar) AS window_start, n_events
+FROM w, mx
+WHERE ws + INTERVAL 1 HOUR < mt - INTERVAL 1 HOUR
+"""
+
+
+@register("stream_watermark_late", oracle=_WATERMARK_LATE_ORACLE)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL readStream: tumbling windows under a 1-hour watermark with
     AvailableNow replay into a memory sink. Late data beyond the watermark is
-    dropped by the state store; with in-order replay the totals match batch."""
+    dropped by the state store; with in-order replay the totals match batch.
+
+    Oracle-checkable (upgraded from rows-only, r5) because every piece of
+    the append-mode output is closed-form on this replay:
+
+    - **No late drops.** The replay's micro-batches are range-partitioned
+      by ts and replayed in time order, so every event in batch i+1 is
+      >= batch i's max event time > the watermark — no row is ever late.
+    - **Emission set = windows closed by the FINAL watermark.** AvailableNow
+      runs a trailing no-data micro-batch after the last file (verified
+      empirically at sf0.001/sf0.01, and pinned continuously by this
+      oracle), so the operative watermark is global max(ts) - 1h and the
+      sink holds exactly the hourly windows with end < that. The <-vs-<=
+      boundary is never ambiguous on these fixtures: the watermark carries
+      the max event's sub-second fraction while window ends are
+      hour-aligned, so equality cannot occur.
+
+    Windows covering the last hour of data stay in state (unemitted),
+    exactly as a live pipeline would leave them pending."""
     from bee_proof_spark.streaming import (
         replay_events_stream,
         run_to_memory_sink,
@@ -222,7 +251,35 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_session_stateful")  # rows-only: custom stateful operator
+_SESSION_STATEFUL_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS tms FROM events
+), seq AS (
+  SELECT user_id, tms,
+         lag(tms) OVER (PARTITION BY user_id ORDER BY tms) AS prev
+  FROM e
+), isl AS (
+  SELECT user_id, tms,
+         sum(CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY tms
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM seq
+), s AS (
+  SELECT user_id, island,
+         min(tms) AS session_start_ms, max(tms) AS session_end_ms,
+         count(*) AS n_events
+  FROM isl GROUP BY user_id, island
+), last_isl AS (
+  SELECT user_id, max(island) AS last_island FROM s GROUP BY user_id
+), mx AS (SELECT max(epoch_ms(ts)) AS mxms FROM events)
+SELECT s.user_id, session_start_ms, session_end_ms, n_events
+FROM s JOIN last_isl ON s.user_id = last_isl.user_id, mx
+WHERE s.island < last_isl.last_island
+   OR s.session_end_ms + 1800000 < mx.mxms - 600000
+"""
+
+
+@register("stream_session_stateful", oracle=_SESSION_STATEFUL_ORACLE)
 def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL readStream custom stateful operator: per-user sessionization with
     applyInPandasWithState (30-min gap, event-time timeout).
@@ -232,6 +289,17 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark passes session_end + gap. Only *closed* sessions are
     emitted - sessions still open when the replay ends stay in state,
     exactly as a live pipeline would behave.
+
+    Oracle-checkable (upgraded from rows-only, r5): on the in-order replay
+    every determinant of the emitted set is closed-form — gap closures
+    depend only on each user's event-time sequence (batch gaps-and-islands),
+    and timeout closures fire exactly for each user's LAST island with
+    session_end + 30min < the final watermark (global max event time, ms,
+    minus the 10-min delay; AvailableNow's trailing no-data batch advances
+    the watermark there, verified empirically and pinned by this oracle).
+    Session bounds are emitted as epoch-milliseconds (the state's own unit)
+    so the comparison is format-free; the ms floor matches DuckDB's
+    epoch_ms on both ends.
 
     Scale notes: state is one (start, end, count) triple per active user -
     bounded by the watermark, sharded by the groupBy key across executors.
@@ -258,7 +326,6 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
         LongType,
-        StringType,
         StructField,
         StructType,
     )
@@ -274,8 +341,8 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = StructType(
         [
             StructField("user_id", LongType()),
-            StructField("session_start", StringType()),
-            StructField("session_end", StringType()),
+            StructField("session_start_ms", LongType()),
+            StructField("session_end_ms", LongType()),
             StructField("n_events", LongType()),
         ]
     )
@@ -286,9 +353,6 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n", LongType()),
         ]
     )
-
-    def fmt(ms: int) -> str:
-        return str(pd.Timestamp(ms, unit="ms"))
 
     def sessionize(key, pdfs, state: GroupState):
         user = key[0]
@@ -332,8 +396,8 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "user_id": [user] * len(closed),
-                    "session_start": [fmt(s) for s, _, _ in closed],
-                    "session_end": [fmt(e) for _, e, _ in closed],
+                    "session_start_ms": [s for s, _, _ in closed],
+                    "session_end_ms": [e for _, e, _ in closed],
                     "n_events": [n for _, _, n in closed],
                 }
             )

@@ -82,24 +82,29 @@ def test_stateful_sessionizer_counts_match_gap_semantics(spark, sf_smoke):
 
     out = load_all()["stream_session_stateful"].builder(spark, sf_smoke)
     got = {
-        (r["user_id"], r["session_start"][:19]): r["n_events"] for r in out.collect()
+        (r["user_id"], r["session_start_ms"]): r["n_events"] for r in out.collect()
     }
     assert got, "no sessions closed"
 
-    e = tbl(spark, sf_smoke, "events")
+    # NTZ -> TIMESTAMP cast is wall-clock identity under the session's
+    # pinned UTC timezone, so unix_millis yields the same naive-UTC epoch
+    # the operator's datetime64[ms] state uses.
+    e = tbl(spark, sf_smoke, "events").withColumn(
+        "tms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    w = Window.partitionBy("user_id").orderBy("tms")
+    gap = F.col("tms") - F.lag("tms").over(w)
     batch = (
-        e.withColumn("is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        e.withColumn("is_new", F.when(gap.isNull() | (gap > 1800000), 1).otherwise(0))
         .withColumn("session_no", F.sum("is_new").over(w))
         .groupBy("user_id", "session_no")
-        .agg(F.min("ts").alias("start"), F.count(F.lit(1)).alias("n"))
+        .agg(F.min("tms").alias("start_ms"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
     expected = {
-        (r["user_id"], str(r["start"])[:19]): r["n"] for r in batch
+        (r["user_id"], r["start_ms"]): r["n"] for r in batch
     }
     mismatches = {k: (v, expected.get(k)) for k, v in got.items() if expected.get(k) != v}
     assert not mismatches, f"sessionizer diverges from batch: {list(mismatches.items())[:5]}"
