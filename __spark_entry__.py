@@ -9,7 +9,7 @@ All implementations live in ``bee_proof_spark.queries`` (SURVEY.md section 2
 inventory); every id declared here passes the same comparison locally first
 (tests/test_queries_oracle.py).
 
-Rows-only contract: 7 of the registered ids intentionally omit
+Rows-only contract: 6 of the registered ids intentionally omit
 ``oracle_sql()`` because their OUTPUT (not their correctness) is
 engine-specific, and each has an oracle-checked twin or invariant covering
 the capability:
@@ -23,16 +23,13 @@ the capability:
   engine-specific for Spark's seeded samplers) -> ``sample_hash_bernoulli``
   / ``sample_stratified_hash`` / ``ext_domain_mixture`` hash-check the
   sampling capability with deterministic md5-cutoff membership.
-- ``stream_dedup_state`` (true readStream execution; which duplicate of a
-  key survives within one micro-batch is engine-arbitrary, and key expiry
-  depends on micro-batch boundaries; semantics are pinned by
-  tests/test_streaming.py against hand-computed expectations).
-
-``stream_watermark_late`` and ``stream_session_stateful`` were upgraded
-from rows-only to oracled in r5: on the in-order AvailableNow replay their
-emitted sets are closed-form (no late drops; emission/timeout closure
-bounded by the final watermark), so the true readStream paths are now
-hash-checked end-to-end (streaming_batch.py docstrings carry the argument).
+``stream_watermark_late``, ``stream_dedup_state`` and
+``stream_session_stateful`` were upgraded from rows-only to oracled in r5:
+on the in-order AvailableNow replay their emitted sets are closed-form (no
+late drops; dedup on key x hour-bucket under a >= bucket-width watermark;
+emission/timeout closure bounded by the final watermark), so every true
+readStream path is now hash-checked end-to-end (streaming_batch.py
+docstrings carry the per-operator argument).
 """
 
 from __future__ import annotations

@@ -160,11 +160,29 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_dedup_state")  # rows-only: true streaming execution
+_DEDUP_STATE_ORACLE = """
+SELECT DISTINCT user_id, event_type,
+       cast(date_trunc('hour', ts) AS varchar) AS hour_start
+FROM events
+"""
+
+
+@register("stream_dedup_state", oracle=_DEDUP_STATE_ORACLE)
 def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL readStream: stateful dropDuplicates on (user_id, event_type)
-    within the watermark - the streaming dedup pattern; state is bounded by
-    the event-time watermark."""
+    """REAL readStream: stateful dropDuplicates on (user_id, event_type,
+    event-hour) within a 1-hour watermark - the bounded-state streaming
+    dedup pattern (key x time-bucket, so old buckets expire as the
+    watermark advances and state never grows past watermark x key rate).
+
+    Oracle-checkable (upgraded from rows-only, r5): the emitted set equals
+    the batch DISTINCT because no duplicate can ever arrive after its key
+    expired. A key's bucket spans one hour and the watermark delay is one
+    hour, so when a same-bucket event arrives at ts, the watermark is at
+    most ts - 1h < bucket_start <= the key's stored event time - the state
+    entry is still alive and the duplicate is dropped, on ANY micro-batch
+    partitioning of in-order data. The projection carries only the dedup
+    key (which physical row survives inside a batch is engine-arbitrary,
+    the key set is not)."""
     from bee_proof_spark.streaming import (
         replay_events_stream,
         run_to_memory_sink,
@@ -174,8 +192,13 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = replay_events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "1 hour")
-        .dropDuplicates(["user_id", "event_type"])
-        .select("event_id", "user_id", "event_type")
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .dropDuplicates(["user_id", "event_type", "hour"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("hour").cast("string").alias("hour_start"),
+        )
     )
     return run_to_memory_sink(
         deduped,
