@@ -141,6 +141,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     Windows covering the last hour of data stay in state (unemitted),
     exactly as a live pipeline would leave them pending."""
     from bee_proof_spark.streaming import (
+        events_row_count,
         replay_events_stream,
         run_to_memory_sink,
         streaming_state_partitions,
@@ -157,6 +158,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed,
         output_mode="append",
         state_partitions=streaming_state_partitions(sf_dir),
+        input_rows=events_row_count(sf_dir),
     )
 
 
@@ -184,6 +186,7 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (which physical row survives inside a batch is engine-arbitrary,
     the key set is not)."""
     from bee_proof_spark.streaming import (
+        events_row_count,
         replay_events_stream,
         run_to_memory_sink,
         streaming_state_partitions,
@@ -204,6 +207,7 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped,
         output_mode="append",
         state_partitions=streaming_state_partitions(sf_dir),
+        input_rows=events_row_count(sf_dir),
     )
 
 
@@ -231,6 +235,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical enrich-clicks-with-impressions shape.
     """
     from bee_proof_spark.streaming import (
+        events_row_count,
         replay_events_stream,
         run_to_memory_sink,
         streaming_state_partitions,
@@ -271,6 +276,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined,
         output_mode="append",
         state_partitions=streaming_state_partitions(sf_dir),
+        input_rows=events_row_count(sf_dir),
     )
 
 
@@ -354,6 +360,7 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     from bee_proof_spark.streaming import (
+        events_row_count,
         replay_events_stream,
         run_to_memory_sink,
         streaming_state_partitions,
@@ -441,6 +448,7 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions,
         output_mode="append",
         state_partitions=streaming_state_partitions(sf_dir),
+        input_rows=events_row_count(sf_dir),
     )
 
 

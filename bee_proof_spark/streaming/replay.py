@@ -196,6 +196,16 @@ def streaming_state_partitions(sf_dir: str) -> int | None:
     """
     if os.environ.get("SPARK_GRAFT_SHUFFLE"):
         return None
+    rows = events_row_count(sf_dir)
+    if rows == 0:
+        return None
+    return _streaming_partitions_for_rows(rows)
+
+
+def events_row_count(sf_dir: str) -> int:
+    """Row count of the events fixture from parquet FOOTERS only (no scan);
+    a cluster deployment reads the same number from catalog stats. 0 when
+    the table is missing/unreadable (callers treat that as "unknown")."""
     import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, "events.parquet")
@@ -215,31 +225,86 @@ def streaming_state_partitions(sf_dir: str) -> int | None:
             rows += pq.ParquetFile(p).metadata.num_rows
         except Exception:
             pass
-    if rows == 0:
-        return None
-    return _streaming_partitions_for_rows(rows)
+    return rows
+
+
+#: Input-rows threshold above which an append-mode stream sinks to parquet
+#: instead of memory. The memory sink ships every result row to the driver
+#: (it is a collect in disguise): at the 1000x probe (100M events, ~99M
+#: dedup output rows) it aborts on spark.driver.maxResultSize (1 GiB of
+#: serialized task results, measured r5) long before heap is a problem. A
+#: cluster pipeline writes a real table; the parquet spill is that same
+#: shape locally, and the returned DataFrame contract is unchanged. The
+#: driver/test fixtures (<= 1M events) stay on the zero-IO memory path.
+_PARQUET_SINK_ROWS = 20_000_000
+
+
+def _parquet_sink_dir() -> str:
+    """Per-run scratch dir for a parquet stream sink, pid-scoped with the
+    same aged-sweep hygiene as the replay snapshots."""
+    import tempfile
+
+    from bee_proof_spark.tmputil import pid_dir_alive, sweep_aged_dirs
+
+    base = os.path.join(tempfile.gettempdir(), "bee-proof-tmp", "stream-sink")
+    mine = os.path.join(base, f"pid{os.getpid()}")
+    sweep_aged_dirs(
+        base,
+        exempt=(mine,),
+        max_age_s=3600,
+        keep=lambda p, a: pid_dir_alive(p),
+    )
+    return os.path.join(mine, uuid.uuid4().hex[:12])
 
 
 def run_to_memory_sink(
     stream_df: DataFrame,
     output_mode: str = "append",
     state_partitions: int | None = None,
+    input_rows: int | None = None,
 ) -> DataFrame:
-    """Execute a streaming query to completion (AvailableNow) into a memory
-    sink; return the sink contents as a DataFrame.
+    """Execute a streaming query to completion (AvailableNow) and return the
+    sink contents as a DataFrame.
 
     ``state_partitions`` (usually ``streaming_state_partitions(sf_dir)``)
     overrides ``spark.sql.shuffle.partitions`` for the lifetime of the
     streaming query only: the count is read at stream-start planning time,
     baked into the (ephemeral) checkpoint, and restored before returning,
     so surrounding batch work keeps the corpus-sized session default.
+
+    ``input_rows`` (usually ``events_row_count(sf_dir)``) picks the sink:
+    append-mode streams over >= ``_PARQUET_SINK_ROWS`` input rows write to
+    a scratch parquet table (the memory sink is a driver collect and hits
+    driver.maxResultSize at the third probe decade); everything else uses
+    the in-memory sink.
     """
-    name = f"bps_sink_{uuid.uuid4().hex[:8]}"
     spark = stream_df.sparkSession
+    to_parquet = (
+        output_mode == "append"  # file sinks only support append
+        and input_rows is not None
+        and input_rows >= _PARQUET_SINK_ROWS
+    )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
+        if to_parquet:
+            path = _parquet_sink_dir()
+            q = (
+                stream_df.writeStream.format("parquet")
+                .option("path", path)
+                .option("checkpointLocation", f"{path}.ckpt")
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            try:
+                return spark.read.schema(stream_df.schema).parquet(path)
+            except Exception:
+                # zero-output stream: no files were committed
+                return spark.createDataFrame([], stream_df.schema)
+        name = f"bps_sink_{uuid.uuid4().hex[:8]}"
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -248,7 +313,7 @@ def run_to_memory_sink(
             .start()
         )
         q.awaitTermination()
+        return spark.table(name)
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)

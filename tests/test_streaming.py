@@ -183,6 +183,25 @@ def test_streaming_state_partitions_sizing(tmp_path, monkeypatch):
     assert streaming_state_partitions(str(empty)) is None
 
 
+def test_parquet_sink_spill_matches_memory_sink(spark, sf_smoke, monkeypatch):
+    """Above _PARQUET_SINK_ROWS an append stream sinks to scratch parquet
+    (the memory sink is a driver collect and aborts on driver.maxResultSize
+    at the 100M-event probe decade); the spilled result must be row-for-row
+    identical to the memory-sink result."""
+    from bee_proof_spark.queries import load_all
+    from bee_proof_spark.streaming import replay
+
+    reg = load_all()
+    via_memory = sorted(
+        map(tuple, reg["stream_dedup_state"].builder(spark, sf_smoke).collect())
+    )
+    monkeypatch.setattr(replay, "_PARQUET_SINK_ROWS", 1)
+    via_parquet = sorted(
+        map(tuple, reg["stream_dedup_state"].builder(spark, sf_smoke).collect())
+    )
+    assert via_parquet == via_memory
+
+
 def test_memory_sink_restores_shuffle_conf(spark, sf_smoke):
     """run_to_memory_sink's state_partitions override is scoped to the
     stream: the session's shuffle default is restored afterwards."""
