@@ -158,24 +158,37 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _streaming_partitions_for_rows(rows: int) -> int:
-    """~250k events per state partition, clamped to [8, 1024], pow2-rounded.
+    """~250k events per state partition, floored at 8, pow2-rounded, and
+    capped at ~4x the available cores.
 
-    Both ends of the clamp are measured regimes (SCALE.md streaming
-    section): BELOW ~2M events, per-micro-batch state-store commits
-    dominate — an fsync'd delta per store per partition per batch on the
-    default HDFS provider — so partition count is a commit multiplier and
-    the floor of 8 beats the batch default of 32 by 2.5-5x at sf0.1.
-    ABOVE that, per-partition STATE drives cost (the provider snapshots
-    and GC-pressures whole per-task maps): the 100x dedup (750k state
-    keys over 10M events) runs 20 s at 32 partitions vs 64 s degrading to
-    160 s at 8. Rows, not compressed bytes, are the proxy because the
-    replica fixtures dictionary-compress ~100x and would pin every decade
-    to the floor.
+    All three bounds are measured regimes (SCALE.md streaming sections):
+
+    - BELOW ~2M events, per-micro-batch state-store commits dominate — an
+      fsync'd delta per store per partition per batch on the default HDFS
+      provider — so partition count is a commit multiplier and the floor
+      of 8 beats the batch default of 32 by 2.5-5x at sf0.1.
+    - ABOVE that, per-partition STATE drives cost (the provider snapshots
+      and GC-pressures whole per-task maps): the 100x dedup (750k state
+      keys over 10M events) runs 20 s at 32 partitions vs 64 s degrading
+      to 160 s at 8. Rows, not compressed bytes, are the proxy because
+      the replica fixtures dictionary-compress ~100x and would pin every
+      decade to the floor.
+    - Width beyond the executor parallelism is pure commit amplification:
+      every extra partition adds a per-batch fsync'd commit per store
+      with zero added parallelism (tasks queue on the same cores). At
+      100M events the uncapped curve picked 512 and paid for it:
+      stream_stream_join 393 s -> 68.7 s at 128 (4 state stores), the
+      watermark window 45.8 -> 15.0 s, dedup ~par (153 vs 138). The cap
+      is 4x cores (SPARK_GRAFT_CPUS, falling back to os.cpu_count) —
+      on a cluster the same formula reads total executor cores, so width
+      grows with the deployment exactly as it should.
     """
     import math
 
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
+    cap = 2 ** int(math.log2(max(8, 4 * cores)))
     raw = max(8, min(1024, rows // 250_000 or 1))
-    return 2 ** round(math.log2(raw))
+    return min(2 ** round(math.log2(raw)), cap)
 
 
 def streaming_state_partitions(sf_dir: str) -> int | None:

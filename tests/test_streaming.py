@@ -144,12 +144,17 @@ def test_streaming_state_partitions_sizing(tmp_path, monkeypatch):
     from bee_proof_spark.streaming.replay import _streaming_partitions_for_rows
 
     # the pure curve: commit-bound floor below ~2M rows, state-scaled above,
-    # clamped at 1024 (the measured regimes behind each, see the docstring)
+    # capped at ~4x cores (the measured regimes behind each, see docstring);
+    # pin the core count so the asserts don't depend on the host
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
     assert _streaming_partitions_for_rows(100_000) == 8       # sf0.1
     assert _streaming_partitions_for_rows(1_000_000) == 8     # 10x
     assert _streaming_partitions_for_rows(10_000_000) == 32   # 100x
-    assert _streaming_partitions_for_rows(100_000_000) == 512  # 1000x
-    assert _streaming_partitions_for_rows(10**9) == 1024      # clamp
+    assert _streaming_partitions_for_rows(100_000_000) == 128  # 1000x: cap
+    assert _streaming_partitions_for_rows(10**9) == 128       # cap binds
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "512")  # cluster-sized host
+    assert _streaming_partitions_for_rows(100_000_000) == 512  # curve rules
+    monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
 
     monkeypatch.delenv("SPARK_GRAFT_SHUFFLE", raising=False)
 
