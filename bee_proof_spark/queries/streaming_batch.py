@@ -157,7 +157,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_sink(
         windowed,
         output_mode="append",
-        state_partitions=streaming_state_partitions(sf_dir),
+        state_partitions=streaming_state_partitions(sf_dir, "agg"),
         input_rows=events_row_count(sf_dir),
     )
 
@@ -206,7 +206,7 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_sink(
         deduped,
         output_mode="append",
-        state_partitions=streaming_state_partitions(sf_dir),
+        state_partitions=streaming_state_partitions(sf_dir, "insert_heavy"),
         input_rows=events_row_count(sf_dir),
     )
 
@@ -275,7 +275,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_sink(
         joined,
         output_mode="append",
-        state_partitions=streaming_state_partitions(sf_dir),
+        state_partitions=streaming_state_partitions(sf_dir, "join"),
         input_rows=events_row_count(sf_dir),
     )
 
@@ -447,7 +447,7 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_sink(
         sessions,
         output_mode="append",
-        state_partitions=streaming_state_partitions(sf_dir),
+        state_partitions=streaming_state_partitions(sf_dir, "insert_heavy"),
         input_rows=events_row_count(sf_dir),
     )
 

@@ -157,49 +157,64 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _streaming_partitions_for_rows(rows: int) -> int:
-    """~250k events per state partition, floored at 8, pow2-rounded, and
-    capped at ~4x the available cores.
+def _streaming_partitions_for_rows(rows: int, profile: str = "insert_heavy") -> int:
+    """State-partition width from the corpus row count AND the operator's
+    state profile. Every regime below is a measured floor (SCALE.md
+    streaming sections); the same-day 100M-event ladders are what split
+    one curve into three profiles:
 
-    All three bounds are measured regimes (SCALE.md streaming sections):
+    - ``"agg"`` — windowed aggregation under partial (map-side) combine:
+      the stateful shuffle carries window PARTIALS, so its volume is near
+      decade-independent and width is purely a per-batch commit
+      multiplier (an fsync'd store delta per partition per batch).
+      Measured flat-to-best at the floor of 8 at every decade
+      (watermark-late 1000x ladder: 8.3 s @8, 10.1 @32, 15.0 @128,
+      45.8 @512; sf0.1: 2.7 @8 vs 12.7 @32). Always 8.
+    - ``"join"`` — stream-stream join: real per-row join work per batch
+      (CPU-bound below the core count) but 4 state stores paying 4x the
+      commit bill above it. The 1000x ladder is U-shaped with the minimum
+      exactly at the cores: 64.4 @8, 54.2 @16, 37.6 @32(=cores),
+      68.7 @128, 101 @256, 393 @512. Row curve capped at 1x cores.
+    - ``"insert_heavy"`` — dedup/sessionization where key cardinality
+      tracks row count: per-task state MAPS dominate (provider snapshots
+      + GC pressure whole maps), so width must grow with state well past
+      the core count — the 100x dedup flip (750k keys) ran 20 s @32 vs
+      64-160 s @8, and at 100M events 128-512 are within noise (138/153)
+      while the bucket-dedup at 100x improves 36.6 -> 25.1 from 32 to
+      64. Row curve capped at 4x cores.
 
-    - BELOW ~2M events, per-micro-batch state-store commits dominate — an
-      fsync'd delta per store per partition per batch on the default HDFS
-      provider — so partition count is a commit multiplier and the floor
-      of 8 beats the batch default of 32 by 2.5-5x at sf0.1.
-    - ABOVE that, per-partition STATE drives cost (the provider snapshots
-      and GC-pressures whole per-task maps): the 100x dedup (750k state
-      keys over 10M events) runs 20 s at 32 partitions vs 64 s degrading
-      to 160 s at 8. Rows, not compressed bytes, are the proxy because
-      the replica fixtures dictionary-compress ~100x and would pin every
-      decade to the floor.
-    - Width beyond the executor parallelism is pure commit amplification:
-      every extra partition adds a per-batch fsync'd commit per store
-      with zero added parallelism (tasks queue on the same cores). At
-      100M events the uncapped curve picked 512 and paid for it:
-      stream_stream_join 393 s -> 68.7 s at 128 (4 state stores), the
-      watermark window 45.8 -> 15.0 s, dedup ~par (153 vs 138). The cap
-      is 4x cores (SPARK_GRAFT_CPUS, falling back to os.cpu_count) —
-      on a cluster the same formula reads total executor cores, so width
-      grows with the deployment exactly as it should.
+    Cores read SPARK_GRAFT_CPUS (falling back to os.cpu_count); on a
+    cluster the same formula reads total executor cores, so every cap is
+    parallelism-relative and grows with the deployment.
     """
     import math
 
+    if profile == "agg":
+        return 8
     cores = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
-    cap = 2 ** int(math.log2(max(8, 4 * cores)))
+    mult = 1 if profile == "join" else 4
+    cap = 2 ** int(math.log2(max(8, mult * cores)))
     raw = max(8, min(1024, rows // 250_000 or 1))
     return min(2 ** round(math.log2(raw)), cap)
 
 
-def streaming_state_partitions(sf_dir: str) -> int | None:
+def streaming_state_partitions(
+    sf_dir: str, profile: str = "insert_heavy"
+) -> int | None:
     """Shuffle-partition count for STATEFUL streaming queries, sized to the
-    events corpus — or None to keep the session default.
+    events corpus and the operator's state ``profile`` — or None to keep
+    the session default.
 
     Streaming pays a per-partition cost batch queries don't (state-store
     commits, see ``_streaming_partitions_for_rows``), so the batch
     heuristic's floor of 32 is wrong here. Sizes by the events table's
     parquet-footer row count — metadata-only reads, no scan; a cluster
-    deployment would take the same number from catalog stats. Measured
+    deployment would take the same number from catalog stats. ``profile``
+    is the operator's statically-known state shape: ``"agg"`` (partial-
+    combined windowed aggregation, width = commit multiplier only),
+    ``"join"`` (per-row join work, cap at cores), ``"insert_heavy"``
+    (key cardinality ~ rows, cap at 4x cores) — the measured ladders
+    behind each are in ``_streaming_partitions_for_rows``. Measured
     (same-session A/B, two passes each): sf0.1 stream_stream_join
     23.1 -> 4.9 s, stream_dedup_state 11.0 -> 2.0 s, stream_watermark_late
     12.7 -> 2.7 s, stream_session_stateful 10.9 -> 6.9 s; 10x (1M events)
@@ -212,7 +227,7 @@ def streaming_state_partitions(sf_dir: str) -> int | None:
     rows = events_row_count(sf_dir)
     if rows == 0:
         return None
-    return _streaming_partitions_for_rows(rows)
+    return _streaming_partitions_for_rows(rows, profile)
 
 
 def events_row_count(sf_dir: str) -> int:

@@ -143,17 +143,24 @@ def test_streaming_state_partitions_sizing(tmp_path, monkeypatch):
     from bee_proof_spark.streaming import streaming_state_partitions
     from bee_proof_spark.streaming.replay import _streaming_partitions_for_rows
 
-    # the pure curve: commit-bound floor below ~2M rows, state-scaled above,
-    # capped at ~4x cores (the measured regimes behind each, see docstring);
-    # pin the core count so the asserts don't depend on the host
+    # the pure curves per state profile: commit-bound floor below ~2M rows,
+    # state-scaled above, capped relative to cores (the measured ladders
+    # behind each, see the docstring); pin the core count so the asserts
+    # don't depend on the host
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
     assert _streaming_partitions_for_rows(100_000) == 8       # sf0.1
     assert _streaming_partitions_for_rows(1_000_000) == 8     # 10x
     assert _streaming_partitions_for_rows(10_000_000) == 32   # 100x
-    assert _streaming_partitions_for_rows(100_000_000) == 128  # 1000x: cap
+    assert _streaming_partitions_for_rows(100_000_000) == 128  # 1000x: 4x cap
     assert _streaming_partitions_for_rows(10**9) == 128       # cap binds
+    # join profile: same curve, capped at 1x cores (U-minimum at cores)
+    assert _streaming_partitions_for_rows(1_000_000, "join") == 8
+    assert _streaming_partitions_for_rows(100_000_000, "join") == 32
+    # agg profile: partial combine makes width a pure commit multiplier
+    assert _streaming_partitions_for_rows(100_000_000, "agg") == 8
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "512")  # cluster-sized host
-    assert _streaming_partitions_for_rows(100_000_000) == 512  # curve rules
+    assert _streaming_partitions_for_rows(100_000_000, "insert_heavy") == 512
+    assert _streaming_partitions_for_rows(100_000_000, "join") == 512
     monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
 
     monkeypatch.delenv("SPARK_GRAFT_SHUFFLE", raising=False)
