@@ -336,11 +336,12 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions.
 
     **Do not use this operator at scale.** The Python state API itself is
-    the measured floor: 168 s at the 100x fixture (10M events, SCALE.md) -
-    62 s at 10x/1M events even after state-sized partitions cut the
-    per-batch commit count and let larger Arrow batches amortize the
-    per-key marshalling - the residual cost is the state protocol, not
-    this function body. Fixed-or-expression
+    the measured floor: 102 s at the 100x fixture (10M events; was 168 s
+    before the r5 epoch-ms output change removed ~19M per-row pandas
+    timestamp-string formats) - 62 s at 10x/1M events even after
+    state-sized partitions cut the per-batch commit count and let larger
+    Arrow batches amortize the per-key marshalling - the residual cost is
+    the state protocol, not this function body. Fixed-or-expression
     gap sessionization is covered by the JVM ``session_window`` twins
     (``stream_session_batch`` / ``stream_session_dynamic_gap``, both
     oracle-green) at ~2 s for the same 100x shape; reach for this
