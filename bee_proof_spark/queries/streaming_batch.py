@@ -110,10 +110,10 @@ _WATERMARK_LATE_ORACLE = """
 WITH w AS (
   SELECT date_trunc('hour', ts) AS ws, count(*) AS n_events
   FROM events GROUP BY 1
-), mx AS (SELECT max(ts) AS mt FROM events)
+), mx AS (SELECT date_trunc('millisecond', max(ts)) AS mt FROM events)
 SELECT cast(ws AS varchar) AS window_start, n_events
 FROM w, mx
-WHERE ws + INTERVAL 1 HOUR < mt - INTERVAL 1 HOUR
+WHERE ws + INTERVAL 1 HOUR <= mt - INTERVAL 1 HOUR
 """
 
 
@@ -133,10 +133,16 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
       runs a trailing no-data micro-batch after the last file (verified
       empirically at sf0.001/sf0.01, and pinned continuously by this
       oracle), so the operative watermark is global max(ts) - 1h and the
-      sink holds exactly the hourly windows with end < that. The <-vs-<=
-      boundary is never ambiguous on these fixtures: the watermark carries
-      the max event's sub-second fraction while window ends are
-      hour-aligned, so equality cannot occur.
+      sink holds exactly the hourly windows Spark finalizes against it.
+      The oracle mirrors Spark's boundary semantics EXACTLY (r6, ADVICE
+      fix): the watermark tracker floors event times to whole milliseconds
+      (EventTimeStatsAccum stores micros/1000) and append mode emits
+      windows with end <= watermark - probed directly with an hour-aligned
+      max ts, where the end == watermark window IS emitted (pinned by
+      tests/test_streaming.py::test_watermark_boundary_window_emitted).
+      Hence the oracle compares ws + 1h <= date_trunc(ms, max ts) - 1h
+      instead of relying on a fixture's sub-ms fraction to dodge the
+      boundary.
 
     Windows covering the last hour of data stay in state (unemitted),
     exactly as a live pipeline would leave them pending."""
@@ -176,15 +182,27 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pattern (key x time-bucket, so old buckets expire as the
     watermark advances and state never grows past watermark x key rate).
 
+    The watermark is declared ON the truncated ``hour`` column (r6, ADVICE
+    fix): ``date_trunc`` strips event-time metadata, so watermarking ``ts``
+    before truncation left the dedup keys metadata-free and
+    StreamingDeduplicateExec never evicted (measured: numRowsRemoved=0,
+    all 994 keys retained on sf0.001). With the watermark on ``hour``
+    itself, a key column carries the event time and eviction fires
+    (numRowsRemoved>0 pinned by tests/test_streaming.py): bucket H is
+    evicted once the watermark max(hour)-1h passes H, so live state is
+    bounded by ~2 buckets x key rate.
+
     Oracle-checkable (upgraded from rows-only, r5): the emitted set equals
     the batch DISTINCT because no duplicate can ever arrive after its key
-    expired. A key's bucket spans one hour and the watermark delay is one
-    hour, so when a same-bucket event arrives at ts, the watermark is at
-    most ts - 1h < bucket_start <= the key's stored event time - the state
-    entry is still alive and the duplicate is dropped, on ANY micro-batch
-    partitioning of in-order data. The projection carries only the dedup
-    key (which physical row survives inside a batch is engine-arbitrary,
-    the key set is not)."""
+    expired. The watermark on the floored column is only coarser:
+    max(hour)-1h <= max(ts)-1h, and when a same-bucket duplicate arrives
+    in bucket H the watermark is at most H-1h < H, so the state entry is
+    still alive and the duplicate is dropped, on ANY micro-batch
+    partitioning of in-order data (eviction of H needs a bucket >= H+2h,
+    which in-order replay only reaches after every bucket-H event has
+    arrived). The projection carries only the dedup key (which physical
+    row survives inside a batch is engine-arbitrary, the key set is
+    not)."""
     from bee_proof_spark.streaming import (
         events_row_count,
         replay_events_stream,
@@ -194,8 +212,8 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = replay_events_stream(spark, sf_dir)
     deduped = (
-        stream.withWatermark("ts", "1 hour")
-        .withColumn("hour", F.date_trunc("hour", "ts"))
+        stream.withColumn("hour", F.date_trunc("hour", "ts"))
+        .withWatermark("hour", "1 hour")
         .dropDuplicates(["user_id", "event_type", "hour"])
         .select(
             "user_id",

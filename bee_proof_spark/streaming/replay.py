@@ -252,7 +252,13 @@ def events_row_count(sf_dir: str) -> int:
         try:
             rows += pq.ParquetFile(p).metadata.num_rows
         except Exception:
-            pass
+            # A partial count is worse than no count: one unreadable part
+            # file in a 100M-row fixture could undercount below
+            # _PARQUET_SINK_ROWS and silently route the stream back to the
+            # memory sink (driver.maxResultSize abort) and undersize state
+            # partitions (r5 ADVICE). Treat ANY footer failure as
+            # "unknown" so callers keep their defaults.
+            return 0
     return rows
 
 
@@ -327,11 +333,19 @@ def run_to_memory_sink(
                 .start()
             )
             q.awaitTermination()
-            try:
-                return spark.read.schema(stream_df.schema).parquet(path)
-            except Exception:
-                # zero-output stream: no files were committed
+            # Detect the zero-output case EXPLICITLY (no data files under
+            # the sink dir) instead of a bare except that would also mask
+            # genuine read failures - bad path, permissions, corrupt
+            # footers - as a silently-empty stream (r5 ADVICE). Any real
+            # read error now propagates.
+            committed = any(
+                f.endswith(".parquet") or f.startswith("part-")
+                for _, _, files in os.walk(path)
+                for f in files
+            )
+            if not committed:
                 return spark.createDataFrame([], stream_df.schema)
+            return spark.read.schema(stream_df.schema).parquet(path)
         name = f"bps_sink_{uuid.uuid4().hex[:8]}"
         q = (
             stream_df.writeStream.format("memory")

@@ -214,11 +214,110 @@ def test_parquet_sink_spill_matches_memory_sink(spark, sf_smoke, monkeypatch):
     assert via_parquet == via_memory
 
 
-def test_memory_sink_restores_shuffle_conf(spark, sf_smoke):
+def test_watermark_boundary_window_emitted(spark, tmp_path):
+    """Pin Spark's append-mode emission boundary: a window whose end EQUALS
+    the final watermark (max ts hour-aligned, so watermark = max ts - 1h =
+    window_end exactly) IS emitted - i.e. the predicate is <=, not <. The
+    stream_watermark_late oracle encodes exactly this (<= against the
+    ms-floored max ts); if a Spark upgrade ever flips the boundary, this
+    fails before the driver sweep does."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(datetime(2024, 1, 1, 10, 0, 5),), (datetime(2024, 1, 1, 10, 30, 0),)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    # lone max event at 12:00:00.000000 exactly -> watermark 11:00 ==
+    # the end of window [10:00, 11:00)
+    spark.createDataFrame(
+        [(datetime(2024, 1, 1, 12, 0, 0),)], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").cast("string").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_boundary_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["ws"]: r["n"] for r in spark.table("wm_boundary_sink").collect()}
+    assert rows == {"2024-01-01 10:00:00": 2}
+
+
+def test_dedup_state_evicts_expired_buckets(spark, sf_smoke):
+    """stream_dedup_state's watermark rides ON the truncated hour column
+    (date_trunc strips event-time metadata, so watermarking ts upstream
+    left the key columns metadata-free and StreamingDeduplicateExec never
+    evicted - r5 ADVICE finding: numRowsRemoved=0, all keys live forever).
+    Pin that eviction now fires AND the emitted key set still equals the
+    batch DISTINCT."""
+    from bee_proof_spark.streaming import replay_events_stream
+
+    stream = replay_events_stream(spark, sf_smoke)
+    deduped = (
+        stream.withColumn("hour", F.date_trunc("hour", "ts"))
+        .withWatermark("hour", "1 hour")
+        .dropDuplicates(["user_id", "event_type", "hour"])
+        .select("user_id", "event_type", "hour")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("evict_probe_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    removed = sum(
+        so.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    max_state = max(
+        (
+            so.get("numRowsTotal", 0)
+            for p in q.recentProgress
+            for so in p.get("stateOperators", [])
+        ),
+        default=0,
+    )
+    expected = (
+        spark.read.parquet(os.path.join(sf_smoke, "events.parquet"))
+        .select("user_id", "event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .distinct()
+        .count()
+    )
+    assert removed > 0, "watermark on the bucket column must evict old buckets"
+    # bounded state: live rows never approach the full distinct key count
+    # (sf0.001 measured: max 251 live vs 994 total keys, 993 evicted)
+    assert max_state < expected
+    assert spark.table("evict_probe_sink").count() == expected
+
+
+def test_memory_sink_restores_shuffle_conf(spark, sf_smoke, monkeypatch):
     """run_to_memory_sink's state_partitions override is scoped to the
     stream: the session's shuffle default is restored afterwards."""
     from bee_proof_spark.queries import load_all
     from bee_proof_spark.streaming import streaming_state_partitions
+
+    # the ==8 assertion below reads the real sizing path; an inherited
+    # SPARK_GRAFT_SHUFFLE would override it and fail spuriously (r5 ADVICE)
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE", raising=False)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     assert streaming_state_partitions(sf_smoke) == 8
