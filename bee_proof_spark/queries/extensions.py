@@ -1357,6 +1357,15 @@ FROM c
 """
 
 
+#: ext_pack_sequences' banded-prefix-sum gate. Env-overridable
+#: (SPARK_GRAFT_PACK_BAND_BYTES) so the forced-on oracle sweep can
+#: hash-verify the over-gate banded plan at fixture scale
+#: (tools/sweep.py --force-gates; SCALE.md r6).
+_PACK_BAND_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PACK_BAND_BYTES", 128 * 1024 * 1024)
+)
+
+
 @register("ext_pack_sequences", oracle=_PACK_ORACLE)
 def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training batches: documents are assigned to
@@ -1380,7 +1389,7 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
     toks = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
     pack = lambda cum: F.floor((cum - toks) / 2048).cast("bigint").alias("pack_id")  # noqa: E731
-    if table_bytes(sf_dir, "documents") < 128 * 1024 * 1024:
+    if table_bytes(sf_dir, "documents") < _PACK_BAND_BYTES:
         w = (
             Window.partitionBy("lang")
             .orderBy("doc_id")

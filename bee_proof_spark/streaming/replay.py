@@ -270,7 +270,12 @@ def events_row_count(sf_dir: str) -> int:
 #: cluster pipeline writes a real table; the parquet spill is that same
 #: shape locally, and the returned DataFrame contract is unchanged. The
 #: driver/test fixtures (<= 1M events) stay on the zero-IO memory path.
-_PARQUET_SINK_ROWS = 20_000_000
+#: Env-overridable (SPARK_GRAFT_PARQUET_SINK_ROWS) so the forced-on oracle
+#: sweep can hash-verify the parquet-spill sink path at fixture scale
+#: (tools/sweep.py --force-gates; SCALE.md r6).
+_PARQUET_SINK_ROWS = int(
+    os.environ.get("SPARK_GRAFT_PARQUET_SINK_ROWS", 20_000_000)
+)
 
 
 def _parquet_sink_dir() -> str:
