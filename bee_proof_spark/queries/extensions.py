@@ -1109,6 +1109,177 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ext_dedup_embedding_lsh knobs. Planes per table is the selectivity dial a
+#: deployment turns with corpus size (buckets = 2^planes per table; size to
+#: ~corpus/2^planes vectors per bucket); tables lift recall; the bucket cap
+#: is the same skew fence the text-LSH family carries (a degenerate bucket
+#: can never go quadratic past cap^2). All env-overridable like
+#: SPARK_GRAFT_EMB_TILE.
+_EMB_LSH_TABLES = int(os.environ.get("SPARK_GRAFT_EMB_LSH_TABLES", "8"))
+_EMB_LSH_PLANES = int(os.environ.get("SPARK_GRAFT_EMB_LSH_PLANES", "8"))
+_EMB_LSH_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_EMB_LSH_CAP", "10000"))
+
+
+def _emb_lsh_planes():
+    """Seeded hyperplanes, ROUNDED TO 3 DECIMALS: the decimal repr of each
+    coefficient is embedded verbatim in both the Spark plan (F.lit) and the
+    DuckDB oracle SQL, and both engines parse a short decimal literal to the
+    identical nearest-double, so the bucket math is cross-engine exact by
+    construction (rounding costs nothing - plane direction quality does not
+    depend on low-order bits)."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    return np.round(
+        rng.standard_normal((_EMB_LSH_TABLES, _EMB_LSH_PLANES, 64)), 3
+    )
+
+
+def _emb_lsh_oracle() -> str:
+    """Generate the DuckDB oracle for ext_dedup_embedding_lsh: the SAME
+    seeded-plane bucket computation (sign of dot(raw-embedding-as-double,
+    plane), so no normalization enters the sign), the same per-(table,
+    bucket) vec_id-ordered cap, the same candidate join and exact-cosine
+    >= 0.4 verify. The oracle is generated, not approximated: every plane
+    literal matches the Spark plan digit for digit."""
+    planes = _emb_lsh_planes()
+    bucket_cols = []
+    for t in range(_EMB_LSH_TABLES):
+        bits = []
+        for i in range(_EMB_LSH_PLANES):
+            lits = ", ".join(repr(float(v)) for v in planes[t, i])
+            bits.append(
+                f"(CASE WHEN list_dot_product(emb, [{lits}]) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        bucket_cols.append(" + ".join(bits) + f" AS b{t}")
+    long_form = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM s"
+        for t in range(_EMB_LSH_TABLES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS emb
+  FROM embeddings
+),
+s AS (SELECT vec_id, {", ".join(bucket_cols)} FROM e),
+m AS ({long_form}),
+c AS (
+  SELECT vec_id, tbl, bucket,
+         row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn
+  FROM m
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM c a JOIN c b ON a.tbl = b.tbl AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+  WHERE a.rn <= {_EMB_LSH_BUCKET_CAP} AND b.rn <= {_EMB_LSH_BUCKET_CAP}
+),
+n AS (
+  SELECT vec_id,
+         list_transform(
+           list_transform(embedding, x -> cast(x as double)),
+           x -> x / sqrt(list_sum(list_transform(
+                  list_transform(embedding, e -> cast(e as double)), y -> y * y)))
+         ) AS unit
+  FROM embeddings
+),
+v AS (
+  SELECT id_a, id_b, round(list_dot_product(x.unit, y.unit), 4) AS cosine
+  FROM cand
+  JOIN n x ON x.vec_id = id_a
+  JOIN n y ON y.vec_id = id_b
+)
+SELECT id_a, id_b, cosine FROM v WHERE cosine >= 0.4
+"""
+
+
+@register("ext_dedup_embedding_lsh", oracle=_emb_lsh_oracle())
+def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane LSH: seeded random-hyperplane
+    buckets (T tables x P planes) -> capped per-bucket candidate self-join
+    -> exact-cosine verify at the same 4dp-rounded >= 0.4 contract as
+    ext_dedup_embedding. This is the production route past the exact
+    variant's one-box boundary (SCALE.md: kernel-OOM at 2M vectors): no
+    label blocking, no all-pairs pass - candidates are corpus-wide but
+    bucket-local, and recall concentrates exactly where near-dup semantics
+    need it (high-cosine pairs collide with probability ~1 as the angle
+    shrinks: per-plane p = 1 - theta/pi -> band p^P, union 1-(1-p^P)^T).
+
+    Fully hash-checkable (NOT recall-luck): the oracle replicates the
+    bucket computation itself - plane coefficients are 3-decimal literals
+    whose decimal repr both engines parse to the identical double, the sign
+    is taken on dot(raw embedding as double, plane) so normalization never
+    enters the margin, and tests pin the fixture's minimum |dot| margin
+    orders of magnitude above cross-engine summation-order divergence.
+    What is verified is therefore the exact LSH semantics ("pairs sharing
+    at least one seeded bucket, capped, scoring >= threshold"), the same
+    contract a cluster run would ship.
+
+    Scale shape: bucket rows are (vec_id, tbl, bucket) - vectors cross the
+    wire once per table, not once per pair; the self-join is equi-keyed on
+    (tbl, bucket) so AQE sizes it; the vec_id-ordered row_number cap
+    (default 10k, env SPARK_GRAFT_EMB_LSH_CAP) bounds any degenerate
+    bucket at cap^2 pairs; only DISTINCT candidate pairs fetch unit
+    vectors for the exact rerank. Planes per table is the selectivity
+    knob: P=8 (256 buckets/table) fits the fixtures; a 2M-vector corpus
+    sets SPARK_GRAFT_EMB_LSH_PLANES=16+ (65k+ buckets) to hold bucket
+    occupancy ~30 - measured floors in SCALE.md r6."""
+    from pyspark.sql import Window
+
+    planes = _emb_lsh_planes()
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("emb")
+    )
+
+    def table_bucket(t: int):
+        out = None
+        for i in range(_EMB_LSH_PLANES):
+            plane = F.array(*[F.lit(float(v)) for v in planes[t, i]])
+            dot = F.aggregate(
+                F.zip_with(F.col("emb"), plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            out = bit if out is None else out + bit
+        return out
+
+    buckets = F.array(*[table_bucket(t) for t in range(_EMB_LSH_TABLES)])
+    m = e.select("vec_id", F.posexplode(buckets).alias("tbl", "bucket"))
+    w = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
+    capped = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _EMB_LSH_BUCKET_CAP)
+        .select("vec_id", "tbl", "bucket")
+    )
+    cand = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    u = shared_unit_vectors(spark, sf_dir)
+    return (
+        cand.join(
+            u.select(F.col("vec_id").alias("id_a"), F.col("unit").alias("a_unit")),
+            "id_a",
+        )
+        .join(
+            u.select(F.col("vec_id").alias("id_b"), F.col("unit").alias("b_unit")),
+            "id_b",
+        )
+        .withColumn("cosine", F.round(F.expr(_DOT), 4))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 # ------------------------------------------------------------------ multimodal
 
 @register(

@@ -204,3 +204,64 @@ def test_span_interval_union_equals_position_set(spark, docs):
         d: len({c for p in ps for c in range(p, p + 5)}) for d, ps in docs
     }
     assert got == want
+
+
+def test_emb_lsh_sign_margin_dwarfs_float_divergence():
+    """ext_dedup_embedding_lsh is hash-checked against an oracle that
+    REPLICATES the hyperplane bucket math, so its one cross-engine hazard
+    is a sign flip when a plane dot sits within float-summation-order
+    divergence of zero (~1e-13 relative). Pin that every fixture's minimum
+    |dot(embedding, plane)| margin is orders of magnitude above that, for
+    every seeded plane - the property that makes the bucket computation
+    deterministic across engines."""
+    import duckdb
+    import numpy as np
+
+    from bee_proof_spark.queries.extensions import _emb_lsh_planes
+
+    planes = _emb_lsh_planes().reshape(-1, 64)
+    con = duckdb.connect()
+    for sf in ["sf0.001", "sf0.01", "sf0.1"]:
+        emb = con.execute(
+            "SELECT embedding FROM "
+            f"read_parquet('/root/testdata/{sf}/embeddings.parquet')"
+        ).fetch_df()
+        vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        margin = np.abs(vecs @ planes.T).min()
+        # measured: 3.9e-6 (sf0.1) .. 2.7e-5 (sf0.01); 1e-9 leaves three
+        # orders of drift headroom while staying 1e4 above divergence
+        assert margin > 1e-9, (sf, margin)
+
+
+def test_emb_lsh_candidates_subset_of_exact_at_threshold(spark):
+    """Every pair ext_dedup_embedding_lsh emits must also clear the exact
+    all-pairs >= 0.4 contract (LSH trades recall, never precision: the
+    exact-cosine verify runs on every candidate). Checked corpus-wide at
+    sf0.001 against a brute-force DuckDB all-pairs table."""
+    import duckdb
+
+    from bee_proof_spark.queries import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in load_all()["ext_dedup_embedding_lsh"].builder(spark, sf).collect()
+    }
+    assert got, "fixture must produce a non-trivial candidate set"
+    con = duckdb.connect()
+    allpairs = {
+        (a, b, c)
+        for a, b, c in con.execute(f"""
+        WITH n AS (
+          SELECT vec_id, list_transform(
+            list_transform(embedding, x -> cast(x as double)),
+            x -> x / sqrt(list_sum(list_transform(
+              list_transform(embedding, e -> cast(e as double)), y -> y*y)))
+          ) AS unit FROM read_parquet('{sf}/embeddings.parquet')
+        )
+        SELECT a.vec_id, b.vec_id, round(list_dot_product(a.unit, b.unit), 4)
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.unit, b.unit), 4) >= 0.4
+        """).fetchall()
+    }
+    assert got <= allpairs
