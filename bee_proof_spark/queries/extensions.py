@@ -1232,20 +1232,26 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("emb")
     )
 
-    def table_bucket(t: int):
-        out = None
+    # One F.expr STRING per query, not 4096 F.lit Columns: each F.lit is a
+    # py4j round trip, and building the literal tree column-by-column cost
+    # 4.2 s of pure driver time per invocation (measured, sf0.1) before a
+    # single task ran. A generated SQL string parses in milliseconds and
+    # yields the identical Catalyst plan. Same digit-for-digit literals as
+    # the oracle (repr of the 3-decimal plane values, D-suffixed doubles).
+    def table_bucket_sql(t: int) -> str:
+        bits = []
         for i in range(_EMB_LSH_PLANES):
-            plane = F.array(*[F.lit(float(v)) for v in planes[t, i]])
-            dot = F.aggregate(
-                F.zip_with(F.col("emb"), plane, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            lits = ", ".join(f"{float(v)!r}D" for v in planes[t, i])
+            bits.append(
+                f"(CASE WHEN aggregate(zip_with(emb, array({lits}), "
+                f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0D "
+                f"THEN {1 << i} ELSE 0 END)"
             )
-            bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            out = bit if out is None else out + bit
-        return out
+        return " + ".join(bits)
 
-    buckets = F.array(*[table_bucket(t) for t in range(_EMB_LSH_TABLES)])
+    buckets = F.expr(
+        "array(" + ", ".join(table_bucket_sql(t) for t in range(_EMB_LSH_TABLES)) + ")"
+    )
     m = e.select("vec_id", F.posexplode(buckets).alias("tbl", "bucket"))
     w = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
     capped = (

@@ -81,6 +81,14 @@ TAIL_QUERIES = [
     "ext_chunk_documents",       # shuffle-free sliding-window fan-out
     "ext_pack_sequences",
     "ext_boilerplate_ngrams",    # cross-doc dup-span coverage (r5)
+    # r6 heavy-tail widening (VERDICT r5 #6): regressions in the expensive
+    # families should surface in the driver's BENCH artifact, not only in
+    # SCALE.md probes.
+    "win_rank_dense",            # rank window (banded above the size gate)
+    "ext_text_tfidf",            # two-level agg + join, heaviest text op
+    "ext_dedup_ngram_jaccard",   # inverted-index exact-Jaccard self-join
+    "stream_dedup_state",        # true readStream stateful dedup
+    "ext_dedup_embedding_lsh",   # hyperplane-bucket near-dup (r6)
 ]
 
 BENCH_QUERIES = STABLE_QUERIES + TAIL_QUERIES
