@@ -20,6 +20,17 @@ Usage:
     python tools/gen_scale.py [--reps N]   # generate + probe (default N=10)
     python tools/gen_scale.py --gen-only   # fixtures only
     python tools/gen_scale.py --probe-only # reuse existing /tmp/sfbig{N}
+    python tools/gen_scale.py --emb-realistic  # /tmp/sfemb1000 only (below)
+
+``--emb-realistic`` writes /tmp/sfemb1000: 2M isotropic-gaussian vectors
+(dim 64) with 1% PLANTED near-duplicates (5% noise -> cosine ~0.999).
+The replicated ladder cannot measure near-dup dedup at 1000x: its 1e-4
+per-replica perturbation turns every source vector into a reps-strong
+cosine clique, so the CORRECT >=0.4 output is itself quadratic (~55B
+qualifying pairs at reps=1000) and any probe measures output cardinality,
+not algorithm selectivity. A deduplicated web corpus is pair-sparse; the
+planted fixture reproduces that (qualifying pairs ~= the 20k planted),
+which is the regime the LSH route exists for (SCALE.md r6).
 """
 
 from __future__ import annotations
@@ -39,7 +50,36 @@ def _parse_args() -> argparse.Namespace:
     p.add_argument("--reps", type=int, default=10, help="replication factor (default 10)")
     p.add_argument("--gen-only", action="store_true", help="generate fixtures, skip probe")
     p.add_argument("--probe-only", action="store_true", help="probe existing fixtures")
+    p.add_argument(
+        "--emb-realistic", action="store_true",
+        help="write the planted-near-dup 2M-vector fixture to /tmp/sfemb1000 and exit",
+    )
     return p.parse_args()
+
+
+def gen_emb_realistic(dst: str = "/tmp/sfemb1000", n: int = 2_000_000) -> None:
+    """Pair-sparse 2M-vector near-dup fixture (module docstring): pure
+    numpy/pyarrow, no Spark — one 500 MB file writes in seconds."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dup = n // 100  # 1% planted near-dup rows
+    rng = np.random.RandomState(77)
+    base = rng.standard_normal((n, 64)).astype(np.float32)
+    noise = rng.standard_normal((dup, 64)).astype(np.float32) * 0.05
+    base[n - dup:] = base[:dup] + noise  # row n-dup+j ~ row j, cosine ~0.999
+    labels = rng.randint(0, 100, size=n).astype(np.int32)
+    os.makedirs(dst, exist_ok=True)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(base.reshape(-1)), 64
+        ).cast(pa.list_(pa.float32())),
+        "label": pa.array(labels),
+    })
+    pq.write_table(t, f"{dst}/embeddings.parquet", row_group_size=200_000)
+    print(f"wrote {t.num_rows} vectors -> {dst}", flush=True)
 
 
 _ARGS = _parse_args()
@@ -163,6 +203,9 @@ def probe(spark) -> None:
 
 
 def main() -> None:
+    if _ARGS.emb_realistic:
+        gen_emb_realistic()
+        return
     # 32-way shuffles over the scaled set need a real heap (see SCALE.md);
     # scale it with the replication factor (measured: 16g carries 10x).
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g" if REPS <= 10 else "48g")
