@@ -110,6 +110,39 @@ def table_bytes(sf_dir: str, name: str) -> int:
     return total
 
 
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Row count of one fixture table from parquet FOOTERS only (no scan) -
+    the statistic a warehouse catalog exposes as table row count. Returns
+    ``None`` when any footer is unreadable: sizing decisions that key off
+    this must not silently guess small (a too-small guess is how a
+    selectivity knob reverts to its fixture default on a 100 TB corpus -
+    the exact failure the caller exists to prevent); callers surface the
+    unknown instead."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        paths = [path]
+    else:
+        paths = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet") or f.startswith("part-")
+        ]
+    if not paths:
+        return None
+    rows = 0
+    for p in paths:
+        try:
+            rows += pq.ParquetFile(p).metadata.num_rows
+        except Exception:
+            return None
+    return rows
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register fixture tables as temp views for SQL-expressed builders."""
     for name in names:

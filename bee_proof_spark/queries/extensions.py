@@ -1109,29 +1109,70 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: ext_dedup_embedding_lsh knobs. Planes per table is the selectivity dial a
-#: deployment turns with corpus size (buckets = 2^planes per table; size to
-#: ~corpus/2^planes vectors per bucket); tables lift recall; the bucket cap
-#: is the same skew fence the text-LSH family carries (a degenerate bucket
-#: can never go quadratic past cap^2). All env-overridable like
-#: SPARK_GRAFT_EMB_TILE.
+#: ext_dedup_embedding_lsh knobs. Planes per table is the selectivity dial:
+#: buckets = 2^planes per table, so occupancy ~ corpus/2^planes; tables lift
+#: recall; the bucket cap is the same skew fence the text-LSH family carries
+#: (a degenerate bucket can never go quadratic past cap^2). Plane count
+#: SELF-SIZES from the corpus row count (catalog statistic, footer-only) -
+#: a fixed default is a disk bomb at scale: the r6 1000x probe relaunched
+#: without its env override ran 2M vectors through 2^8 buckets/table
+#: (~7.8k occupancy -> ~6e10 candidate pairs) and filled the 250 GB disk
+#: mid-shuffle. SPARK_GRAFT_EMB_LSH_PLANES still overrides for probes.
 _EMB_LSH_TABLES = int(os.environ.get("SPARK_GRAFT_EMB_LSH_TABLES", "8"))
-_EMB_LSH_PLANES = int(os.environ.get("SPARK_GRAFT_EMB_LSH_PLANES", "8"))
 _EMB_LSH_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_EMB_LSH_CAP", "10000"))
+_EMB_LSH_PLANES_ENV = os.environ.get("SPARK_GRAFT_EMB_LSH_PLANES")
+_EMB_LSH_PLANES_MAX = 24
+#: Corpora at or below this row count use the fixture-regime constant P=8 -
+#: the plane count baked into the generated DuckDB oracle (all oracle
+#: comparisons run at <= 2k vectors, sf0.001/0.01/0.1).
+_EMB_LSH_FIXTURE_ROWS = 4096
+#: Above the fixture regime, size buckets to ~this occupancy: expected
+#: random candidates/table ~= buckets * occ^2/2 = n*occ/2, so total
+#: candidates stay O(tables * n * occ) - linear in the corpus, the only
+#: posture that survives a 100x scale-up (verify-join shuffle carries two
+#: 512 B unit vectors per candidate).
+_EMB_LSH_TARGET_OCC = 4
+
+
+def _emb_lsh_planes_for(n_rows: int | None) -> int:
+    """Planes per table for a corpus of ``n_rows`` vectors (docs above).
+    An unknown row count raises rather than guessing: guessing small on an
+    unreadable-footer corpus re-creates the quadratic blowup the sizing
+    exists to prevent - the operator pins SPARK_GRAFT_EMB_LSH_PLANES
+    instead."""
+    import math
+
+    if _EMB_LSH_PLANES_ENV is not None:
+        return min(int(_EMB_LSH_PLANES_ENV), _EMB_LSH_PLANES_MAX)
+    if n_rows is None:
+        raise RuntimeError(
+            "ext_dedup_embedding_lsh: embeddings row count unavailable from "
+            "parquet footers; set SPARK_GRAFT_EMB_LSH_PLANES explicitly"
+        )
+    if n_rows <= _EMB_LSH_FIXTURE_ROWS:
+        return 8
+    return min(
+        _EMB_LSH_PLANES_MAX,
+        math.ceil(math.log2(n_rows / _EMB_LSH_TARGET_OCC)),
+    )
 
 
 def _emb_lsh_planes():
-    """Seeded hyperplanes, ROUNDED TO 3 DECIMALS: the decimal repr of each
-    coefficient is embedded verbatim in both the Spark plan (F.lit) and the
-    DuckDB oracle SQL, and both engines parse a short decimal literal to the
-    identical nearest-double, so the bucket math is cross-engine exact by
-    construction (rounding costs nothing - plane direction quality does not
-    depend on low-order bits)."""
+    """Seeded hyperplane bank of _EMB_LSH_PLANES_MAX planes per table (use
+    sites slice the first P), ROUNDED TO 3 DECIMALS: the decimal repr of
+    each coefficient is embedded verbatim in both the Spark plan and the
+    DuckDB oracle SQL, and both engines parse a short decimal literal to
+    the identical nearest-double, so the bucket math is cross-engine exact
+    by construction (rounding costs nothing - plane direction quality does
+    not depend on low-order bits). Generating the full bank keeps plane
+    values independent of the adaptive P: table t, plane i is the same
+    vector at every corpus size, so the fixture-P oracle and a scale-P run
+    share their first 8 planes."""
     import numpy as np
 
     rng = np.random.RandomState(9)
     return np.round(
-        rng.standard_normal((_EMB_LSH_TABLES, _EMB_LSH_PLANES, 64)), 3
+        rng.standard_normal((_EMB_LSH_TABLES, _EMB_LSH_PLANES_MAX, 64)), 3
     )
 
 
@@ -1141,12 +1182,19 @@ def _emb_lsh_oracle() -> str:
     plane), so no normalization enters the sign), the same per-(table,
     bucket) vec_id-ordered cap, the same candidate join and exact-cosine
     >= 0.4 verify. The oracle is generated, not approximated: every plane
-    literal matches the Spark plan digit for digit."""
+    literal matches the Spark plan digit for digit.
+
+    The oracle pins the FIXTURE-REGIME plane count (8, or the env override)
+    - every oracle comparison runs at <= 2k vectors where the adaptive
+    sizing resolves to exactly that; at scale-P the LSH-specific semantics
+    are covered by the subset-of-exact property test instead
+    (tests/test_properties.py)."""
     planes = _emb_lsh_planes()
+    oracle_p = _emb_lsh_planes_for(_EMB_LSH_FIXTURE_ROWS)
     bucket_cols = []
     for t in range(_EMB_LSH_TABLES):
         bits = []
-        for i in range(_EMB_LSH_PLANES):
+        for i in range(oracle_p):
             lits = ", ".join(repr(float(v)) for v in planes[t, i])
             bits.append(
                 f"(CASE WHEN list_dot_product(emb, [{lits}]) > 0 "
@@ -1221,13 +1269,17 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tbl, bucket) so AQE sizes it; the vec_id-ordered row_number cap
     (default 10k, env SPARK_GRAFT_EMB_LSH_CAP) bounds any degenerate
     bucket at cap^2 pairs; only DISTINCT candidate pairs fetch unit
-    vectors for the exact rerank. Planes per table is the selectivity
-    knob: P=8 (256 buckets/table) fits the fixtures; a 2M-vector corpus
-    sets SPARK_GRAFT_EMB_LSH_PLANES=16+ (65k+ buckets) to hold bucket
-    occupancy ~30 - measured floors in SCALE.md r6."""
+    vectors for the exact rerank. Planes per table SELF-SIZE from the
+    corpus row count (footer statistic, no job): P=8 (256 buckets/table)
+    in the fixture regime, ceil(log2(n/4)) above it, so bucket occupancy
+    holds ~4 and candidates stay O(tables x n) at any corpus size -
+    measured floors in SCALE.md r6."""
     from pyspark.sql import Window
 
+    from bee_proof_spark.queries import table_rows
+
     planes = _emb_lsh_planes()
+    p = _emb_lsh_planes_for(table_rows(sf_dir, "embeddings"))
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("emb")
     )
@@ -1240,7 +1292,7 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle (repr of the 3-decimal plane values, D-suffixed doubles).
     def table_bucket_sql(t: int) -> str:
         bits = []
-        for i in range(_EMB_LSH_PLANES):
+        for i in range(p):
             lits = ", ".join(f"{float(v)!r}D" for v in planes[t, i])
             bits.append(
                 f"(CASE WHEN aggregate(zip_with(emb, array({lits}), "

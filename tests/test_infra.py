@@ -189,6 +189,37 @@ def test_auto_shuffle_partitions_scales_with_corpus_bytes(tmp_path):
         assert n & (n - 1) == 0 and 32 <= n <= 1024
 
 
+def test_emb_lsh_planes_self_size(monkeypatch, tmp_path):
+    """Hyperplane count self-sizes from the embeddings row count: the
+    fixture-regime constant 8 wherever an oracle comparison runs
+    (<= 4096 rows), ceil(log2(n/4)) above it (occupancy ~4 keeps candidate
+    pairs linear in the corpus), capped at 24; env override wins; an
+    unknown row count raises instead of guessing small (a P=8 guess on a
+    2M-vector corpus is a measured disk bomb - SCALE.md r6)."""
+    import pytest as _pytest
+
+    import bee_proof_spark.queries.extensions as X
+
+    monkeypatch.setattr(X, "_EMB_LSH_PLANES_ENV", None)
+    f = X._emb_lsh_planes_for
+    assert [f(n) for n in (500, 2000, 4096)] == [8, 8, 8]
+    assert f(2_000_000) == 19 and f(10**9) == 24  # adaptive, then capped
+    ps = [f(n) for n in (4097, 10**4, 10**5, 10**6, 10**7)]
+    assert ps == sorted(ps)  # monotone in corpus size
+    with _pytest.raises(RuntimeError):
+        f(None)
+    # unreadable footers -> table_rows None -> the raise above, never P=8
+    from bee_proof_spark.queries import table_rows
+
+    bad = tmp_path / "embeddings.parquet"
+    bad.write_bytes(b"not parquet")
+    assert table_rows(str(tmp_path), "embeddings") is None
+    assert table_rows(str(tmp_path), "missing") is None
+    monkeypatch.setattr(X, "_EMB_LSH_PLANES_ENV", "20")
+    assert f(None) == 20  # env override needs no row count
+    assert f(10**9) == 20
+
+
 def test_family_disk_staging_matches_memory_path(spark, sf_smoke):
     """Above the corpus-size cutover the family stages go to parquet under
     the tmp tree instead of the block manager; the output must be identical
