@@ -1130,8 +1130,25 @@ _EMB_LSH_FIXTURE_ROWS = 4096
 #: random candidates/table ~= buckets * occ^2/2 = n*occ/2, so total
 #: candidates stay O(tables * n * occ) - linear in the corpus, the only
 #: posture that survives a 100x scale-up (verify-join shuffle carries two
-#: 512 B unit vectors per candidate).
-_EMB_LSH_TARGET_OCC = 4
+#: 512 B unit vectors per candidate). Occupancy 2 over 4 halves that
+#: volume (measured 82M raw pairs at 2M vectors/occ~4 - gaussian bucket
+#: codes skew ~2.7x over Poisson) while costing near-dup recall only a
+#: factor p ~= 0.99 per planted pair per table (cosine 0.999 pairs);
+#: mid-cosine recall is the tables knob's job, not occupancy's.
+_EMB_LSH_TARGET_OCC = 2
+#: Broadcast the unit-vector table into the exact-verify joins while it
+#: fits (~540 B/row at dim 64): the joins then ship no 512 B vectors
+#: through a shuffle, and nothing is sorted. The SMJ alternative sorts
+#: two wide streams per join - at 2M vectors that spilled ~14 GB of
+#: 530 B rows to disk for a 1 GB dim table (r6 probe). Past this bound a
+#: shuffled hash join keeps the sort out at one linear wide-row shuffle
+#: (per-partition hash builds are table/partitions-sized, trivially
+#: memory-safe). 512 MiB (~1M vectors) is the measured comfort bound:
+#: TWO broadcast builds of a 1.1 GB table failed outright on a default
+#: driver heap ("Not enough memory to build and broadcast", r6 probe).
+_EMB_BCAST_BYTES = int(
+    os.environ.get("SPARK_GRAFT_EMB_BCAST_BYTES", str(512 * 1024**2))
+)
 
 
 def _emb_lsh_planes_for(n_rows: int | None) -> int:
@@ -1255,11 +1272,14 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks: per-plane p = 1 - theta/pi -> band p^P, union 1-(1-p^P)^T).
 
     Fully hash-checkable (NOT recall-luck): the oracle replicates the
-    bucket computation itself - plane coefficients are 3-decimal literals
-    whose decimal repr both engines parse to the identical double, the sign
-    is taken on dot(raw embedding as double, plane) so normalization never
-    enters the margin, and tests pin the fixture's minimum |dot| margin
-    orders of magnitude above cross-engine summation-order divergence.
+    bucket computation itself - the Spark side evaluates the very same
+    3-decimal plane doubles in an Arrow-batched float64 matmul, the oracle
+    embeds their decimal repr as literals DuckDB parses to the identical
+    double, the sign is taken on dot(raw embedding as double, plane) so
+    normalization never enters the margin, and tests pin the fixture's
+    minimum |dot| margin orders of magnitude above cross-engine
+    summation-order divergence (so BLAS vs sequential accumulation cannot
+    flip a bucket bit).
     What is verified is therefore the exact LSH semantics ("pairs sharing
     at least one seeded bucket, capped, scoring >= threshold"), the same
     contract a cluster run would ship.
@@ -1269,42 +1289,55 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tbl, bucket) so AQE sizes it; the vec_id-ordered row_number cap
     (default 10k, env SPARK_GRAFT_EMB_LSH_CAP) bounds any degenerate
     bucket at cap^2 pairs; only DISTINCT candidate pairs fetch unit
-    vectors for the exact rerank. Planes per table SELF-SIZE from the
+    vectors for the exact rerank, and that verify join broadcasts the
+    unit-vector table while it fits (hash join past the bound - never a
+    sort of 530 B-wide rows; _EMB_BCAST_BYTES). Planes per table SELF-SIZE from the
     corpus row count (footer statistic, no job): P=8 (256 buckets/table)
-    in the fixture regime, ceil(log2(n/4)) above it, so bucket occupancy
-    holds ~4 and candidates stay O(tables x n) at any corpus size -
+    in the fixture regime, ceil(log2(n/2)) above it, so bucket occupancy
+    holds ~2 and candidates stay O(tables x n) at any corpus size -
     measured floors in SCALE.md r6."""
     from pyspark.sql import Window
 
     from bee_proof_spark.queries import table_rows
 
-    planes = _emb_lsh_planes()
-    p = _emb_lsh_planes_for(table_rows(sf_dir, "embeddings"))
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    n = table_rows(sf_dir, "embeddings")
+    p = _emb_lsh_planes_for(n)
+
+    # Arrow-vectorized bucket computation: ONE float64 BLAS matmul per
+    # batch against the (64 x tables*p) plane matrix, replacing the
+    # zip_with/aggregate SQL expression whose per-element interpreted
+    # lambdas cost 192 s warm at 2M vectors x 152 planes vs ~15 s for
+    # this path (A/B in SCALE.md r6) - here the builtin HOFs are the
+    # slow path, exactly the case for an Arrow batch UDF. Sign-exact vs
+    # the sequential-summation oracle by the pinned margin property:
+    # every fixture's min |dot(embedding, plane)| is >= 3.9e-6, nine
+    # orders above any summation-order divergence
+    # (tests/test_properties.py::test_emb_lsh_sign_margin...).
+    plane_mat = (
+        _emb_lsh_planes()[:, :p].reshape(_EMB_LSH_TABLES * p, 64).T.copy()
+    )  # (64, tables*p) float64
+    pow2 = (1 << np.arange(p, dtype=np.int64)).astype(np.int32)
+    n_tables = _EMB_LSH_TABLES
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def bucket_ids(emb):
+        import pandas as pd
+
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)  # (B, 64)
+        bits = (mat @ plane_mat) > 0  # (B, tables*p)
+        codes = (
+            bits.reshape(len(mat), n_tables, -1).astype(np.int32) * pow2
+        ).sum(axis=2)  # (B, tables)
+        return pd.Series(list(codes))
+
     e = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("emb")
+        "vec_id", bucket_ids("embedding").alias("buckets")
     )
-
-    # One F.expr STRING per query, not 4096 F.lit Columns: each F.lit is a
-    # py4j round trip, and building the literal tree column-by-column cost
-    # 4.2 s of pure driver time per invocation (measured, sf0.1) before a
-    # single task ran. A generated SQL string parses in milliseconds and
-    # yields the identical Catalyst plan. Same digit-for-digit literals as
-    # the oracle (repr of the 3-decimal plane values, D-suffixed doubles).
-    def table_bucket_sql(t: int) -> str:
-        bits = []
-        for i in range(p):
-            lits = ", ".join(f"{float(v)!r}D" for v in planes[t, i])
-            bits.append(
-                f"(CASE WHEN aggregate(zip_with(emb, array({lits}), "
-                f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0D "
-                f"THEN {1 << i} ELSE 0 END)"
-            )
-        return " + ".join(bits)
-
-    buckets = F.expr(
-        "array(" + ", ".join(table_bucket_sql(t) for t in range(_EMB_LSH_TABLES)) + ")"
-    )
-    m = e.select("vec_id", F.posexplode(buckets).alias("tbl", "bucket"))
+    m = e.select("vec_id", F.posexplode("buckets").alias("tbl", "bucket"))
     w = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
     capped = (
         m.withColumn("rn", F.row_number().over(w))
@@ -1323,15 +1356,17 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     u = shared_unit_vectors(spark, sf_dir)
+    ua = u.select(F.col("vec_id").alias("id_a"), F.col("unit").alias("a_unit"))
+    ub = u.select(F.col("vec_id").alias("id_b"), F.col("unit").alias("b_unit"))
+    if n is not None and n * 540 <= _EMB_BCAST_BYTES:
+        # dim table fits: map-side verify, zero wide-row shuffle (_EMB_BCAST_BYTES)
+        ua, ub = F.broadcast(ua), F.broadcast(ub)
+    else:
+        # too big to broadcast: hash join still avoids sorting 530 B rows
+        ua, ub = ua.hint("shuffle_hash"), ub.hint("shuffle_hash")
     return (
-        cand.join(
-            u.select(F.col("vec_id").alias("id_a"), F.col("unit").alias("a_unit")),
-            "id_a",
-        )
-        .join(
-            u.select(F.col("vec_id").alias("id_b"), F.col("unit").alias("b_unit")),
-            "id_b",
-        )
+        cand.join(ua, "id_a")
+        .join(ub, "id_b")
         .withColumn("cosine", F.round(F.expr(_DOT), 4))
         .filter(F.col("cosine") >= 0.4)
         .select("id_a", "id_b", "cosine")

@@ -192,7 +192,7 @@ def test_auto_shuffle_partitions_scales_with_corpus_bytes(tmp_path):
 def test_emb_lsh_planes_self_size(monkeypatch, tmp_path):
     """Hyperplane count self-sizes from the embeddings row count: the
     fixture-regime constant 8 wherever an oracle comparison runs
-    (<= 4096 rows), ceil(log2(n/4)) above it (occupancy ~4 keeps candidate
+    (<= 4096 rows), ceil(log2(n/2)) above it (occupancy ~2 keeps candidate
     pairs linear in the corpus), capped at 24; env override wins; an
     unknown row count raises instead of guessing small (a P=8 guess on a
     2M-vector corpus is a measured disk bomb - SCALE.md r6)."""
@@ -203,7 +203,7 @@ def test_emb_lsh_planes_self_size(monkeypatch, tmp_path):
     monkeypatch.setattr(X, "_EMB_LSH_PLANES_ENV", None)
     f = X._emb_lsh_planes_for
     assert [f(n) for n in (500, 2000, 4096)] == [8, 8, 8]
-    assert f(2_000_000) == 19 and f(10**9) == 24  # adaptive, then capped
+    assert f(2_000_000) == 20 and f(10**9) == 24  # adaptive, then capped
     ps = [f(n) for n in (4097, 10**4, 10**5, 10**6, 10**7)]
     assert ps == sorted(ps)  # monotone in corpus size
     with _pytest.raises(RuntimeError):

@@ -268,6 +268,21 @@ def test_decontaminate_broadcasts_eval_set(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
+def test_emb_lsh_verify_join_never_sorts(spark, sf_smoke, monkeypatch):
+    """The exact-cosine verify joins must not sort-merge: an SMJ sorts two
+    ~530 B-wide unit-vector streams per join (measured at 2M vectors: ~14 GB
+    of sort spill for a 1 GB dim table - SCALE.md r6). In the broadcast
+    regime the verify is map-side; past _EMB_BCAST_BYTES a shuffled hash
+    join still keeps the wide rows out of any sort."""
+    import bee_proof_spark.queries.extensions as X
+
+    plan = _plan(spark, "ext_dedup_embedding_lsh", sf_smoke, mode="simple")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    monkeypatch.setattr(X, "_EMB_BCAST_BYTES", 0)  # force the big-corpus arm
+    plan = _plan(spark, "ext_dedup_embedding_lsh", sf_smoke, mode="simple")
+    assert "ShuffledHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_q21_single_fact_pass(spark, sf_smoke):
     """Q21's EXISTS / NOT EXISTS are algebraized into one window over the
     order key: exactly one lineitem scan (no fact self-joins), one Window

@@ -20,10 +20,12 @@ Usage:
     python tools/gen_scale.py [--reps N]   # generate + probe (default N=10)
     python tools/gen_scale.py --gen-only   # fixtures only
     python tools/gen_scale.py --probe-only # reuse existing /tmp/sfbig{N}
-    python tools/gen_scale.py --emb-realistic  # /tmp/sfemb1000 only (below)
+    python tools/gen_scale.py --emb-realistic  # /tmp/sfemb{10,100,1000}
 
-``--emb-realistic`` writes /tmp/sfemb1000: 2M isotropic-gaussian vectors
-(dim 64) with 1% PLANTED near-duplicates (5% noise -> cosine ~0.999).
+``--emb-realistic`` writes the planted near-dup embedding decade ladder
+(/tmp/sfemb10 = 20k, /tmp/sfemb100 = 200k, /tmp/sfemb1000 = 2M vectors):
+isotropic-gaussian vectors (dim 64) with 1% PLANTED near-duplicates
+(5% noise -> cosine ~0.999).
 The replicated ladder cannot measure near-dup dedup at 1000x: its 1e-4
 per-replica perturbation turns every source vector into a reps-strong
 cosine clique, so the CORRECT >=0.4 output is itself quadratic (~55B
@@ -52,7 +54,7 @@ def _parse_args() -> argparse.Namespace:
     p.add_argument("--probe-only", action="store_true", help="probe existing fixtures")
     p.add_argument(
         "--emb-realistic", action="store_true",
-        help="write the planted-near-dup 2M-vector fixture to /tmp/sfemb1000 and exit",
+        help="write the planted-near-dup decade ladder /tmp/sfemb{10,100,1000} and exit",
     )
     return p.parse_args()
 
@@ -204,7 +206,8 @@ def probe(spark) -> None:
 
 def main() -> None:
     if _ARGS.emb_realistic:
-        gen_emb_realistic()
+        for suffix, n in (("10", 20_000), ("100", 200_000), ("1000", 2_000_000)):
+            gen_emb_realistic(f"/tmp/sfemb{suffix}", n)
         return
     # 32-way shuffles over the scaled set need a real heap (see SCALE.md);
     # scale it with the replication factor (measured: 16g carries 10x).

@@ -35,6 +35,10 @@ FORCED_GATES = {
     "BEE_PROOF_FAMILY_DISK_BYTES": "0",  # extensions.py disk-staged family
     "SPARK_GRAFT_PARQUET_SINK_ROWS": "1",  # replay.py parquet stream sink
     "SPARK_GRAFT_EMB_TILE": "64",  # extensions.py multi-tile pair join
+    # Non-default plane count: the generated oracle reads the same override,
+    # so the PARAMETERIZED hyperplane bucket math (the shape an adaptive-P
+    # scale run takes) is hash-verified, not just the fixture-P constant.
+    "SPARK_GRAFT_EMB_LSH_PLANES": "13",
 }
 
 
