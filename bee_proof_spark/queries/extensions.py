@@ -138,13 +138,24 @@ _FAMILY_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _DISK_STAGE_DOC_BYTES = int(
     os.environ.get("BEE_PROOF_FAMILY_DISK_BYTES", 256 * 1024 * 1024)
 )
+#: Embedding families cut over to disk much later than text families: a
+#: text corpus fans out into postings/signature tables many times its
+#: size, but the unit-vector table is ~2x corpus, and re-reading it as
+#: parquet costs real decode time (interleaved A/B at a 507 MB corpus:
+#: warm 87 s memory-staged vs 127 s disk-staged - array-typed parquet
+#: decode of 1 GB twice per query). Below this bound block-manager
+#: staging is strictly faster and spills gracefully; above it the staged
+#: table starts to crowd executor memory and durability wins.
+_DISK_STAGE_EMB_BYTES = int(
+    os.environ.get("BEE_PROOF_EMB_DISK_BYTES", 2 * 1024**3)
+)
 
 
-def _corpus_doc_bytes(sf_dir: str) -> int:
-    """Compressed size of the corpus documents fixture (file or dir)."""
+def _corpus_bytes(sf_dir: str, source: str) -> int:
+    """Compressed size of one corpus fixture table (file or dir)."""
     from bee_proof_spark.queries import table_bytes
 
-    return table_bytes(sf_dir, "documents")
+    return table_bytes(sf_dir, source)
 
 
 def _family_stage_dir(sf_dir: str, stage: str) -> str:
@@ -181,14 +192,24 @@ def _family_stage_dir(sf_dir: str, stage: str) -> str:
 _FAMILY_CACHE_MAX = 12
 
 
-def _family_checkpoint(spark: SparkSession, sf_dir: str, stage: str, build) -> DataFrame:
+def _family_checkpoint(
+    spark: SparkSession, sf_dir: str, stage: str, build, source: str = "documents"
+) -> DataFrame:
+    """``source`` names the fixture table whose compressed size gates the
+    memory-vs-disk staging decision - the corpus the staged table scales
+    with. Text families derive from ``documents``; embedding families pass
+    ``embeddings`` (a corpus with terabytes of vectors but few documents
+    must still disk-stage its unit-vector table, and vice versa)."""
     app = spark.sparkContext.applicationId
     for k in [k for k in _FAMILY_CACHE if k[0] != app]:
         del _FAMILY_CACHE[k]
     key = (app, sf_dir, stage)
     df = _FAMILY_CACHE.get(key)
     if df is None:
-        if _corpus_doc_bytes(sf_dir) >= _DISK_STAGE_DOC_BYTES:
+        cutover = (
+            _DISK_STAGE_EMB_BYTES if source == "embeddings" else _DISK_STAGE_DOC_BYTES
+        )
+        if _corpus_bytes(sf_dir, source) >= cutover:
             # big corpus: stage to parquet (see _DISK_STAGE_DOC_BYTES). The
             # _SUCCESS check makes the stage restart-safe within a pid; a
             # half-written dir from a killed run is overwritten whole.
@@ -764,6 +785,7 @@ def shared_unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _unit_vectors(tbl(spark, sf_dir, "embeddings")).select(
             "vec_id", "label", "unit"
         ),
+        source="embeddings",
     )
 
 
@@ -934,7 +956,8 @@ def ext_knn_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     it now joins three tiny (~50-row) checkpointed results.
     """
     exact = _family_checkpoint(
-        spark, sf_dir, "knn_exact", lambda: ext_knn_cosine(spark, sf_dir)
+        spark, sf_dir, "knn_exact", lambda: ext_knn_cosine(spark, sf_dir),
+        source="embeddings",
     ).select("q_id", "c_id")
 
     def mean_recall(approx: DataFrame, method: str) -> DataFrame:
@@ -950,10 +973,12 @@ def ext_knn_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     lsh = _family_checkpoint(
-        spark, sf_dir, "knn_lsh", lambda: ext_knn_lsh(spark, sf_dir)
+        spark, sf_dir, "knn_lsh", lambda: ext_knn_lsh(spark, sf_dir),
+        source="embeddings",
     )
     ivf = _family_checkpoint(
-        spark, sf_dir, "knn_ivf", lambda: ext_knn_ivf(spark, sf_dir)
+        spark, sf_dir, "knn_ivf", lambda: ext_knn_ivf(spark, sf_dir),
+        source="embeddings",
     )
     return mean_recall(lsh, "lsh").unionAll(mean_recall(ivf, "ivf"))
 

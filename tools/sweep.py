@@ -33,6 +33,7 @@ FORCED_GATES = {
     "SPARK_GRAFT_Q4_PROBE_BYTES": "0",  # tpch.py q4 probe pre-dedup
     "SPARK_GRAFT_PACK_BAND_BYTES": "0",  # extensions.py banded prefix sum
     "BEE_PROOF_FAMILY_DISK_BYTES": "0",  # extensions.py disk-staged family
+    "BEE_PROOF_EMB_DISK_BYTES": "0",  # extensions.py disk-staged emb family
     "SPARK_GRAFT_PARQUET_SINK_ROWS": "1",  # replay.py parquet stream sink
     "SPARK_GRAFT_EMB_TILE": "64",  # extensions.py multi-tile pair join
     # Non-default plane count: the generated oracle reads the same override,
