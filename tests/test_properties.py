@@ -233,6 +233,44 @@ def test_emb_lsh_sign_margin_dwarfs_float_divergence():
         assert margin > 1e-9, (sf, margin)
 
 
+def test_emb_lsh_planted_near_dups_all_caught(spark, tmp_path):
+    """The complement of the subset-of-exact test: high-cosine near-dups
+    must actually be CAUGHT. A deterministic planted fixture (2k isotropic
+    gaussian vectors, 20 planted ~0.999-cosine duplicates - the miniature
+    of tools/gen_scale.py --emb-realistic) must yield every planted pair
+    in the output: at cosine 0.999 the per-table collision probability is
+    p^8 ~= 0.92, union over 8 tables ~= 1 - 1e-8, and the fixture seed is
+    fixed, so a miss is a code regression, never sampling luck. Measured
+    corpus-wide recall at the 2M-vector fixture is 1.0 (SCALE.md r6)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bee_proof_spark.queries import load_all
+
+    n, dup = 2000, 20
+    rng = np.random.RandomState(41)
+    base = rng.standard_normal((n, 64)).astype(np.float32)
+    base[n - dup:] = base[:dup] + rng.standard_normal((dup, 64)).astype(np.float32) * 0.05
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(base.reshape(-1)), 64
+        ).cast(pa.list_(pa.float32())),
+        "label": pa.array(rng.randint(0, 10, size=n).astype(np.int32)),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in load_all()["ext_dedup_embedding_lsh"]
+        .builder(spark, str(tmp_path))
+        .filter("cosine >= 0.9")
+        .collect()
+    }
+    planted = {(j, n - dup + j) for j in range(dup)}
+    assert planted <= got, sorted(planted - got)
+
+
 def test_emb_lsh_candidates_subset_of_exact_at_threshold(spark):
     """Every pair ext_dedup_embedding_lsh emits must also clear the exact
     all-pairs >= 0.4 contract (LSH trades recall, never precision: the
