@@ -151,13 +151,6 @@ _DISK_STAGE_EMB_BYTES = int(
 )
 
 
-def _corpus_bytes(sf_dir: str, source: str) -> int:
-    """Compressed size of one corpus fixture table (file or dir)."""
-    from bee_proof_spark.queries import table_bytes
-
-    return table_bytes(sf_dir, source)
-
-
 def _family_stage_dir(sf_dir: str, stage: str) -> str:
     """Deterministic parquet-staging dir for a (corpus, stage), pid-scoped.
 
@@ -209,7 +202,7 @@ def _family_checkpoint(
         cutover = (
             _DISK_STAGE_EMB_BYTES if source == "embeddings" else _DISK_STAGE_DOC_BYTES
         )
-        if _corpus_bytes(sf_dir, source) >= cutover:
+        if table_bytes(sf_dir, source) >= cutover:
             # big corpus: stage to parquet (see _DISK_STAGE_DOC_BYTES). The
             # _SUCCESS check makes the stage restart-safe within a pid; a
             # half-written dir from a killed run is overwritten whole.

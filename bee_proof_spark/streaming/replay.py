@@ -225,41 +225,24 @@ def streaming_state_partitions(
     if os.environ.get("SPARK_GRAFT_SHUFFLE"):
         return None
     rows = events_row_count(sf_dir)
-    if rows == 0:
+    if not rows:  # None (unknown) or 0 (empty) -> keep the session default
         return None
     return _streaming_partitions_for_rows(rows, profile)
 
 
-def events_row_count(sf_dir: str) -> int:
+def events_row_count(sf_dir: str) -> int | None:
     """Row count of the events fixture from parquet FOOTERS only (no scan);
-    a cluster deployment reads the same number from catalog stats. 0 when
-    the table is missing/unreadable (callers treat that as "unknown")."""
-    import pyarrow.parquet as pq
+    a cluster deployment reads the same number from catalog stats. ``None``
+    when the table is missing or ANY footer is unreadable: a partial count
+    is worse than no count (one unreadable part file in a 100M-row fixture
+    could undercount below ``_PARQUET_SINK_ROWS``), and 0 would be
+    indistinguishable from an empty table. Callers treat None as "unknown"
+    and size conservatively (``run_to_memory_sink`` routes unknown-size
+    append streams to the parquet sink, never the driver-collect memory
+    sink). Delegates to the shared ``table_rows`` footer walk."""
+    from bee_proof_spark.queries import table_rows
 
-    src = os.path.join(sf_dir, "events.parquet")
-    paths: list[str] = []
-    if os.path.isfile(src):  # driver fixtures are single files
-        paths = [src]
-    else:  # scale fixtures are spark-written directories
-        for root, _, files in os.walk(src):
-            paths.extend(
-                os.path.join(root, f)
-                for f in files
-                if f.endswith(".parquet") or f.startswith("part-")
-            )
-    rows = 0
-    for p in paths:
-        try:
-            rows += pq.ParquetFile(p).metadata.num_rows
-        except Exception:
-            # A partial count is worse than no count: one unreadable part
-            # file in a 100M-row fixture could undercount below
-            # _PARQUET_SINK_ROWS and silently route the stream back to the
-            # memory sink (driver.maxResultSize abort) and undersize state
-            # partitions (r5 ADVICE). Treat ANY footer failure as
-            # "unknown" so callers keep their defaults.
-            return 0
-    return rows
+    return table_rows(sf_dir, "events")
 
 
 #: Input-rows threshold above which an append-mode stream sinks to parquet
@@ -300,7 +283,7 @@ def run_to_memory_sink(
     stream_df: DataFrame,
     output_mode: str = "append",
     state_partitions: int | None = None,
-    input_rows: int | None = None,
+    input_rows: int | None = 0,
 ) -> DataFrame:
     """Execute a streaming query to completion (AvailableNow) and return the
     sink contents as a DataFrame.
@@ -315,13 +298,17 @@ def run_to_memory_sink(
     append-mode streams over >= ``_PARQUET_SINK_ROWS`` input rows write to
     a scratch parquet table (the memory sink is a driver collect and hits
     driver.maxResultSize at the third probe decade); everything else uses
-    the in-memory sink.
+    the in-memory sink. ``None`` means the input size is UNKNOWN (a footer
+    was unreadable) and also takes the parquet sink: guessing "small" on a
+    100M-row fixture would re-trigger the exact maxResultSize abort the
+    spill exists to prevent, while the parquet path is merely slower for a
+    small stream, never wrong. The default ``0`` is the explicit
+    caller-asserts-small case (unit fixtures built in-test).
     """
     spark = stream_df.sparkSession
     to_parquet = (
         output_mode == "append"  # file sinks only support append
-        and input_rows is not None
-        and input_rows >= _PARQUET_SINK_ROWS
+        and (input_rows is None or input_rows >= _PARQUET_SINK_ROWS)
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:

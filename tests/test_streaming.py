@@ -195,6 +195,51 @@ def test_streaming_state_partitions_sizing(tmp_path, monkeypatch):
     assert streaming_state_partitions(str(empty)) is None
 
 
+def test_unknown_row_count_is_none_and_routes_to_parquet_sink(
+    spark, sf_smoke, tmp_path, monkeypatch
+):
+    """An unreadable footer makes events_row_count return None (never a
+    partial or zero count), and run_to_memory_sink treats None (unknown
+    input size) conservatively: the parquet sink, because guessing "small"
+    on a 100M-row fixture re-triggers the driver.maxResultSize abort the
+    spill exists to prevent (r5 ADVICE, tightened r6)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bee_proof_spark.streaming import events_row_count
+    from bee_proof_spark.streaming import replay
+
+    # one good part + one corrupt part -> None, not a partial 5
+    bad = tmp_path / "bad"
+    (bad / "events.parquet").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"event_id": list(range(5))}),
+        str(bad / "events.parquet" / "part-00000.parquet"),
+    )
+    (bad / "events.parquet" / "part-00001.parquet").write_bytes(b"not parquet")
+    assert events_row_count(str(bad)) is None
+
+    # input_rows=None takes the parquet sink even though the stream is tiny
+    sink_dirs: list[str] = []
+    real_sink_dir = replay._parquet_sink_dir
+    monkeypatch.setattr(
+        replay,
+        "_parquet_sink_dir",
+        lambda: sink_dirs.append(real_sink_dir()) or sink_dirs[-1],
+    )
+    df = replay.replay_events_stream(spark, sf_smoke).select(
+        "event_id", "user_id"
+    )
+    got = sorted(
+        map(tuple, run_to_memory_sink(df, input_rows=None).collect())
+    )
+    assert len(sink_dirs) == 1  # parquet branch taken
+    want = sorted(
+        map(tuple, run_to_memory_sink(df, input_rows=0).collect())
+    )
+    assert got == want
+
+
 def test_parquet_sink_spill_matches_memory_sink(spark, sf_smoke, monkeypatch):
     """Above _PARQUET_SINK_ROWS an append stream sinks to scratch parquet
     (the memory sink is a driver collect and aborts on driver.maxResultSize

@@ -17,10 +17,11 @@ killed probe LEAVES those dirs: rm -rf /tmp/blockmgr-* /tmp/spark-*
 before relaunching).
 """
 import gc
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PASSES = 3
 
