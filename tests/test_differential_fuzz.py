@@ -601,6 +601,129 @@ def test_fuzz_scalar_subquery(engines, pred, agg):
     )
 
 
+# Conditional aggregation: the aggregate's input is gated per-row by a
+# fuzzed predicate. Exact: the CASE emits int 1/0 (or NULL), so there is
+# no float accumulation, and the predicate itself is from the exact-leaf
+# grammar. This is the shape TPC-H Q8/Q12/Q14 use (sum over CASE), fuzzed
+# over arbitrary gate predicates - including gates that are false for an
+# entire group (sum of empty -> 0 via ELSE 0, count of all-NULL -> 0,
+# min of all-NULL -> NULL: three distinct empty-ish semantics).
+cond_agg = leaf.flatmap(
+    lambda gate: st.sampled_from(
+        [
+            f"sum(CASE WHEN {gate} THEN 1 ELSE 0 END) AS ca_sum",
+            f"count(CASE WHEN {gate} THEN 1 END) AS ca_cnt",
+            f"min(CASE WHEN {gate} THEN l_orderkey END) AS ca_min",
+            f"max(CASE WHEN {gate} THEN l_partkey END) AS ca_max",
+        ]
+    )
+)
+
+
+@given(
+    pred=predicate,
+    keys=st.lists(
+        st.sampled_from(STR_COLS + ["l_linenumber"]),
+        min_size=1,
+        max_size=2,
+        unique=True,
+    ),
+    aggs=st.lists(cond_agg, min_size=1, max_size=3),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_conditional_aggregates(engines, pred, keys, aggs):
+    """Conditional-aggregation fuzzing: per-group CASE-gated aggregates
+    (the TPC-H Q8/Q12/Q14 shape) must agree for arbitrary gate predicates,
+    including gates empty on some groups."""
+    # positional aliases: hypothesis may draw the same template twice
+    uniq = [f"{a.rsplit(' AS ', 1)[0]} AS ca{i}" for i, a in enumerate(aggs)]
+    key_sql = ", ".join(keys)
+    _both_agree(
+        engines,
+        f"SELECT {key_sql}, {', '.join(uniq)} FROM fuzz_lineitem "
+        f"WHERE {pred} GROUP BY {key_sql}",
+    )
+
+
+# Expression group keys: grouping on a computed value (date part, modulus,
+# string concat) instead of a raw column. Exact: int/string-valued
+# expressions only. Both engines get the identical expression text in both
+# the projection and the GROUP BY clause (no alias-resolution dependence).
+_expr_key = st.sampled_from(
+    [
+        "year(l_shipdate)",
+        "month(l_shipdate)",
+        "l_orderkey % 7",
+        "l_suppkey % 13",
+        "l_returnflag || l_linestatus",
+        "length(l_returnflag || l_linestatus)",
+        "CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END",
+    ]
+)
+
+
+@given(
+    pred=predicate,
+    keys=st.lists(_expr_key, min_size=1, max_size=2, unique=True),
+    aggs=st.lists(agg_expr, min_size=1, max_size=2, unique=True),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_expression_group_keys(engines, pred, keys, aggs):
+    """Expression-key fuzzing: GROUP BY on computed int/string expressions -
+    date parts, modulus buckets, concatenations, CASE bands - must produce
+    identical groups; exercises each engine's expression-equivalence
+    matching between projection and grouping."""
+    proj = ", ".join(f"{k} AS k{i}" for i, k in enumerate(keys))
+    _both_agree(
+        engines,
+        f"SELECT {proj}, {', '.join(aggs)} FROM fuzz_lineitem "
+        f"WHERE {pred} GROUP BY {', '.join(keys)}",
+    )
+
+
+@given(
+    pred=predicate,
+    inner_keys=st.sampled_from(
+        ["l_orderkey", "l_orderkey, l_linenumber", "l_partkey"]
+    ),
+    outer_agg=st.sampled_from(
+        [
+            "max(cnt) AS max_cnt",
+            "min(cnt) AS min_cnt",
+            "sum(cnt) AS sum_cnt",
+            "count(*) AS n_groups",
+        ]
+    ),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_nested_aggregation(engines, pred, inner_keys, outer_agg):
+    """Two-level aggregation fuzzing (the TPC-H Q13 shape): an inner
+    per-key count re-aggregated by its own value. Exact throughout (counts
+    are ints); the inner GROUP BY's row count and the outer distribution
+    over it must both agree."""
+    _both_agree(
+        engines,
+        f"SELECT cnt, {outer_agg} FROM ("
+        f"SELECT {inner_keys}, count(*) AS cnt FROM fuzz_lineitem "
+        f"WHERE {pred} GROUP BY {inner_keys}) g GROUP BY cnt",
+    )
+
+
 # Bounded ROWS frames over the tie-run-constant sum: inside any ORDER BY
 # tie-run the summed column (l_suppkey, part of the ORDER BY) is constant,
 # so the sequence of summed values is identical under any permutation of a
