@@ -171,17 +171,20 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_global",
     oracle=f"""
     SELECT count(*) AS cnt, {o_dsum('l_extendedprice')} AS total_price,
-           min(l_shipdate IS NULL) AS any_null_ship
+           max(l_shipdate IS NULL) AS any_null_ship
     FROM lineitem
     """,
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate without GROUP BY (single global group)."""
+    """Aggregate without GROUP BY (single global group). any_null_ship is
+    max() over the null flags - booleans order false < true, so max is the
+    ANY quantifier (min would be ALL, the inverted semantics a review
+    caught mirrored in both engines)."""
     li = tbl(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("l_extendedprice", "total_price"),
-        F.min(F.col("l_shipdate").isNull()).alias("any_null_ship"),
+        F.max(F.col("l_shipdate").isNull()).alias("any_null_ship"),
     )
 
 
@@ -353,12 +356,14 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: events.event_type has a 5-value domain - the textbook skewed
     shuffle. Salting bounds any single reducer's input at 1/16 of the hottest
-    key; the stage-2 shuffle moves at most keys*16 rows. Result is provably
-    identical to the direct groupBy (the oracle checks it); decimal partial
-    sums keep the recombine exact.
+    key; the stage-2 shuffle moves at most keys*16 rows. pmod (not %) keeps
+    the salt in [0,16): signed % of a signed xxhash64 would spread over 31
+    residues with bucket 0 double-weighted, quietly halving each bucket's
+    stated share. Result is provably identical to the direct groupBy (the
+    oracle checks it); decimal partial sums keep the recombine exact.
     """
     e = tbl(spark, sf_dir, "events")
-    salted = e.withColumn("salt", (F.xxhash64("event_id") % 16))
+    salted = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
     stage1 = salted.groupBy("event_type", "salt").agg(
         F.count(F.lit(1)).alias("pc"),
         F.sum(F.col("value").cast("decimal(25,6)")).alias("ps"),
@@ -396,10 +401,15 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("qty"),
         )
     )
+    # PivotFirst's missing-cell default is NULL; a COUNT of an empty cell
+    # must be 0 (the oracle's FILTER form already is). The fixture covers
+    # all 6 (flag, status) combos, which would mask this - but spec-faithful
+    # TPC-H data has structurally empty (R,O)/(A,O) cells. Sums stay NULL:
+    # SUM over an empty set is NULL in both engines.
     return p.select(
         "l_returnflag",
-        F.col("F_n").alias("status_f"),
-        F.col("O_n").alias("status_o"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("status_o"),
         F.col("F_qty").alias("qty_f"),
         F.col("O_qty").alias("qty_o"),
     )

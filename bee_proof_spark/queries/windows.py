@@ -141,7 +141,11 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
         )
-    rn = F.col("rn").cast("int")
+    # rn stays bigint: the banded rank exists precisely for partitions too
+    # large for one task, where an int cast would wrap past 2^31 rows per
+    # status (non-ANSI cast wraps silently). The value comparator
+    # canonicalizes integer widths, so bigint costs nothing at any scale.
+    rn = F.col("rn")
     return _banded_row_number(o, descending=True).select(
         "o_orderkey", "o_orderstatus", rn.alias("rnk"), rn.alias("drnk")
     )

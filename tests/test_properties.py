@@ -271,6 +271,63 @@ def test_emb_lsh_planted_near_dups_all_caught(spark, tmp_path):
     assert planted <= got, sorted(planted - got)
 
 
+def test_pivot_empty_count_cell_is_zero_not_null(spark, tmp_path):
+    """PivotFirst's missing-cell default is NULL, but a COUNT over an empty
+    cell must be 0 (the oracle's FILTER form is). The shared fixture covers
+    all (flag, status) combos and would mask a regression; spec-faithful
+    TPC-H data has structurally empty (R,O)/(A,O) cells, so this plants
+    one. Empty-cell SUM stays NULL (SUM of an empty set is NULL in SQL)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bee_proof_spark.queries import load_all
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": ["R", "R", "A", "N"],
+                "l_linestatus": ["F", "F", "F", "O"],
+                "l_quantity": [1.0, 2.0, 3.0, 4.0],
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    rows = {
+        r["l_returnflag"]: r
+        for r in load_all()["agg_pivot"].builder(spark, str(tmp_path)).collect()
+    }
+    assert rows["R"]["status_o"] == 0 and rows["R"]["qty_o"] is None
+    assert rows["A"]["status_o"] == 0 and rows["A"]["qty_o"] is None
+    assert rows["N"]["status_f"] == 0 and rows["N"]["status_o"] == 1
+
+
+def test_any_null_ship_is_any_not_all(spark, tmp_path):
+    """any_null_ship must be the ANY quantifier: one NULL among non-nulls
+    -> true. (min over boolean null-flags is ALL - the inverted semantics
+    a review caught mirrored in builder and oracle, invisible to the hash
+    gate precisely because both sides agreed.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bee_proof_spark.queries import load_all
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_extendedprice": pa.array([10.0, 20.0, 30.0]),
+                "l_shipdate": pa.array(
+                    [1_000_000_000_000_000, None, 1_000_000_100_000_000],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    row = load_all()["agg_global"].builder(spark, str(tmp_path)).collect()[0]
+    assert row["any_null_ship"] is True
+    assert row["cnt"] == 3
+
+
 def test_emb_lsh_candidates_subset_of_exact_at_threshold(spark):
     """Every pair ext_dedup_embedding_lsh emits must also clear the exact
     all-pairs >= 0.4 contract (LSH trades recall, never precision: the
