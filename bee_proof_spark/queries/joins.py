@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bee_proof_spark.queries import register, tbl
+from bee_proof_spark.queries import dsum, o_dsum, register, tbl
 
 
 @register(
@@ -228,9 +228,9 @@ def join_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_smb_bucketed",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority, count(*) AS n_lines,
-           cast(sum(cast(l_extendedprice as decimal(25,6))) as double) AS sum_price
+           {o_dsum('l_extendedprice')} AS sum_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -265,7 +265,32 @@ def join_smb_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_age_s=3600,
         keep=lambda p, age: pid_dir_alive(p),
     )
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # The tag carries a fingerprint of the SOURCE files (abs path + per-file
+    # mtime/size), not just the directory basename: two corpora at
+    # same-named paths, or a fixture regenerated in place, must produce a
+    # fresh bucketed table instead of the catalog silently serving the old
+    # one (same discipline as the streaming replay snapshot key).
+    import hashlib
+
+    def _stat_part(p: str) -> str:
+        if os.path.isfile(p):
+            st = os.stat(p)
+            return f"{int(st.st_mtime)}-{st.st_size}"
+        tot, mt = 0, 0
+        for root, _, files in os.walk(p):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                tot, mt = tot + st.st_size, max(mt, int(st.st_mtime))
+        return f"{mt}-{tot}"
+
+    fp = "|".join(
+        [os.path.abspath(sf_dir)]
+        + [_stat_part(os.path.join(sf_dir, f"{n}.parquet")) for n in ("lineitem", "orders")]
+    )
+    sf_tag = (
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        + "_" + hashlib.md5(fp.encode()).hexdigest()[:8]
+    )
     for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         table = f"bps_bucketed_{name}_{sf_tag}"
         loc = os.path.join(base, mine, sf_tag, name)
@@ -291,9 +316,7 @@ def join_smb_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("sum_price"),
+            dsum("l_extendedprice", "sum_price"),
         )
     )
 
@@ -322,10 +345,10 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_skew_salted",
-    oracle="""
+    oracle=f"""
     WITH dim AS (SELECT DISTINCT event_type, length(event_type) AS weight FROM events)
     SELECT e.event_type, count(*) AS n_events,
-           cast(sum(cast(e.value * d.weight as decimal(25,6))) as double) AS weighted_sum
+           {o_dsum('e.value * d.weight')} AS weighted_sum
     FROM events e JOIN dim d ON e.event_type = d.event_type
     GROUP BY e.event_type
     """,
@@ -358,9 +381,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum((F.col("value") * F.col("weight")).cast("decimal(25,6)"))
-            .cast("double")
-            .alias("weighted_sum"),
+            dsum(F.col("value") * F.col("weight"), "weighted_sum"),
         )
     )
 

@@ -33,7 +33,7 @@ def _supp_nations(spark, sf_dir):
 )
 def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL keeps duplicates; aggregated so multiplicity is checked."""
-    u = _cust_nations(spark, sf_dir).unionAll(_supp_nations(spark, sf_dir))
+    u = _cust_nations(spark, sf_dir).union(_supp_nations(spark, sf_dir))
     return u.groupBy("nationkey").agg(F.count(F.lit(1)).alias("cnt"))
 
 

@@ -328,6 +328,49 @@ def test_any_null_ship_is_any_not_all(spark, tmp_path):
     assert row["cnt"] == 3
 
 
+def test_smb_bucketed_tables_track_source_fingerprint(spark, tmp_path):
+    """Regenerating a fixture in place (or pointing at a different corpus
+    with the same basename) must produce fresh bucketed tables: the catalog
+    key carries the source files' path+mtime+size fingerprint, so a stale
+    bucketed copy is never silently served (review-caught, r6)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bee_proof_spark.queries import load_all
+
+    build = load_all()["join_smb_bucketed"].builder
+
+    def write(n_lines: int) -> None:
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1] * n_lines, type=pa.int64()),
+                    "l_extendedprice": [10.0] * n_lines,
+                }
+            ),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1], type=pa.int64()),
+                    "o_orderpriority": ["1-URGENT"],
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+
+    write(2)
+    assert build(spark, str(tmp_path)).collect()[0]["n_lines"] == 2
+    time.sleep(1.1)  # distinct integer mtime even on coarse filesystems
+    write(3)
+    os.utime(tmp_path / "lineitem.parquet")
+    assert build(spark, str(tmp_path)).collect()[0]["n_lines"] == 3
+
+
 def test_emb_lsh_candidates_subset_of_exact_at_threshold(spark):
     """Every pair ext_dedup_embedding_lsh emits must also clear the exact
     all-pairs >= 0.4 contract (LSH trades recall, never precision: the
