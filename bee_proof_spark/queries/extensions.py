@@ -26,7 +26,9 @@ from bee_proof_spark.queries import register, table_bytes, tbl
 # ------------------------------------------------------------------ helpers
 
 def _words(doc_df: DataFrame) -> DataFrame:
-    """documents + deduped word array column."""
+    """documents + word array column (a MULTISET - repeats kept: simhash's
+    per-token bit votes weight repeated words; set-semantics callers apply
+    array_distinct themselves)."""
     return doc_df.withColumn("words", F.split("text", " "))
 
 
@@ -702,8 +704,12 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ext_dedup_simhash")  # rows-only: hash-family specific
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signature from per-token hash bit
-    votes; candidates share at least one of four 16-bit bands (Hamming <= 3
-    guarantee by pigeonhole).
+    votes; candidates share at least one of four 16-bit bands. Pigeonhole
+    makes recall COMPLETE only for Hamming <= 3 (four differing bits can
+    spread across all four bands); the <= 8 output filter keeps the extra
+    band-colliding pairs it happens to see as best-effort candidates - the
+    contract is "all pairs within 3, plus some within 8", not complete
+    recall at 8.
 
     Signatures come from :func:`simhash_signatures` - 64 conditional sums in
     a single hash aggregate over un-exploded token rows (no 64x shuffle
@@ -851,32 +857,42 @@ def _lsh_bucketed(e: DataFrame) -> DataFrame:
     L=8 tables of k=4 planes each: a neighbor at angle theta collides in one
     table with prob (1 - theta/pi)^k; the union over 8 tables lifts recall
     (1-(1-p)^L) while each table keeps 16-way selectivity - the standard
-    recall/selectivity dial for hyperplane LSH. Planes are seeded constants
-    broadcast as literals; bucket computation is pure JVM lambda algebra.
+    recall/selectivity dial for hyperplane LSH.
+
+    All 32 plane dots happen in ONE float64 BLAS matmul per Arrow batch
+    (scalar pandas_udf -> ArrowEvalPython) - the same shape
+    ext_dedup_embedding_lsh uses, after its r6 A/B measured the
+    zip_with/aggregate HOF form (one interpreted fold expression per
+    table x plane) at 192 s warm vs ~15 s for the matmul at 2M vectors;
+    this helper previously carried that slow form. The seeded plane family
+    (RandomState(42)) is unchanged, so buckets are reproducible run-to-run;
+    the id stays rows-only because sign bits at BLAS-vs-fold summation
+    order can differ on ~0 dots, and recall is what ext_knn_ann_recall
+    hash-checks.
     """
     import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
 
     rng = np.random.RandomState(42)
     planes = rng.standard_normal((LSH_TABLES, LSH_PLANES_PER_TABLE, 64))
+    plane_mat = planes.reshape(LSH_TABLES * LSH_PLANES_PER_TABLE, 64).T.copy()
+    pow2 = (1 << np.arange(LSH_PLANES_PER_TABLE, dtype=np.int64)).astype(np.int32)
+    n_tables = LSH_TABLES
 
-    def table_bucket(t: int):
-        bits = []
-        for i in range(LSH_PLANES_PER_TABLE):
-            plane = F.array(*[F.lit(float(v)) for v in planes[t, i]])
-            dot = F.aggregate(
-                F.zip_with(F.col("unit"), plane, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def bucket_ids(unit):
+        import pandas as pd
 
-    buckets = F.array(*[table_bucket(t) for t in range(LSH_TABLES)])
+        mat = np.vstack(unit.to_numpy()).astype(np.float64)  # (B, 64)
+        bits = (mat @ plane_mat) > 0  # (B, tables*planes)
+        codes = (
+            bits.reshape(len(mat), n_tables, -1).astype(np.int32) * pow2
+        ).sum(axis=2)  # (B, tables)
+        return pd.Series(list(codes))
+
     return e.select(
-        "vec_id", F.posexplode(buckets).alias("tbl", "bucket")
+        "vec_id", F.posexplode(bucket_ids("unit")).alias("tbl", "bucket")
     )
 
 
@@ -1085,7 +1101,16 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         a = pdf[pdf["role"] == "a"]
         b = pdf[pdf["role"] == "b"]
-        diagonal = len(b) == 0  # (k, k): role-b membership is strict
+        # Diagonal by KEY, not by data presence: a non-diagonal (i, j)
+        # group whose tile j happens to be empty must emit nothing, not
+        # re-emit tile i's intra-tile pairs (review-caught, r6 - the old
+        # len(b)==0 inference duplicated the (i, i) group's output in that
+        # ~n_tiles*e^-occupancy corner).
+        diagonal = bool(len(pdf) and pdf["ti"].iloc[0] == pdf["tj"].iloc[0])
+        if not diagonal and len(b) == 0:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cosine": [], "lbl": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64", "lbl": "int32"})
         if len(a) == 0:
             return pd.DataFrame(
                 {"id_a": [], "id_b": [], "cosine": [], "lbl": []}

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from bee_proof_spark.queries import register, tbl
+from bee_proof_spark.queries import _exact_sum, register, tbl
 
 
 def _scratch(name: str, sf_dir: str = "") -> str:
@@ -489,7 +489,8 @@ def dml_merge_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = tbl(spark, sf_dir, "customer")
     orders = tbl(spark, sf_dir, "orders")
-    dec_sum = F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double")
+    # shared scaled-integer exact sum, not the slow wide-decimal accumulator
+    dec_sum = _exact_sum(F.col("o_totalprice"), 6).cast("double")
     matched = orders.groupBy(F.col("o_custkey").alias("m_key")).agg(
         dec_sum.alias("delta")
     )

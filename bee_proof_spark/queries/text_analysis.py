@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bee_proof_spark.queries import register, tbl
+from bee_proof_spark.queries import davg, o_davg, register, tbl
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -37,20 +37,22 @@ def ext_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_text_stats",
-    oracle="""
+    oracle=f"""
     SELECT lang, source, count(*) AS n_docs,
-           cast(sum(cast(n_chars as decimal(25,6))) as double) / count(*) AS avg_chars,
+           {o_davg('n_chars')} AS avg_chars,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars
     FROM documents GROUP BY lang, source
     """,
 )
 def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-lang/source doc stats (counts + length distribution)."""
+    """Per-lang/source doc stats (counts + length distribution). The avg
+    routes through davg/o_davg (n_chars is non-null, so count(n_chars) ==
+    count(*)) - the scaled-integer exact path, not the slow wide-decimal
+    accumulator it replaced."""
     d = tbl(spark, sf_dir, "documents")
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.sum(F.col("n_chars").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)))
-        .alias("avg_chars"),
+        davg("n_chars", "avg_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
@@ -118,11 +120,11 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LANGID_ORACLE = """
+_LANGID_ORACLE = f"""
 WITH s AS (
   SELECT doc_id, lang,
          len(list_filter(string_split(text, ' '),
-             w -> list_contains(['the','a','of','and','to','in','is','on','for','with'], w))) AS score_en,
+             w -> list_contains({list(STOPWORDS)!r}, w))) AS score_en,
          len(list_filter(string_split(text, ' '),
              w -> list_contains(['der','die','das','und','ist'], w))) AS score_de,
          len(list_filter(string_split(text, ' '),

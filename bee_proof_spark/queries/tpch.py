@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bee_proof_spark.queries import (
+    _exact_sum,
     davg,
     dsum,
     o_davg,
@@ -455,8 +456,8 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(promo.cast("decimal(25,6)")).cast("double")
-                / F.sum(rev.cast("decimal(25,6)")).cast("double"),
+                * _exact_sum(promo, 6).cast("double")
+                / _exact_sum(rev, 6).cast("double"),
                 4,
             ).alias("promo_revenue")
         )
@@ -539,8 +540,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double")
-                / 7.0,
+                _exact_sum(F.col("l_extendedprice"), 6).cast("double") / 7.0,
                 4,
             ).alias("avg_yearly")
         )
@@ -632,7 +632,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q22_ORACLE = f"""
 SELECT n_name, count(*) AS numcust, {o_dsum('c_acctbal')} AS totacctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+WHERE c_acctbal > (SELECT {o_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY n_name
 ORDER BY n_name
@@ -650,8 +650,12 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = tbl(spark, sf_dir, "customer")
     nation = tbl(spark, sf_dir, "nation")
     orders = tbl(spark, sf_dir, "orders")
+    # The threshold routes through the decimal exact sum (davg/o_davg):
+    # a plain double avg is partial-merge-order dependent, so a boundary
+    # customer could land on different sides of the cutoff per engine/
+    # partitioning - q11 already does this for its threshold.
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("ab")
+        davg("c_acctbal", "ab")
     )
     return (
         cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
@@ -778,8 +782,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(brazil_vol.cast("decimal(25,6)")).cast("double")
-                / F.sum(volume.cast("decimal(25,6)")).cast("double"),
+                _exact_sum(brazil_vol, 6).cast("double")
+                / _exact_sum(volume, 6).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -903,7 +907,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        pairs.join(excluded, pairs.l_suppkey == excluded.s_suppkey, "left_anti")
+        pairs.join(F.broadcast(excluded), pairs.l_suppkey == excluded.s_suppkey, "left_anti")
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
