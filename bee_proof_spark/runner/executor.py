@@ -29,6 +29,28 @@ from bee_proof_spark.runner.splitter import Statement, split_statements
 from bee_proof_spark.runner.substitution import substitute
 
 
+class _SessionConfView:
+    """``${hiveconf:...}`` resolution source: in-script SET overrides first,
+    then the LIVE Spark session conf - the same order Hive's substitution
+    uses and this runner's own ``SET hiveconf:key`` display path already
+    implements (setcmd.py). Without the fallback the two paths disagreed:
+    display printed the session value, substitution left the reference
+    verbatim."""
+
+    def __init__(self, local: dict[str, str], spark: SparkSession):
+        self._local = local
+        self._spark = spark
+
+    def get(self, key: str, default: str | None = None) -> str | None:
+        if key in self._local:
+            return self._local[key]
+        try:
+            val = self._spark.conf.get(key, None)
+        except Exception:
+            val = None
+        return default if val is None else val
+
+
 class StatementError(RuntimeError):
     """A statement failed to parse/analyze/execute; aborts the run."""
 
@@ -40,10 +62,25 @@ class StatementError(RuntimeError):
         super().__init__(f"{script}: statement at line {line} failed: {cause}")
 
 
+#: CTAS = CREATE TABLE whose body starts a query after AS. All Spark CTAS
+#: query forms are listed (SELECT / WITH / TABLE / VALUES / FROM / MAP /
+#: REDUCE / parenthesized) - 'AS TABLE t' and 'AS VALUES ...' move data just
+#: like 'AS SELECT'. Matched against literal-stripped text (see
+#: _blank_literals): an AS or SELECT inside a string/backtick (e.g. a COMMENT
+#: 'same as the daily select') must not flip a metadata-only CREATE to exec.
 _CTAS_RE = re.compile(
-    r"^\s*CREATE\s+(TEMPORARY\s+)?(EXTERNAL\s+)?TABLE\b.*?\bAS\b.*?\bSELECT\b",
+    r"^\s*CREATE\s+(TEMPORARY\s+)?(EXTERNAL\s+)?TABLE\b"
+    r".*?\bAS\s*(\(|SELECT\b|WITH\b|TABLE\b|VALUES\b|FROM\b|MAP\b|REDUCE\b)",
     re.IGNORECASE | re.DOTALL,
 )
+
+_LITERAL_RE = re.compile(r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.)*\"|`[^`]*`")
+
+
+def _blank_literals(sql: str) -> str:
+    """Replace string/backtick literal CONTENTS with spaces (delimiters kept)
+    so keyword classification can't be fooled by literal text."""
+    return _LITERAL_RE.sub(lambda m: m.group(0)[0] + " " + m.group(0)[-1], sql)
 
 #: Exception marker EXPLAIN EXTENDED embeds for analysis failures (observed
 #: Spark 4 behavior: the Analyzed section carries the exception text).
@@ -82,7 +119,7 @@ def classify(stmt: str) -> str:
         return "command"
     if first in {"CREATE", "DROP", "ALTER", "TRUNCATE", "MSCK"}:
         # CTAS moves data -> exec; everything else is catalog-only.
-        if first == "CREATE" and _CTAS_RE.match(stmt):
+        if first == "CREATE" and _CTAS_RE.match(_blank_literals(stmt)):
             return "exec"
         return "ddl"
     return "exec"  # SELECT / WITH / VALUES / INSERT / LOAD / ANALYZE / FROM ...
@@ -145,7 +182,11 @@ class ScriptRunner:
             # SET hivevar:NAME=... executed earlier in THIS script.
             merged_vars = {**(variables or {}), **self.setproc.variables}
             try:
-                sub = substitute(stmt.text, merged_vars, self.setproc.local_conf)
+                sub = substitute(
+                    stmt.text,
+                    merged_vars,
+                    _SessionConfView(self.setproc.local_conf, self.spark),
+                )
             except Exception as ex:  # cyclic/over-deep expansion fails the script
                 raise StatementError(
                     script_name, stmt.line, stmt.text, str(ex)
@@ -162,7 +203,14 @@ class ScriptRunner:
             if kind == "set":
                 for ln in self.setproc.process(strip_leading_comments(sql)):
                     self.out(ln)
-            elif kind in ("command", "ddl"):
+            elif kind == "command":
+                # SHOW/DESCRIBE/EXPLAIN... produce rows the reference CLI
+                # prints (Hive CliDriver.processFile); dropping them made
+                # the statements silently useless. Commands run in dry-run
+                # too (catalog-only), so print in both modes.
+                for r in self.spark.sql(sql).collect():
+                    self.out("\t".join("NULL" if v is None else str(v) for v in r))
+            elif kind == "ddl":
                 self.spark.sql(sql).collect()
             elif self.execute:
                 df = self.spark.sql(sql)
@@ -170,6 +218,14 @@ class ScriptRunner:
                     rows = df.limit(self.max_print_rows + 1).collect()
                     for r in rows[: self.max_print_rows]:
                         self.out("\t".join("NULL" if v is None else str(v) for v in r))
+                    if len(rows) > self.max_print_rows:
+                        # the +1 sentinel row: signal the cap instead of
+                        # silently shaping the output (the reference CLI
+                        # prints everything; the cap is this runner's
+                        # driver-memory guard, so say when it bound)
+                        self.out(
+                            f"> Output truncated at {self.max_print_rows} rows"
+                        )
                 else:
                     df.collect()  # force eager DML side effects uniformly
             else:
@@ -194,10 +250,17 @@ class ScriptRunner:
         nothing; Spark embeds analysis failures in the output text instead of
         raising, so we scan for the exception marker and surface it.
         """
+        from pyspark.errors import ParseException
+
         try:
             text = self.spark.sql(f"EXPLAIN EXTENDED {sql}").collect()[0][0]
-        except Exception:
-            # Statement kind not explainable (rare) - fall back to parse-only.
+        except ParseException:
+            # Statement kind not EXPLAIN-wrappable (rare) - fall back to
+            # parse-only, which re-raises if the inner SQL itself is bad.
+            # ONLY parse errors take this fallback: an AnalysisException or
+            # infra error here is a real failure the dry-run must surface,
+            # not downgrade to parse-only (a bare except let dry-run print
+            # '> Skipped!' past statements whose analysis failed).
             self.spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
             return
         m = _EXPLAIN_ERR_RE.search(text)

@@ -36,8 +36,15 @@ class Manifest:
 
     @classmethod
     def from_dict(cls, d: dict) -> Manifest:
+        # A missing 'tasks' key is a malformed manifest, not an empty run:
+        # accepting it silently made e.g. {"script": "x.hql"} (a task object
+        # passed where a manifest belongs - an easy CLI mistake) "succeed"
+        # with zero statements executed and exit 0. An explicitly empty
+        # "tasks": [] stays legal.
+        if "tasks" not in d:
+            raise ValueError("manifest missing required key 'tasks'")
         return cls(
-            tasks=[Task.from_dict(t) for t in d.get("tasks", [])],
+            tasks=[Task.from_dict(t) for t in d["tasks"]],
             enable_hadoop=bool(d.get("enableHadoop", False)),
             verbose_output=bool(d.get("verboseOutput", True)),
             debug_output=bool(d.get("debugOutput", False)),

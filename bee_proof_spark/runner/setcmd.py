@@ -51,6 +51,9 @@ class SetProcessor:
         #: script) so ``SET hivevar:NAME`` display agrees with what ``${NAME}``
         #: substitution resolves; SET-defined variables take precedence.
         self.task_variables: dict[str, str] = {}
+        #: autoBroadcastJoinThreshold before the first auto.convert.join=false
+        #: in this session (None until then); 'true' restores it.
+        self._saved_broadcast: str | None = None
 
     @staticmethod
     def matches(stmt: str) -> bool:
@@ -118,7 +121,24 @@ class SetProcessor:
         if key == "hive.auto.convert.join":
             self.local_conf[key] = value
             if value.lower() == "false":
+                # remember the pre-false threshold once, so 'true' can
+                # restore it (a one-way -1 pin silently disabled broadcast
+                # joins for the rest of the session)
+                if self._saved_broadcast is None:
+                    try:
+                        self._saved_broadcast = self.spark.conf.get(
+                            "spark.sql.autoBroadcastJoinThreshold"
+                        )
+                    except Exception:
+                        self._saved_broadcast = "10485760b"  # Spark default
                 self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            elif value.lower() == "true":
+                restore = self._saved_broadcast or "10485760b"
+                if restore == "-1":  # session launched with broadcast off
+                    restore = "10485760b"
+                self.spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", restore
+                )
             return
         if key.startswith("spark."):
             try:

@@ -51,10 +51,20 @@ class Verification:
         spark: SparkSession | None = None,
         out=None,
     ) -> None:
-        """Run all tasks; raises on first failure (fail-fast, exit-1 parity)."""
-        owns_session = spark is None
-        if owns_session:
-            reset_tmp_tree()
+        """Run all tasks; raises on first failure (fail-fast, exit-1 parity).
+
+        Session ownership is decided by what actually exists, not by the
+        argument alone: build_session() returns any pre-existing active
+        session, so "spark is None" does NOT mean this call created one.
+        Only a session this call truly created is reset/stopped - wiping the
+        tmp warehouse and stopping a live session some embedding app (or a
+        session-scoped test fixture) owns would break every later use of it.
+        """
+        owns_session = False
+        if spark is None:
+            owns_session = SparkSession.getActiveSession() is None
+            if owns_session:
+                reset_tmp_tree()
             spark = build_session(app_name=f"bee-proof-{self.release}")
         try:
             run_manifest(self.manifest(enable_hadoop), spark, out=out)

@@ -62,6 +62,13 @@ def _partitions_for_bytes(total: int) -> int:
     return 2 ** round(math.log2(raw))
 
 #: Conf shared by both profiles. Values are strings per SparkConf convention.
+#: Static entries only - the env-derived entries (shuffle sizing, driver
+#: memory) are resolved inside build_session() at CALL time: freezing them
+#: at import meant a caller setting SPARK_GRAFT_SF_DIR after import ran a
+#: 1000x corpus at the unset-env default of 32 partitions (the measured
+#: 107.8-vs-71.0 s tfidf spill the auto-sizing exists to prevent), and
+#: every import paid an O(corpus) directory walk even when no session was
+#: ever built.
 _COMMON_CONF: dict[str, str] = {
     # Hive-compat semantics (SURVEY.md section 4.2 "semantic gaps" row).
     "spark.sql.ansi.enabled": "false",
@@ -69,22 +76,29 @@ _COMMON_CONF: dict[str, str] = {
     # In-memory catalog = the reference's throwaway Derby metastore
     # (ManifestRunner.java:195).
     "spark.sql.catalogImplementation": "in-memory",
-    # Local-mode shuffle sizing: explicit SPARK_GRAFT_SHUFFLE wins; else
-    # sized to the corpus named by SPARK_GRAFT_SF_DIR (auto_shuffle_partitions
-    # - 32 at sf0.1, 256 at the 1000x fixture); else the historical 32.
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE")
-    or str(auto_shuffle_partitions(os.environ.get("SPARK_GRAFT_SF_DIR"))),
-    # Local mode runs all 32 executor threads inside ONE driver JVM whose
-    # default heap is 1g - far below what 32-way shuffles need (measured:
-    # window aggs over a 6M-row fixture OOM at 1g, breeze at 8g). Only read
-    # at JVM launch, so it applies to sessions this process creates; a live
-    # session keeps its own (static-conf warn path).
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # Arrow for any pandas interchange (UDF paths).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Keep the UI off in tests/bench.
     "spark.ui.enabled": "false",
 }
+
+
+def _dynamic_conf() -> dict[str, str]:
+    """Env-derived conf, resolved when a session is requested."""
+    return {
+        # Local-mode shuffle sizing: explicit SPARK_GRAFT_SHUFFLE wins; else
+        # sized to the corpus named by SPARK_GRAFT_SF_DIR
+        # (auto_shuffle_partitions - 32 at sf0.1, 256 at the 1000x fixture);
+        # else the historical 32.
+        "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE")
+        or str(auto_shuffle_partitions(os.environ.get("SPARK_GRAFT_SF_DIR"))),
+        # Local mode runs all 32 executor threads inside ONE driver JVM whose
+        # default heap is 1g - far below what 32-way shuffles need (measured:
+        # window aggs over a 6M-row fixture OOM at 1g, breeze at 8g). Only
+        # read at JVM launch, so it applies to sessions this process creates;
+        # a live session keeps its own (static-conf warn path).
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    }
 
 _PERF_CONF: dict[str, str] = {
     # AQE: runtime coalescing, skew-join splitting, dynamic join selection.
@@ -123,6 +137,7 @@ def build_session(
         warehouse_dir = os.path.join(tempfile.gettempdir(), TMP_ROOT, "warehouse")
 
     conf = dict(_COMMON_CONF)
+    conf.update(_dynamic_conf())
     conf.update(_PERF_CONF if profile == "perf" else _PARITY_CONF)
     conf["spark.sql.warehouse.dir"] = warehouse_dir
     if extra_conf:
@@ -155,8 +170,12 @@ def build_session(
             except Exception:
                 # Spark surfaces path-valued static confs as file: URIs;
                 # normalize so an equal path never false-positives the warn.
+                # current=None means the live session doesn't expose the key
+                # at all (e.g. launch-only confs like driver memory) - that
+                # is "unverifiable", not a mismatch; warning on it would fire
+                # on every call even when the JVM actually matches.
                 norm = lambda s: s.removeprefix("file:") if isinstance(s, str) else s  # noqa: E731
-                if norm(current) != norm(v):
+                if current is not None and norm(current) != norm(v):
                     warnings.warn(
                         f"build_session: static conf {k}={current!r} on the "
                         f"live session differs from requested {v!r}; "

@@ -246,3 +246,19 @@ def test_family_disk_staging_matches_memory_path(spark, sf_smoke):
         ext._DISK_STAGE_DOC_BYTES = old
         ext._FAMILY_CACHE.clear()
     assert mem == disk
+
+
+def test_dynamic_conf_reads_env_at_call_time(monkeypatch):
+    """Shuffle sizing and driver memory resolve when a session is REQUESTED,
+    not at module import (review-caught r6: an env var set after import was
+    ignored, so a 1000x corpus ran at the unset-env default of 32
+    partitions)."""
+    from bee_proof_spark.session import _dynamic_conf
+
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE", "123")
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "3g")
+    conf = _dynamic_conf()
+    assert conf["spark.sql.shuffle.partitions"] == "123"
+    assert conf["spark.driver.memory"] == "3g"
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE")
+    assert _dynamic_conf()["spark.sql.shuffle.partitions"] != "123"

@@ -109,6 +109,14 @@ def test_manifest_missing_script_key():
         ("WITH c AS (SELECT 1) SELECT * FROM c", "exec"),
         ("-- leading comment\nCREATE TABLE t (a INT)", "ddl"),
         ("/* block */ SET a=b", "set"),
+        # literal text must not flip classification (review-caught, r6):
+        ("CREATE TABLE t (x INT) COMMENT 'same as the daily select snapshot'", "ddl"),
+        ("CREATE TABLE t (`as` INT, `select` INT)", "ddl"),
+        # non-SELECT CTAS forms move data -> exec:
+        ("CREATE TABLE t2 AS TABLE t1", "exec"),
+        ("CREATE TABLE t2 AS VALUES (1), (2)", "exec"),
+        ("CREATE TABLE t2 AS WITH c AS (SELECT 1) SELECT * FROM c", "exec"),
+        ("CREATE TABLE t2 AS (SELECT 1)", "exec"),
     ],
 )
 def test_classify(sql, kind):
@@ -338,3 +346,82 @@ def test_cli_main_argv_and_manifest_errors(tmp_path, capsys):
         assert main([str(bad)]) == 1
     err = capsys.readouterr().err
     assert "[ERROR]" in err and "usage:" in err
+
+
+def test_command_statements_print_rows(spark, runner_out, tmp_path):
+    """SHOW/DESCRIBE output reaches the protocol stream (the reference CLI
+    prints command results; review-caught r6 - they were collected and
+    dropped). Commands print in dry-run too, since they execute there."""
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=False, verbose=False, out=out)
+    r.run_text(
+        "CREATE TEMPORARY VIEW show_probe AS SELECT 1 AS x; "
+        "SHOW TABLES LIKE 'show_probe'"
+    )
+    assert any("show_probe" in ln for ln in lines)
+
+
+def test_query_output_truncation_is_announced(spark, runner_out):
+    """Past max_print_rows the runner must SAY it truncated, not silently
+    shape the output (the reference CLI prints everything; the cap is this
+    runner's driver-memory guard)."""
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=True, verbose=False, out=out, max_print_rows=2)
+    r.run_text("SELECT explode(sequence(1, 5)) AS n")
+    assert lines[-1] == "> Output truncated at 2 rows"
+    assert len([ln for ln in lines if not ln.startswith(">")]) == 2
+
+
+def test_hiveconf_substitution_falls_back_to_session_conf(spark, runner_out):
+    """${hiveconf:key} resolves the LIVE session conf when no in-script SET
+    wrote the key - matching Hive and this runner's own 'SET hiveconf:key'
+    display path (review-caught r6: the two paths disagreed)."""
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=True, verbose=False, out=out)
+    r.run_text("SELECT '${hiveconf:spark.sql.session.timeZone}' AS tz")
+    assert lines[-1] == "UTC"
+    # in-script SET still wins over the session value
+    r.run_text(
+        "SET hiveconf:probe.key=local-wins; SELECT '${hiveconf:probe.key}' AS v"
+    )
+    assert lines[-1] == "local-wins"
+
+
+def test_auto_convert_join_true_restores_threshold(spark):
+    """SET hive.auto.convert.join is not a one-way door: 'true' restores the
+    pre-'false' broadcast threshold (review-caught r6: -1 stayed pinned for
+    the rest of the session)."""
+    sp = SetProcessor(spark)
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        sp.process("SET hive.auto.convert.join=false")
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+        sp.process("SET hive.auto.convert.join=true")
+        restored = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        assert restored == before if before != "-1" else restored != "-1"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_verification_run_leaves_foreign_session_alive(spark, tmp_path):
+    """Verification.run() without a spark argument must NOT stop a live
+    session it did not create - build_session() returns the pre-existing
+    active session, so 'spark is None' is not ownership (review-caught r6:
+    the finally block stopped the caller's session and reset its tmp
+    warehouse)."""
+    from bee_proof_spark.runner.verification import Verification
+
+    script = tmp_path / "noop.hql"
+    script.write_text("SELECT 1 AS one;")
+    Verification.for_release("emr-5").add_task(str(script)).run(enable_hadoop=True)
+    # the shared test session is still usable
+    assert spark.sql("SELECT 2").collect()[0][0] == 2
+
+
+def test_manifest_without_tasks_key_is_malformed():
+    """A manifest missing 'tasks' must error, not silently run zero tasks
+    and exit 0 (caught live: passing a task object where a manifest belongs
+    produced a clean no-op 'success'). Explicit empty tasks stays legal."""
+    with pytest.raises(ValueError):
+        Manifest.from_json('{"script": "a.hql"}')
+    assert Manifest.from_json('{"tasks": []}').tasks == []
