@@ -72,6 +72,11 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     by default (PARQUET_TYPE_ILLEGAL) while DuckDB truncates to micros. We
     read nanos as long (legacy conf) and convert ns -> us with integer
     division (a double division would lose precision above 2^53 ns).
+    Engine-built sessions pin the legacy conf at build (session.py) so the
+    session-wide toggle is uniform from the first query; the set below
+    covers FOREIGN sessions (the driver builds its own) and is why the
+    LongType branch is conditional - a session that already read the
+    schema differently keeps working.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

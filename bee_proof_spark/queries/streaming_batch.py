@@ -160,11 +160,13 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("window.start").cast("string").alias("window_start"), "n_events")
     )
+    # one footer walk serves both the state sizer and the sink gate
+    _rows = events_row_count(sf_dir)
     return run_to_memory_sink(
         windowed,
         output_mode="append",
-        state_partitions=streaming_state_partitions(sf_dir, "agg"),
-        input_rows=events_row_count(sf_dir),
+        state_partitions=streaming_state_partitions(sf_dir, "agg", rows=_rows),
+        input_rows=_rows,
     )
 
 
@@ -221,11 +223,13 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hour").cast("string").alias("hour_start"),
         )
     )
+    # one footer walk serves both the state sizer and the sink gate
+    _rows = events_row_count(sf_dir)
     return run_to_memory_sink(
         deduped,
         output_mode="append",
-        state_partitions=streaming_state_partitions(sf_dir, "insert_heavy"),
-        input_rows=events_row_count(sf_dir),
+        state_partitions=streaming_state_partitions(sf_dir, "insert_heavy", rows=_rows),
+        input_rows=_rows,
     )
 
 
@@ -290,11 +294,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_ts").cast("string").alias("click_ts"),
         F.col("v_ts").cast("string").alias("view_ts"),
     )
+    # one footer walk serves both the state sizer and the sink gate
+    _rows = events_row_count(sf_dir)
     return run_to_memory_sink(
         joined,
         output_mode="append",
-        state_partitions=streaming_state_partitions(sf_dir, "join"),
-        input_rows=events_row_count(sf_dir),
+        state_partitions=streaming_state_partitions(sf_dir, "join", rows=_rows),
+        input_rows=_rows,
     )
 
 
@@ -463,11 +469,13 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+    # one footer walk serves both the state sizer and the sink gate
+    _rows = events_row_count(sf_dir)
     return run_to_memory_sink(
         sessions,
         output_mode="append",
-        state_partitions=streaming_state_partitions(sf_dir, "insert_heavy"),
-        input_rows=events_row_count(sf_dir),
+        state_partitions=streaming_state_partitions(sf_dir, "insert_heavy", rows=_rows),
+        input_rows=_rows,
     )
 
 
@@ -571,7 +579,7 @@ flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN max(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-              OR ev_ts >= max(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              OR ev_ts > max(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
               THEN 1 ELSE 0 END AS is_new
   FROM ordered
@@ -594,9 +602,13 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     30 - engagement-dependent sessionization no fixed-gap window expresses.
 
     The oracle rebuilds the same sessions with gaps-and-islands over a
-    running max of per-event session ends (an event opens [ts, ts+gap);
-    overlapping windows merge, so a new session starts exactly when an
-    event's time reaches the running max end).
+    running max of per-event session ends. The split is STRICT (>): Spark
+    merges an event landing exactly gap seconds after a session end into
+    that session (empirically pinned - two events exactly 30 min apart
+    under a 30-min gap form ONE session, fixed and expression gaps alike),
+    so a new session starts only when the event's time passes the running
+    max end; the sibling fixed-gap oracle's '> 1800' encodes the same
+    inclusive-merge semantics.
     """
     e = tbl(spark, sf_dir, "events")
     gap = F.when(F.col("event_type") == "click", "10 minutes").otherwise("30 minutes")

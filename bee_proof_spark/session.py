@@ -76,6 +76,13 @@ _COMMON_CONF: dict[str, str] = {
     # In-memory catalog = the reference's throwaway Derby metastore
     # (ManifestRunner.java:195).
     "spark.sql.catalogImplementation": "in-memory",
+    # The events fixture stores ts as parquet TIMESTAMP(NANOS), which Spark
+    # rejects by default; the engine reads nanos as long and converts
+    # (queries.tbl). Pinned at session build so behavior is uniform from
+    # the first query - previously tbl() flipped it mid-session on the
+    # first events read, so nanos handling depended on query order. tbl()
+    # still sets it for foreign sessions (the driver builds its own).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for any pandas interchange (UDF paths).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Keep the UI off in tests/bench.

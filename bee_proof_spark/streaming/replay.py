@@ -53,14 +53,23 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     try:
         st = os.stat(src)
-        fp = f"v2-{int(st.st_mtime)}-{st.st_size}"
+        # ns-resolution mtime: an in-test fixture rebuilt twice within the
+        # same wall-clock second at an equal byte size must not collapse to
+        # the same snapshot (1-second truncation did exactly that)
+        fp = f"v2-{st.st_mtime_ns}-{st.st_size}"
     except OSError:
         fp = "v2-unknown"
+    import hashlib
+
+    # abspath hash, not basename: basename('') on a trailing-slash sf_dir
+    # (and same-named sibling fixture dirs) collapsed the namespace onto
+    # the fingerprint alone
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     snap = os.path.join(
         tempfile.gettempdir(),
         "bee-proof-tmp",
         "stream-src",
-        f"{os.path.basename(sf_dir)}-{fp}",
+        f"{os.path.basename(sf_dir.rstrip('/')) or 'fixture'}-{tag}-{fp}",
     )
     marker = os.path.join(snap, "_SUCCESS")
     # Refresh the current snapshot's mtime BEFORE sweeping: the sweep below
@@ -198,8 +207,11 @@ def _streaming_partitions_for_rows(rows: int, profile: str = "insert_heavy") -> 
     return min(2 ** round(math.log2(raw)), cap)
 
 
+_UNSET = object()
+
+
 def streaming_state_partitions(
-    sf_dir: str, profile: str = "insert_heavy"
+    sf_dir: str, profile: str = "insert_heavy", rows=_UNSET
 ) -> int | None:
     """Shuffle-partition count for STATEFUL streaming queries, sized to the
     events corpus and the operator's state ``profile`` — or None to keep
@@ -224,7 +236,8 @@ def streaming_state_partitions(
     """
     if os.environ.get("SPARK_GRAFT_SHUFFLE"):
         return None
-    rows = events_row_count(sf_dir)
+    if rows is _UNSET:  # caller may pass a precomputed events_row_count
+        rows = events_row_count(sf_dir)
     if not rows:  # None (unknown) or 0 (empty) -> keep the session default
         return None
     return _streaming_partitions_for_rows(rows, profile)

@@ -25,6 +25,11 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
 
     con = duckdb.connect()
+    # Pin the session TimeZone: to_timestamp() returns TIMESTAMPTZ and its
+    # cast to naive timestamp is TimeZone-dependent, while the Spark side
+    # pins UTC - on a non-UTC host every epoch-built window boundary would
+    # shift by the UTC offset and falsely mismatch.
+    con.execute("SET TimeZone='UTC'")
     for name in TABLES:
         path = f"{sf_dir}/{name}.parquet"
         if not os.path.exists(path):
@@ -54,6 +59,11 @@ def _canon(v):
         # still surfaces Decimal, compare through the double value
         return repr(float(v))
     if isinstance(v, _dt.datetime):
+        # tz-aware cells canonicalize by their INSTANT (convert to UTC),
+        # not their local wall-clock - replace(tzinfo=None) alone would
+        # make the same instant compare unequal on a non-UTC host
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc)
         return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()

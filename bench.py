@@ -63,7 +63,9 @@ STABLE_QUERIES = [
     "ext_dedup_fuzzy",
 ]
 
-#: Long tail: heavier / newer operators, timed once.
+#: Long tail: heavier / newer operators; same interleaved two-pass timing
+#: (min reported) as STABLE_QUERIES - kept separate only as the set added
+#: to the headline after r1, not the round-over-round comparison basis.
 TAIL_QUERIES = [
     "tpch_q4_priority",       # EXISTS-subquery shape
     "tpch_q22_global_sales",  # NOT-EXISTS + scalar-subquery shape
