@@ -754,3 +754,109 @@ def test_fuzz_bounded_rows_frames(engines, pred, wf):
         engines,
         f"SELECT l_orderkey, l_linenumber, {wf} FROM fuzz_lineitem WHERE {pred}",
     )
+
+
+@given(
+    pred=predicate,
+    keys=st.lists(
+        st.sampled_from(STR_COLS + ["l_linenumber", "l_suppkey % 11"]),
+        min_size=1,
+        max_size=2,
+        unique=True,
+    ),
+    agg=st.sampled_from(
+        ["count(*)", "sum(l_linenumber)", "sum(l_suppkey)", "max(l_partkey)"]
+    ),
+    n=st.integers(1, 30),
+    direction=st.sampled_from(["ASC", "DESC"]),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_agg_topk(engines, pred, keys, agg, n, direction):
+    """Top-k over aggregates (the TPC-H Q3/Q10/Q18 shape): group, order by
+    the aggregate value, LIMIT. Spark plans TakeOrderedAndProject over the
+    final aggregate; DuckDB its own top-n - the cut must agree even when
+    the LIMIT lands inside a tie-run of the aggregate value, which the
+    full-group-key tie-break makes total. Exact aggregates only (int sums)."""
+    proj = ", ".join(f"{k} AS k{i}" for i, k in enumerate(keys))
+    tie = ", ".join(f"k{i}" for i in range(len(keys)))
+    _both_agree(
+        engines,
+        f"SELECT {proj}, {agg} AS a FROM fuzz_lineitem WHERE {pred} "
+        f"GROUP BY {', '.join(keys)} ORDER BY a {direction}, {tie} LIMIT {n}",
+    )
+
+
+@given(
+    pred=predicate,
+    null_col=st.sampled_from(
+        ["nullif(l_returnflag, 'N')", "nullif(l_linenumber, 3)"]
+    ),
+    direction=st.sampled_from(["ASC", "DESC"]),
+    placement=st.sampled_from(["NULLS FIRST", "NULLS LAST"]),
+    n=st.integers(1, 100),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_nulls_ordering(engines, pred, null_col, direction, placement, n):
+    """Explicit NULL-placement fuzzing: engines disagree on the DEFAULT
+    placement (Spark NULLS FIRST ascending, DuckDB NULLS LAST), so queries
+    must pin it - this asserts that once pinned, every (direction,
+    placement) combination cuts the same LIMIT boundary. The projection
+    equals the sort keys, so tie-runs are identical tuples and the
+    returned multiset is permutation-invariant."""
+    _both_agree(
+        engines,
+        f"SELECT {null_col} AS nk, l_orderkey, l_linenumber "
+        f"FROM fuzz_lineitem WHERE {pred} "
+        f"ORDER BY nk {direction} {placement}, l_orderkey {direction}, "
+        f"l_linenumber {direction} LIMIT {n}",
+    )
+
+
+# Row-level outer-join projections: the right side is made lossy (orders
+# filtered inside a derived table), so unmatched lineitem rows carry NULL
+# order columns into COALESCE / IS NULL / CASE projections - the cell-level
+# NULL materialization the aggregate-only join fuzz above never inspects.
+_oj_proj = st.sampled_from(
+    [
+        "coalesce(o.o_orderstatus, '-') AS p1",
+        "(o.o_orderkey IS NULL) AS p2",
+        "CASE WHEN o.o_totalprice > 200000 THEN 'big' "
+        "WHEN o.o_orderkey IS NULL THEN 'none' ELSE 'small' END AS p3",
+        "coalesce(o.o_orderkey, -l_orderkey) AS p4",
+        "year(o.o_orderdate) AS p5",
+    ]
+)
+
+
+@given(
+    pred=predicate,
+    mod=st.integers(2, 5),
+    projs=st.lists(_oj_proj, min_size=1, max_size=3, unique=True),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_outer_join_projection(engines, pred, mod, projs):
+    """LEFT-JOIN row-level fuzzing: NULL-extended right-side columns flow
+    through COALESCE / IS NULL / CASE / date-part projections - both engines
+    must materialize the same cells for matched and unmatched rows alike."""
+    right = f"(SELECT * FROM fuzz_orders WHERE o_orderkey % {mod} = 0) o"
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {', '.join(projs)} "
+        f"FROM fuzz_lineitem l LEFT JOIN {right} "
+        f"ON l.l_orderkey = o.o_orderkey WHERE {pred}",
+    )
