@@ -262,3 +262,34 @@ def test_dynamic_conf_reads_env_at_call_time(monkeypatch):
     assert conf["spark.driver.memory"] == "3g"
     monkeypatch.delenv("SPARK_GRAFT_SHUFFLE")
     assert _dynamic_conf()["spark.sql.shuffle.partitions"] != "123"
+
+
+def test_fixture_quantity_is_integral():
+    """tpch_q17's 0.2*avg(l_quantity) cutoff and tpch_q18's HAVING
+    sum(l_quantity) > 150 are engine-order-independent ONLY because
+    l_quantity is integral (integer-valued doubles sum exactly in IEEE at
+    any reduction order, so Spark's partial merges and DuckDB's sequential
+    fold produce the bit-identical threshold). Pin that fixture property
+    across every generated scale so a regenerated fixture with fractional
+    quantities can't silently reintroduce a last-ulp boundary flip."""
+    import glob
+    import os
+
+    from tests.conftest import SF_ORACLE
+
+    dirs = sorted(glob.glob("/root/testdata/sf*")) or [SF_ORACLE]
+    checked = 0
+    for d in dirs:
+        p = os.path.join(d, "lineitem.parquet")
+        if not os.path.exists(p):
+            continue
+        con = duckdb.connect()
+        frac, mx = con.execute(
+            f"SELECT count(*) FILTER (l_quantity <> floor(l_quantity)),"
+            f" max(l_quantity) FROM read_parquet('{p}')"
+        ).fetchone()
+        con.close()
+        assert frac == 0, f"{p}: {frac} non-integral l_quantity rows"
+        assert mx <= 2**26, f"{p}: l_quantity {mx} too large for exact sums"
+        checked += 1
+    assert checked, "no lineitem fixture found to check"
