@@ -148,10 +148,14 @@ join_predicate = st.tuples(leaf, ord_pred, st.sampled_from(["AND", "OR"])).map(
 )
 
 
+DOCUMENTS = f"{SF_ORACLE}/documents.parquet"
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     spark.read.parquet(LINEITEM).createOrReplaceTempView("fuzz_lineitem")
     spark.read.parquet(ORDERS).createOrReplaceTempView("fuzz_orders")
+    spark.read.parquet(DOCUMENTS).createOrReplaceTempView("fuzz_documents")
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW fuzz_lineitem AS SELECT * FROM read_parquet('{LINEITEM}')"
@@ -159,10 +163,14 @@ def engines(spark):
     con.execute(
         f"CREATE VIEW fuzz_orders AS SELECT * FROM read_parquet('{ORDERS}')"
     )
+    con.execute(
+        f"CREATE VIEW fuzz_documents AS SELECT * FROM read_parquet('{DOCUMENTS}')"
+    )
     yield spark, con
     con.close()
     spark.catalog.dropTempView("fuzz_lineitem")
     spark.catalog.dropTempView("fuzz_orders")
+    spark.catalog.dropTempView("fuzz_documents")
 
 
 def _both_agree(engines, sql: str) -> None:
@@ -859,4 +867,49 @@ def test_fuzz_outer_join_projection(engines, pred, mod, projs):
         f"SELECT l_orderkey, l_linenumber, {', '.join(projs)} "
         f"FROM fuzz_lineitem l LEFT JOIN {right} "
         f"ON l.l_orderkey = o.o_orderkey WHERE {pred}",
+    )
+
+
+# LIKE patterns: fragments of the corpus vocabulary joined by % wildcards,
+# with _ single-char wildcards baked into two fragments and a never-occurring
+# fragment ("zz") for the empty-result path. LIKE is exact, case-sensitive
+# codepoint matching in both engines, so any cell difference is semantic.
+_LIKE_FRAGS = [
+    "the", "fast", "key", "order", "sort", "scan", "merge", "window",
+    "row", "data", "spark", "group", "query", "join", "filt__", "t_ble", "zz",
+]
+
+like_pattern = st.tuples(
+    st.lists(st.sampled_from(_LIKE_FRAGS), min_size=1, max_size=3),
+    st.booleans(),
+    st.booleans(),
+).map(
+    lambda t: ("%" if t[1] else "") + "%".join(t[0]) + ("%" if t[2] else "")
+)
+
+
+@given(
+    pats=st.lists(
+        st.tuples(like_pattern, st.sampled_from(["LIKE", "NOT LIKE"])),
+        min_size=1,
+        max_size=2,
+    ),
+    col=st.sampled_from(["text", "lang", "source"]),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_like_patterns(engines, pats, col):
+    """LIKE / NOT LIKE wildcard matching over the documents corpus: anchored
+    and unanchored %-joined fragments, _ wildcards, conjunctions, and the
+    guaranteed-empty pattern must select the identical row set. Pattern
+    pushdown differs across engines (Spark compiles LIKE to StartsWith/
+    Contains/EndsWith specializations when shapes allow), so this pins the
+    specialized paths against the generic matcher too."""
+    where = " AND ".join(f"{col} {op} '{p}'" for p, op in pats)
+    _both_agree(
+        engines, f"SELECT doc_id, {col} FROM fuzz_documents WHERE {where}"
     )
