@@ -273,14 +273,16 @@ def join_smb_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     def _stat_part(p: str) -> str:
+        # st_mtime_ns, not second-resolution st_mtime: a same-second
+        # equal-size in-place rewrite must invalidate (replay.py discipline).
         if os.path.isfile(p):
             st = os.stat(p)
-            return f"{int(st.st_mtime)}-{st.st_size}"
+            return f"{st.st_mtime_ns}-{st.st_size}"
         tot, mt = 0, 0
         for root, _, files in os.walk(p):
             for f in files:
                 st = os.stat(os.path.join(root, f))
-                tot, mt = tot + st.st_size, max(mt, int(st.st_mtime))
+                tot, mt = tot + st.st_size, max(mt, st.st_mtime_ns)
         return f"{mt}-{tot}"
 
     fp = "|".join(

@@ -65,9 +65,10 @@ class StatementError(RuntimeError):
 #: CTAS = CREATE TABLE whose body starts a query after AS. All Spark CTAS
 #: query forms are listed (SELECT / WITH / TABLE / VALUES / FROM / MAP /
 #: REDUCE / parenthesized) - 'AS TABLE t' and 'AS VALUES ...' move data just
-#: like 'AS SELECT'. Matched against literal-stripped text (see
-#: _blank_literals): an AS or SELECT inside a string/backtick (e.g. a COMMENT
-#: 'same as the daily select') must not flip a metadata-only CREATE to exec.
+#: like 'AS SELECT'. Matched against literal-and-comment-blanked text (see
+#: _blank_literals_and_comments): an AS or SELECT inside a string/backtick
+#: (e.g. a COMMENT 'same as the daily select') must not flip a metadata-only
+#: CREATE to exec, while a comment between AS and SELECT must not hide one.
 _CTAS_RE = re.compile(
     r"^\s*CREATE\s+(TEMPORARY\s+)?(EXTERNAL\s+)?TABLE\b"
     r".*?\bAS\s*(\(|SELECT\b|WITH\b|TABLE\b|VALUES\b|FROM\b|MAP\b|REDUCE\b)",
@@ -81,6 +82,54 @@ def _blank_literals(sql: str) -> str:
     """Replace string/backtick literal CONTENTS with spaces (delimiters kept)
     so keyword classification can't be fooled by literal text."""
     return _LITERAL_RE.sub(lambda m: m.group(0)[0] + " " + m.group(0)[-1], sql)
+
+
+def _blank_literals_and_comments(sql: str) -> str:
+    """Blank literal contents AND ``--``/``/* */`` comments with spaces.
+
+    One left-to-right scan so the two syntaxes can't fool each other: a
+    ``--`` inside a string literal is not a comment, and a quote inside a
+    comment does not open a literal. Newlines inside comments are kept so
+    line numbers (and ``\\s*`` matches across them) survive. Used for the
+    CTAS classification: ``CREATE TABLE t AS -- note\\nSELECT ...`` must
+    still classify as exec (the comment sits between AS and the query
+    keyword), while ``COMMENT 'same as the daily select'`` must not.
+    """
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"'):
+            m = _LITERAL_RE.match(sql, i)
+            if m:
+                out.append(c + " " + c)
+                i = m.end()
+                continue
+            out.append(c)
+            i += 1
+        elif c == "`":
+            j = sql.find("`", i + 1)
+            if j >= 0:
+                out.append("` `")
+                i = j + 1
+                continue
+            out.append(c)
+            i += 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            out.append(" " * (j - i))
+            i = j
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            seg = sql[i:j]
+            out.append("".join(ch if ch == "\n" else " " for ch in seg))
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 #: Exception marker EXPLAIN EXTENDED embeds for analysis failures (observed
 #: Spark 4 behavior: the Analyzed section carries the exception text).
@@ -119,7 +168,7 @@ def classify(stmt: str) -> str:
         return "command"
     if first in {"CREATE", "DROP", "ALTER", "TRUNCATE", "MSCK"}:
         # CTAS moves data -> exec; everything else is catalog-only.
-        if first == "CREATE" and _CTAS_RE.match(_blank_literals(stmt)):
+        if first == "CREATE" and _CTAS_RE.match(_blank_literals_and_comments(stmt)):
             return "exec"
         return "ddl"
     return "exec"  # SELECT / WITH / VALUES / INSERT / LOAD / ANALYZE / FROM ...

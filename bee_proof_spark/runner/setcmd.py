@@ -133,12 +133,27 @@ class SetProcessor:
                         self._saved_broadcast = "10485760b"  # Spark default
                 self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             elif value.lower() == "true":
-                restore = self._saved_broadcast or "10485760b"
-                if restore == "-1":  # session launched with broadcast off
-                    restore = "10485760b"
-                self.spark.conf.set(
-                    "spark.sql.autoBroadcastJoinThreshold", restore
-                )
+                if self._saved_broadcast is not None:
+                    restore = self._saved_broadcast
+                    if restore == "-1":  # session launched with broadcast off
+                        restore = "10485760b"
+                    self.spark.conf.set(
+                        "spark.sql.autoBroadcastJoinThreshold", restore
+                    )
+                else:
+                    # 'true' with no prior 'false' in this session: only the
+                    # -1 pin (broadcast disabled) needs undoing; a custom
+                    # session threshold this processor never touched stays.
+                    try:
+                        cur = self.spark.conf.get(
+                            "spark.sql.autoBroadcastJoinThreshold"
+                        )
+                    except Exception:
+                        cur = None
+                    if cur == "-1":
+                        self.spark.conf.set(
+                            "spark.sql.autoBroadcastJoinThreshold", "10485760b"
+                        )
             return
         if key.startswith("spark."):
             try:

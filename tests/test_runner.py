@@ -117,6 +117,15 @@ def test_manifest_missing_script_key():
         ("CREATE TABLE t2 AS VALUES (1), (2)", "exec"),
         ("CREATE TABLE t2 AS WITH c AS (SELECT 1) SELECT * FROM c", "exec"),
         ("CREATE TABLE t2 AS (SELECT 1)", "exec"),
+        # comments between AS and the query keyword must not hide a CTAS
+        # from dry-run (review-caught r7: it classified 'ddl' and moved data)
+        ("CREATE TABLE t AS -- note\nSELECT 1", "exec"),
+        ("CREATE TABLE t AS /* staged\n copy */ SELECT 1", "exec"),
+        ("CREATE TABLE t AS -- one\n-- two\nWITH c AS (SELECT 1) SELECT * FROM c", "exec"),
+        # ...while a '--' inside a literal is not a comment, and a quote
+        # inside a comment does not open a literal:
+        ("CREATE TABLE t (x STRING) COMMENT 'as -- select'", "ddl"),
+        ("CREATE TABLE t (x INT) /* don't AS SELECT */", "ddl"),
     ],
 )
 def test_classify(sql, kind):
@@ -399,6 +408,30 @@ def test_auto_convert_join_true_restores_threshold(spark):
         sp.process("SET hive.auto.convert.join=true")
         restored = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         assert restored == before if before != "-1" else restored != "-1"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_auto_convert_join_true_without_prior_false(spark):
+    """'true' with no prior 'false' in the session only undoes a -1 pin; a
+    custom session threshold this processor never changed stays (review-
+    caught r7: it was clobbered to the hardcoded 10485760b)."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # custom threshold survives a bare 'true'
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "33554432b")
+        SetProcessor(spark).process("SET hive.auto.convert.join=true")
+        assert (
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            == "33554432b"
+        )
+        # ...but a -1 (broadcast off) IS what 'true' asks to undo
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        SetProcessor(spark).process("SET hive.auto.convert.join=true")
+        assert (
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            == "10485760b"
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
 

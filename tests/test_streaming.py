@@ -370,3 +370,48 @@ def test_memory_sink_restores_shuffle_conf(spark, sf_smoke, monkeypatch):
     df = reg["stream_dedup_state"].builder(spark, sf_smoke)
     assert df.count() > 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_session_gap_boundary_exact_gap_merges(spark):
+    """Pin Spark's session_window merge-at-exact-gap semantics: two events
+    exactly gap seconds apart form ONE session, under both a fixed gap and
+    an expression gap. The stream_session_batch / stream_session_dynamic_gap
+    oracles encode this as a STRICT split (> 1800 / ev_ts > running max
+    end); if a Spark upgrade ever makes the boundary exclusive, this fails
+    before a fixture happens to contain an exact-boundary gap (the
+    watermark twin is test_watermark_boundary_window_emitted)."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    # 10:00:00 and 10:30:00 exactly 1800 s apart; 'view' -> 30-min gap in
+    # the dynamic query too, so both queries see an exact-boundary pair.
+    df = spark.createDataFrame(
+        [
+            (1, "view", datetime(2024, 1, 1, 10, 0, 0)),
+            (1, "view", datetime(2024, 1, 1, 10, 30, 0)),
+        ],
+        schema,
+    )
+    fixed = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(fixed) == 1 and fixed[0]["n"] == 2
+    gap = F.when(F.col("event_type") == "click", "10 minutes").otherwise(
+        "30 minutes"
+    )
+    dyn = (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(dyn) == 1 and dyn[0]["n"] == 2
