@@ -50,12 +50,15 @@ _REGISTRY = load_all()
 # The r1 driver run recorded CORRECTNESS rows for only the first 50 entries
 # of queries(), so dict order IS the test schedule. Sort-key buckets (the
 # first tuple element key() returns): (0) _FRONT ids fixed or newly oracled,
-# (1) never-driver-tested ids that have oracles (family-prioritized),
-# (2) untested _NEW_THIS_ROUND ids, (3) ids already driver-green in a
-# previous round (stalest-green first) interleaved with ONE-TIME slots for
-# rows-only ids that have never produced any ledger row (evidence the true
-# readStream/sampler paths execute on driver hardware), (4) rows-only ids
-# whose permanent err=no_oracle row already landed - last forever.
+# plus _REFRESH_FRONT ids whose code was rewritten AFTER their last driver
+# green (forced refresh until a fresher green lands), (1) never-driver-
+# tested ids that have oracles (family-prioritized), (2) untested
+# _NEW_THIS_ROUND ids, (3) ids already driver-green in a previous round
+# (stalest-green first) interleaved with ONE-TIME slots for rows-only ids
+# that have never produced any ledger row - or whose builder source changed
+# since their row landed (re-armed via tools/rows_only_evidence.json, see
+# _rows_only_evidence_current) - (4) rows-only ids whose err=no_oracle row
+# matches their current source - last forever.
 
 _FRONT = [
     # r1 FAILs, fixed (array outputs serialized / scalarized)
@@ -69,6 +72,26 @@ _FRONT = [
     # rows-only ids upgraded to closed-form/invariant oracles
     "ext_multimodal_framesample", "ext_knn_ann_recall", "ext_text_langid",
     "transform_script", "fn_url_misc", "fn_sentences",
+]
+
+# Ids that are driver-GREEN but whose code was rewritten after that green
+# landed, paired with the round whose ledger the rewrite postdates: forced
+# to the front until a green row from a LATER round exists, then they sink
+# back into the normal stalest-first rotation (self-retiring). r7 cohort:
+# the r6 exact-sum rewrites (last green r3) and the r6 streaming fixes
+# (last green r4/r5) - the two "rewritten after green" lists in the r6
+# verdict.
+_REFRESH_FRONT: list[tuple[str, int]] = [
+    ("tpch_q8_market_share", 6),
+    ("tpch_q11_important_stock", 6),
+    ("tpch_q14_promo", 6),
+    ("tpch_q16_supplier_cnt", 6),
+    ("tpch_q17_small_qty", 6),
+    ("tpch_q22_global_sales", 6),
+    ("dml_merge_rewrite", 6),
+    ("stream_dedup_state", 6),
+    ("stream_watermark_late", 6),
+    ("stream_session_dynamic_gap", 6),
 ]
 
 # Operators added this round: verified locally, but the r1-era untested
@@ -131,10 +154,82 @@ def _ever_ran() -> set[str]:
     return ran
 
 
+def _builder_fingerprint(qid: str) -> str:
+    """Source hash of a query's builder plus every same-module function it
+    (transitively) calls - the "did the code that produced the driver row
+    change since" key for rows-only evidence re-arming. Module-level
+    CONSTANTS are outside the net (acceptable: the caps/limits that matter
+    are read inside helper functions); function-level rewrites - the r6
+    ext_knn_lsh Arrow-matmul case this exists for - are caught."""
+    import hashlib
+    import inspect
+    import types
+
+    fn = _REGISTRY[qid].builder
+    mod = sys.modules.get(fn.__module__)
+
+    def code_names(code: types.CodeType) -> set[str]:
+        names = set(code.co_names)
+        for c in code.co_consts:
+            if isinstance(c, types.CodeType):
+                names |= code_names(c)
+        return names
+
+    seen: set[str] = set()
+    parts: list[str] = []
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        key = getattr(f, "__qualname__", repr(f))
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            parts.append(inspect.getsource(f))
+        except (OSError, TypeError):
+            continue
+        code = getattr(f, "__code__", None)
+        if code is None or mod is None:
+            continue
+        for name in code_names(code):
+            g = getattr(mod, name, None)
+            if (
+                callable(g)
+                and getattr(g, "__module__", None) == fn.__module__
+                and hasattr(g, "__code__")
+            ):
+                stack.append(g)
+    return hashlib.sha256("".join(sorted(parts)).encode()).hexdigest()[:16]
+
+
+def _rows_only_evidence_current(qid: str) -> bool:
+    """True when the qid's recorded rows-only evidence fingerprint matches
+    its CURRENT builder source - i.e. the ledger row it owns was produced
+    by this code. False (re-arm the one-time evidence slot) when the file
+    has no entry or the source moved on. tools/rows_only_evidence.py
+    --reconcile refreshes the file at round start, BEFORE code changes, so
+    'current source' still equals 'source the driver ran last round'."""
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "tools", "rows_only_evidence.json")
+    try:
+        with open(path) as f:
+            recorded = json.load(f)
+    except Exception:
+        return False
+    return recorded.get(qid) == _builder_fingerprint(qid)
+
+
 def _ordered_ids() -> list[str]:
     green_round = _green_rounds()
     green = set(green_round)
     ran = _ever_ran()
+    refresh = {
+        qid: i
+        for i, (qid, through) in enumerate(_REFRESH_FRONT)
+        if green_round.get(qid, 0) <= through
+    }
     # the stalest green round currently in the ledger (0 when ledger empty):
     # never-run rows-only ids slot right AFTER that cohort (see below)
     stalest = min(green_round.values(), default=0)
@@ -151,22 +246,30 @@ def _ordered_ids() -> list[str]:
             # once a front id lands a green driver row it sinks with the rest,
             # freeing next round's test budget for still-untested families
             return (0, _FRONT.index(qid), 0, 0)
+        if qid in refresh:
+            # rewritten-after-green: forced refresh, self-retiring once a
+            # green row from a round past the rewrite lands (see
+            # _REFRESH_FRONT); sorted after any un-green _FRONT id
+            return (0, 100 + refresh[qid], 0, 0)
         if qid in _NEW_THIS_ROUND and qid not in green:
             return (2, _NEW_THIS_ROUND.index(qid), 0, 0)
         if spec.oracle is not None and qid not in green:
             return (1, 0, fam, idx)
         if spec.oracle is None:
-            if qid in ran:
-                # rows-only ids WITH a ledger row sort LAST forever: their
-                # row can never change from err=no_oracle, so a front-50
-                # slot is wasted on them while any green could be refreshed
+            if qid in ran and _rows_only_evidence_current(qid):
+                # rows-only ids whose ledger row matches their CURRENT
+                # source sort LAST forever: the row can never change from
+                # err=no_oracle, so a front-50 slot is wasted on them while
+                # any green could be refreshed
                 return (4, 0, fam, idx)
             # ONE-TIME evidence slot: a rows-only id with NO ledger row of
-            # any kind has never executed on driver hardware. A spark_rows>0
+            # any kind - or one whose source was rewritten since its row
+            # landed (fingerprint mismatch re-arms the slot) - has never
+            # executed ITS CURRENT CODE on driver hardware. A spark_rows>0
             # row is still evidence the true readStream/sampler path runs
             # there, so it outranks all-but-the-stalest green refreshes
-            # (those re-verify again next round anyway); once the row lands,
-            # the id sinks to bucket 4 for good.
+            # (those re-verify again next round anyway); once the row lands
+            # and is reconciled, the id sinks to bucket 4.
             return (3, stalest + 0.5, fam, idx)
         # re-verify STALEST greens first: an id last green in r1 is three
         # rounds of code churn stale by r5; fresher greens wait their turn
