@@ -29,6 +29,11 @@ Methodology (self-adjudicating, round-3):
   the core set benched every round since r1 (the round-over-round
   comparison basis); TAIL_QUERIES are heavier/newer operators added to
   the headline later.
+- A fixed calibration workload (calibration_pass: synthetic 20M-row
+  CPU+shuffle job, fixture-independent, constant across rounds) brackets
+  the sweep; its floor is emitted as ``calibration`` in the result line.
+  Round-over-round totals should be compared as value/calibration ratios:
+  host drift (r6 measured x1.4 across a session) divides out.
 """
 
 from __future__ import annotations
@@ -101,6 +106,28 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def calibration_pass(spark) -> float:
+    """One timed pass of a FIXED pure-CPU+shuffle workload (no fixture, no
+    disk): 20M synthetic rows, xxhash64 keying, a transcendental per row,
+    one 1000-key shuffle. Constant across rounds by construction, so the
+    emitted floor is a host-speed yardstick: BENCH_rN/BENCH_rM totals can
+    be normalized by their calibration ratio instead of a same-host
+    worktree A/B (r6 spent a session adjudicating a x1.4 drift this row
+    turns into a division)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    df = (
+        spark.range(0, 20_000_000, 1, 32)
+        .withColumn("k", F.pmod(F.xxhash64("id"), F.lit(1000)))
+        .withColumn("v", F.sin(F.col("id").cast("double")))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    materialize(df)
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
@@ -121,6 +148,11 @@ def main() -> None:
         materialize(registry["join_smb_bucketed"].builder(spark, sf_dir))
 
     runs: dict[str, list[float]] = {}
+    # Calibration brackets the sweep (one warm sample now, one after the
+    # timed passes); min-of-samples is the host yardstick for this run.
+    calib: list[float] = []
+    calibration_pass(spark)  # codegen/JIT warmup for the calibration shape
+    calib.append(calibration_pass(spark))
 
     def one_pass(name: str) -> None:
         t0 = time.perf_counter()
@@ -142,6 +174,8 @@ def main() -> None:
         if max(ts) > 3 * min(ts):
             one_pass(name)
 
+    calib.append(calibration_pass(spark))
+
     per_query = {name: min(ts) for name, ts in runs.items()}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -150,11 +184,12 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration": min(calib),
     }
     spark.stop()
     # Raw samples first (own line + optional side file), compact line LAST -
     # the driver's tail capture must always see the full compact line.
-    runs_line = json.dumps({"bench_runs": runs})
+    runs_line = json.dumps({"bench_runs": runs, "calibration_runs": calib})
     print(runs_line)
     side = os.environ.get("SPARK_GRAFT_BENCH_RUNS")
     if side:
