@@ -913,3 +913,103 @@ def test_fuzz_like_patterns(engines, pats, col):
     _both_agree(
         engines, f"SELECT doc_id, {col} FROM fuzz_documents WHERE {where}"
     )
+
+
+# CASE WHEN projections: reuse the full predicate grammar as CASE conditions.
+# CASE is exact in both engines (first-true-branch, NULL condition falls
+# through to ELSE), and the branch values are integer/string columns or
+# literals, so no float accumulation enters. Searched CASE over a 3VL-heavy
+# condition is precisely where an engine disagreement about NULL handling
+# would surface as different cells, not just different row counts.
+case_value = st.sampled_from(
+    ["l_orderkey", "l_linenumber", "-l_suppkey", "0", "NULL"]
+)
+
+# Branch values stay within ONE type family per CASE (ints or strings):
+# cross-type branches would test each engine's implicit-coercion table,
+# not CASE semantics, and Spark-ANSI vs DuckDB coercion legitimately
+# differs there.
+case_expr = st.one_of(
+    st.tuples(predicate, case_value, case_value).map(
+        lambda t: f"CASE WHEN {t[0]} THEN {t[1]} ELSE {t[2]} END"
+    ),
+    st.tuples(
+        predicate,
+        st.sampled_from(["'hit'", "l_returnflag", "NULL"]),
+        st.sampled_from(["'miss'", "l_linestatus", "NULL"]),
+    ).map(lambda t: f"CASE WHEN {t[0]} THEN {t[1]} ELSE {t[2]} END"),
+)
+
+
+@given(
+    pred=predicate,
+    cases=st.lists(case_expr, min_size=1, max_size=2),
+    agg=st.booleans(),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_case_when(engines, pred, cases, agg):
+    """Searched CASE over fuzzed 3VL conditions, row-level and aggregated:
+    a NULL condition must fall through to ELSE identically in both engines,
+    and count(CASE ...) must skip exactly the NULL-valued branches."""
+    exprs = [f"{c} AS c{i}" for i, c in enumerate(cases)]
+    if agg:
+        exprs = [f"count({c}) AS c{i}" for i, c in enumerate(cases)] + [
+            "count(*) AS cnt"
+        ]
+        sql = (
+            f"SELECT l_returnflag, {', '.join(exprs)} FROM fuzz_lineitem "
+            f"WHERE {pred} GROUP BY l_returnflag"
+        )
+    else:
+        sql = (
+            f"SELECT l_orderkey, l_linenumber, {', '.join(exprs)} "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+    _both_agree(engines, sql)
+
+
+# Date-part extraction: year/month/day/quarter over timestamp columns are
+# exact integer functions with identical names and semantics in Spark and
+# DuckDB; grouping on them exercises expression group keys + calendar math
+# (leap days, quarter boundaries) across engines.
+date_part_expr = st.sampled_from(
+    [
+        "year(l_shipdate)",
+        "month(l_shipdate)",
+        "day(l_shipdate)",
+        "quarter(l_shipdate)",
+        # weekofyear is ISO-week in both engines (probed incl. the
+        # 1996-12-29 ISO boundary); dayofweek is deliberately absent -
+        # Spark numbers Sunday=1, DuckDB Sunday=0, a real convention
+        # divergence, not a bug to pin.
+        "weekofyear(l_shipdate)",
+    ]
+)
+
+
+@given(
+    pred=predicate,
+    parts=st.lists(date_part_expr, min_size=1, max_size=2, unique=True),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_date_part_grouping(engines, pred, parts):
+    """GROUP BY on date-part extractions under fuzzed predicates: both
+    engines must bucket every surviving row into the same calendar cells
+    (integer-exact aggregates only)."""
+    keys = ", ".join(f"{p} AS k{i}" for i, p in enumerate(parts))
+    grp = ", ".join(f"k{i}" for i in range(len(parts)))
+    _both_agree(
+        engines,
+        f"SELECT {keys}, count(*) AS cnt, sum(l_linenumber) AS sum_ln "
+        f"FROM fuzz_lineitem WHERE {pred} GROUP BY {grp}",
+    )
