@@ -65,6 +65,35 @@ def test_bench_queries_are_registered():
     assert not set(bench.STABLE_QUERIES) & set(bench.TAIL_QUERIES)
 
 
+def test_bench_calibration_workload_is_fixed(spark):
+    """The calibration row is only a valid cross-round yardstick if the
+    workload never changes: pin its exact shape (20M rows over 1000
+    xxhash64-derived keys, every key present, counts summing to exactly
+    20M) so an accidental edit shows up as a test failure, not as phantom
+    'host drift'. Timing itself is NOT asserted - only the work."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 20_000_000, 1, 32)
+        .withColumn("k", F.pmod(F.xxhash64("id"), F.lit(1000)))
+        .withColumn("v", F.sin(F.col("id").cast("double")))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    top = df.agg(
+        F.count(F.lit(1)).alias("groups"), F.sum("n").alias("rows")
+    ).collect()[0]
+    assert (top["groups"], top["rows"]) == (1000, 20_000_000)
+    # and bench.calibration_pass runs the same shape through the noop sink
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.calibration_pass)
+    for token in ("20_000_000", "xxhash64", "1000", "sin"):
+        assert token in src, token
+
+
 def test_sweep_aged_dirs_protections(tmp_path):
     """The /tmp reclamation rules: age gate, exempt paths, keep predicate
     (live pids; complete snapshots within their grace window)."""
