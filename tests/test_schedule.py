@@ -5,8 +5,10 @@ The driver records CORRECTNESS rows for only the first ~50 entries of
 the budget rules: never-tested oracled ids claim front slots, re-verify
 picks the STALEST greens first, rows-only ids that have NEVER produced a
 driver-ledger row get exactly one evidence slot (sorted just after the
-stalest green cohort), and rows-only ids that already have their permanent
-err=no_oracle row never consume a front-50 slot again.
+stalest green cohort), rows-only ids whose err=no_oracle row matches their
+CURRENT builder source never consume a front-50 slot again (a rewrite
+re-arms the slot), and _REFRESH_FRONT force-refreshes greens whose code
+was rewritten after their last driver row.
 
 No Spark session needed - ordering is pure ledger arithmetic.
 """
@@ -164,3 +166,38 @@ def test_oracle_sql_covers_exactly_the_oracled_ids():
     osql = e.oracle_sql()
     assert set(osql) == {q for q in reg if reg[q].oracle is not None}
     assert len(e.queries()) == len(reg)
+
+
+def test_rows_only_evidence_reconcile(tmp_path, monkeypatch):
+    """--reconcile records the CURRENT fingerprint for exactly the rows-only
+    ids present in the newest ledger (evidence for this source), leaving
+    absent ids armed. A bug here silently mis-parks ids next round."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "rows_only_evidence",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "rows_only_evidence.py",
+        ),
+    )
+    roe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(roe)
+    e = _reload()
+    rows_only = [q for q in e._REGISTRY if e._REGISTRY[q].oracle is None]
+    target, absent = rows_only[0], rows_only[1]
+    monkeypatch.setattr(roe, "HERE", str(tmp_path))
+    monkeypatch.setattr(roe, "EVIDENCE_PATH", str(tmp_path / "ev.json"))
+    # two ledgers: the OLD one also names `absent`, but only the NEWEST
+    # ledger counts as evidence
+    (tmp_path / "CORRECTNESS_r08.json").write_text(
+        json.dumps({absent: {"spark_rows": 3, "err": "no_oracle"}})
+    )
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({target: {"spark_rows": 5, "err": "no_oracle"}})
+    )
+    assert roe.main(["--reconcile"]) == 0
+    rec = json.loads((tmp_path / "ev.json").read_text())
+    assert rec == {target: e._builder_fingerprint(target)}
