@@ -9,7 +9,7 @@ All implementations live in ``bee_proof_spark.queries`` (SURVEY.md section 2
 inventory); every id declared here passes the same comparison locally first
 (tests/test_queries_oracle.py).
 
-Rows-only contract: 6 of the registered ids intentionally omit
+Rows-only contract: 5 of the registered ids intentionally omit
 ``oracle_sql()`` because their OUTPUT (not their correctness) is
 engine-specific, and each has an oracle-checked twin or invariant covering
 the capability:
@@ -17,8 +17,10 @@ the capability:
 - ``ext_dedup_fuzzy`` / ``ext_dedup_simhash`` (xxhash64-family candidates)
   -> ``ext_dedup_fuzzy_verified`` hash-checks the full LSH+exact-verify
   pipeline against all-pairs truth.
-- ``ext_knn_lsh`` / ``ext_knn_ivf`` (seeded planes / trained quantizer)
-  -> ``ext_knn_ann_recall`` hash-checks their recall@5 quality bound.
+- ``ext_knn_ivf`` (trained quantizer) -> ``ext_knn_ann_recall``
+  hash-checks its recall@5 quality bound. (``ext_knn_lsh`` graduated to a
+  fully generated hash-checked oracle in r7 - 3-decimal plane literals,
+  the ext_dedup_embedding_lsh discipline.)
 - ``tablesample_rows`` / ``ext_sample_stratified`` (sample membership is
   engine-specific for Spark's seeded samplers) -> ``sample_hash_bernoulli``
   / ``sample_stratified_hash`` / ``ext_domain_mixture`` hash-check the

@@ -851,8 +851,26 @@ LSH_TABLES = 8
 LSH_PLANES_PER_TABLE = 4
 
 
+def _knn_lsh_planes():
+    """Seeded plane bank for the knn LSH tables, ROUNDED TO 3 DECIMALS -
+    the same cross-engine-exactness discipline as _emb_lsh_planes: each
+    coefficient's decimal repr is embedded verbatim in the generated
+    DuckDB oracle and parses to the identical double in both engines, so
+    bucket signs agree by construction (given the pinned |dot| margin,
+    tests/test_properties.py::test_knn_lsh_sign_margin...)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return np.round(
+        rng.standard_normal((LSH_TABLES, LSH_PLANES_PER_TABLE, 64)), 3
+    )
+
+
 def _lsh_bucketed(e: DataFrame) -> DataFrame:
-    """(vec_id, tbl, bucket): multi-table random-hyperplane LSH buckets.
+    """(vec_id, tbl, bucket): multi-table random-hyperplane LSH buckets
+    over the RAW embedding column (sign of dot(embedding, plane) - the
+    same sign as against the unit vector, so normalization never enters
+    the bucket margin).
 
     L=8 tables of k=4 planes each: a neighbor at angle theta collides in one
     table with prob (1 - theta/pi)^k; the union over 8 tables lifts recall
@@ -864,27 +882,25 @@ def _lsh_bucketed(e: DataFrame) -> DataFrame:
     ext_dedup_embedding_lsh uses, after its r6 A/B measured the
     zip_with/aggregate HOF form (one interpreted fold expression per
     table x plane) at 192 s warm vs ~15 s for the matmul at 2M vectors;
-    this helper previously carried that slow form. The seeded plane family
-    (RandomState(42)) is unchanged, so buckets are reproducible run-to-run;
-    the id stays rows-only because sign bits at BLAS-vs-fold summation
-    order can differ on ~0 dots, and recall is what ext_knn_ann_recall
-    hash-checks.
+    this helper previously carried that slow form. Plane coefficients are
+    3-decimal literals and every fixture's minimum |dot| margin is pinned
+    orders of magnitude above summation-order divergence, which is what
+    upgraded ext_knn_lsh from rows-only to fully oracle-hash-checked (r7).
     """
     import numpy as np
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
-    rng = np.random.RandomState(42)
-    planes = rng.standard_normal((LSH_TABLES, LSH_PLANES_PER_TABLE, 64))
+    planes = _knn_lsh_planes()
     plane_mat = planes.reshape(LSH_TABLES * LSH_PLANES_PER_TABLE, 64).T.copy()
     pow2 = (1 << np.arange(LSH_PLANES_PER_TABLE, dtype=np.int64)).astype(np.int32)
     n_tables = LSH_TABLES
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
-    def bucket_ids(unit):
+    def bucket_ids(emb):
         import pandas as pd
 
-        mat = np.vstack(unit.to_numpy()).astype(np.float64)  # (B, 64)
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)  # (B, 64)
         bits = (mat @ plane_mat) > 0  # (B, tables*planes)
         codes = (
             bits.reshape(len(mat), n_tables, -1).astype(np.int32) * pow2
@@ -892,15 +908,80 @@ def _lsh_bucketed(e: DataFrame) -> DataFrame:
         return pd.Series(list(codes))
 
     return e.select(
-        "vec_id", F.posexplode(bucket_ids("unit")).alias("tbl", "bucket")
+        "vec_id", F.posexplode(bucket_ids("embedding")).alias("tbl", "bucket")
     )
 
 
-@register("ext_knn_lsh")  # rows-only: plane family specific
+def _knn_lsh_oracle() -> str:
+    """Generated DuckDB oracle for ext_knn_lsh: the SAME seeded 3-decimal
+    plane bank (literals digit-identical to the Spark plan), the same
+    bucket codes over raw embeddings, the same distinct candidate union
+    for query ids < 10, and the _KNN_ORACLE rerank contract (4dp-rounded
+    cosine, ties broken by c_id, top-5)."""
+    planes = _knn_lsh_planes()
+    bucket_cols = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for i in range(LSH_PLANES_PER_TABLE):
+            lits = ", ".join(repr(float(v)) for v in planes[t, i])
+            bits.append(
+                f"(CASE WHEN list_dot_product(emb, [{lits}]) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        bucket_cols.append(" + ".join(bits) + f" AS b{t}")
+    long_form = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM s"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS emb
+  FROM embeddings
+),
+s AS (SELECT vec_id, {", ".join(bucket_cols)} FROM e),
+m AS ({long_form}),
+q AS (SELECT vec_id AS q_id, tbl, bucket FROM m WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.q_id, m.vec_id AS c_id
+  FROM m JOIN q ON m.tbl = q.tbl AND m.bucket = q.bucket
+   AND m.vec_id <> q.q_id
+),
+n AS (
+  SELECT vec_id,
+         list_transform(
+           list_transform(embedding, x -> cast(x as double)),
+           x -> x / sqrt(list_sum(list_transform(
+                  list_transform(embedding, e -> cast(e as double)), y -> y * y)))
+         ) AS unit
+  FROM embeddings
+),
+v AS (
+  SELECT q_id, c_id, round(list_dot_product(x.unit, y.unit), 4) AS cosine
+  FROM cand
+  JOIN n x ON x.vec_id = q_id
+  JOIN n y ON y.vec_id = c_id
+),
+r AS (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+  FROM v
+)
+SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 5
+"""
+
+
+@register("ext_knn_lsh", oracle=_knn_lsh_oracle())
 def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH ANN (the scale path): 8 random-hyperplane tables ->
     per-table bucket join -> distinct candidate union -> exact cosine rerank
     of candidates only -> top-5.
+
+    Fully hash-checked since r7 (previously rows-only): the oracle
+    replicates the bucket math from the same 3-decimal plane literals
+    (_knn_lsh_planes) over raw embeddings - the ext_dedup_embedding_lsh
+    discipline - and the rerank inherits the _KNN_ORACLE 4dp contract, so
+    the approximate index's OUTPUT is cross-engine exact, not only its
+    recall bound (which ext_knn_ann_recall still checks independently).
 
     Scale shape: the bucket join moves (vec_id, tbl, bucket) rows only;
     candidates are deduplicated BEFORE scoring so each (query, candidate)
@@ -910,8 +991,8 @@ def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = shared_unit_vectors(spark, sf_dir).select("vec_id", "unit")
-    bucketed = _lsh_bucketed(e)
+    raw = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucketed = _lsh_bucketed(raw)
     qb = bucketed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
         F.col("tbl").alias("q_tbl"),
@@ -927,10 +1008,11 @@ def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("c_id"))
         .distinct()
     )
-    qv = e.filter(F.col("vec_id") < 10).select(
+    u = shared_unit_vectors(spark, sf_dir).select("vec_id", "unit")
+    qv = u.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("unit").alias("a_unit")
     )
-    cv = e.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("b_unit"))
+    cv = u.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("b_unit"))
     scored = (
         cand_pairs.join(F.broadcast(qv), "q_id")
         .join(cv, "c_id")

@@ -233,6 +233,30 @@ def test_emb_lsh_sign_margin_dwarfs_float_divergence():
         assert margin > 1e-9, (sf, margin)
 
 
+def test_knn_lsh_sign_margin_dwarfs_float_divergence():
+    """Same property for ext_knn_lsh's seeded plane bank (upgraded from
+    rows-only to a generated hash-checked oracle in r7): the minimum
+    |dot(raw embedding, plane)| across every fixture and all 32 planes
+    must dwarf summation-order divergence, or a BLAS-vs-sequential sign
+    flip could silently diverge the bucket codes between engines.
+    Measured: 7.9e-6 (sf0.001) .. 9.9e-5 (sf0.1)."""
+    import duckdb
+    import numpy as np
+
+    from bee_proof_spark.queries.extensions import _knn_lsh_planes
+
+    planes = _knn_lsh_planes().reshape(-1, 64)
+    con = duckdb.connect()
+    for sf in ["sf0.001", "sf0.01", "sf0.1"]:
+        emb = con.execute(
+            "SELECT embedding FROM "
+            f"read_parquet('/root/testdata/{sf}/embeddings.parquet')"
+        ).fetch_df()
+        vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        margin = np.abs(vecs @ planes.T).min()
+        assert margin > 1e-9, (sf, margin)
+
+
 def test_emb_lsh_planted_near_dups_all_caught(spark, tmp_path):
     """The complement of the subset-of-exact test: high-cosine near-dups
     must actually be CAUGHT. A deterministic planted fixture (2k isotropic
