@@ -77,7 +77,20 @@ ts_pred = st.tuples(
     st.integers(1, 28),
 ).map(lambda t: f"{TS_COL} {t[0]} TIMESTAMP '{t[1]}-{t[2]:02d}-{t[3]:02d} 00:00:00'")
 
-leaf = st.one_of(int_cmp, dbl_cmp, int_between, int_in, str_pred, ts_pred)
+# Per-row double arithmetic INSIDE predicates: one IEEE op on two cells
+# read from the same parquet, then a comparison - exact in both engines
+# (no accumulation, no reordering freedom on a single a+b / a*b).
+arith_cmp = st.tuples(
+    st.sampled_from(DBL_COLS),
+    st.sampled_from(["+", "*"]),
+    st.sampled_from(DBL_COLS),
+    st.sampled_from(["<", "<=", ">", ">="]),
+    st.floats(0.0, 200000.0, allow_nan=False, allow_infinity=False),
+).map(lambda t: f"({t[0]} {t[1]} {t[2]}) {t[3]} {t[4]!r}")
+
+leaf = st.one_of(
+    int_cmp, dbl_cmp, int_between, int_in, str_pred, ts_pred, arith_cmp
+)
 
 
 def _combine(children: list[str]) -> st.SearchStrategy[str]:
