@@ -96,6 +96,8 @@ TAIL_QUERIES = [
     "ext_dedup_ngram_jaccard",   # inverted-index exact-Jaccard self-join
     "stream_dedup_state",        # true readStream stateful dedup
     "ext_dedup_embedding_lsh",   # hyperplane-bucket near-dup (r6)
+    "ext_knn_lsh",               # multi-table LSH ANN, oracled + bucket
+                                 # checkpoint (r7)
 ]
 
 BENCH_QUERIES = STABLE_QUERIES + TAIL_QUERIES

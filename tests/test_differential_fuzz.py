@@ -1026,3 +1026,66 @@ def test_fuzz_date_part_grouping(engines, pred, parts):
         f"SELECT {keys}, count(*) AS cnt, sum(l_linenumber) AS sum_ln "
         f"FROM fuzz_lineitem WHERE {pred} GROUP BY {grp}",
     )
+
+
+# String functions over the (all-ASCII, probed) documents corpus: every
+# function here is 1-based / codepoint-exact with identical names and
+# semantics in Spark and DuckDB. upper/lower on ASCII, substr with
+# positive bounds, replace, trim, concat - no locale or collation enters.
+str_expr = st.one_of(
+    st.sampled_from(
+        [
+            "upper(lang)",
+            "lower(source)",
+            "length(text)",
+            "trim(source)",
+            "reverse(lang)",
+            "concat(lang, '-', source)",
+            "replace(source, 'src', 's_')",
+        ]
+    ),
+    st.tuples(st.integers(1, 50), st.integers(1, 20)).map(
+        lambda t: f"substr(text, {t[0]}, {t[1]})"
+    ),
+)
+
+doc_pred = st.one_of(
+    st.tuples(
+        st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]),
+        st.integers(0, 4000),
+    ).map(lambda t: f"n_chars {t[0]} {t[1]}"),
+    st.tuples(
+        st.sampled_from(["lang", "source"]),
+        st.sampled_from(["=", "<>"]),
+        st.sampled_from(["en", "de", "fr", "src0", "src1", "zz"]),
+    ).map(lambda t: f"{t[0]} {t[1]} '{t[2]}'"),
+)
+
+
+@given(
+    pred=doc_pred,
+    exprs=st.lists(str_expr, min_size=1, max_size=3, unique=True),
+    agg=st.booleans(),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_string_functions(engines, pred, exprs, agg):
+    """String-function projections (and grouped counts on them) over the
+    documents corpus must produce identical cells in both engines."""
+    aliased = [f"{e} AS s{i}" for i, e in enumerate(exprs)]
+    if agg:
+        grp = ", ".join(f"s{i}" for i in range(len(exprs)))
+        sql = (
+            f"SELECT {', '.join(aliased)}, count(*) AS cnt "
+            f"FROM fuzz_documents WHERE {pred} GROUP BY {grp}"
+        )
+    else:
+        sql = (
+            f"SELECT doc_id, {', '.join(aliased)} "
+            f"FROM fuzz_documents WHERE {pred}"
+        )
+    _both_agree(engines, sql)
