@@ -4,8 +4,8 @@ similarity search (brute-force + LSH-bucketed ANN), multimodal columns.
 
 Scale posture is the whole point here:
 
-- MinHash signatures are computed as k min-aggregations over xxhash64(shingle,
-  seed) - NO k-times row explosion, one shuffle on doc_id.
+- MinHash signatures are computed as k min-aggregations over an md5-derived
+  double-hashing family - NO k-times row explosion, one shuffle on doc_id.
 - LSH banding turns O(n^2) pair generation into per-bucket joins; only
   candidate pairs get exact verification.
 - ANN: query side is broadcast; the corpus is never collected; top-k via
@@ -368,18 +368,31 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 def minhash_from_postings(postings: DataFrame) -> DataFrame:
     """doc_id + mh0..mh{k-1} MinHash signatures from (doc_id, shingle) rows.
 
-    k min-aggregations over xxhash64(shingle, seed) in a single hash
-    aggregate - signature cost is O(shingle rows) regardless of k (no
-    per-seed explosion). MinHash is a min over the shingle SET, so distinct
-    and non-distinct postings give identical signatures - callers that
-    already have a distinct postings table reuse it with no extra explode.
+    k min-aggregations in a single hash aggregate - signature cost is
+    O(shingle rows) regardless of k (no per-seed explosion). MinHash is a
+    min over the shingle SET, so distinct and non-distinct postings give
+    identical signatures - callers that already have a distinct postings
+    table reuse it with no extra explode.
+
+    Hash family (r8, the change that graduated ext_dedup_fuzzy from
+    rows-only to fully hash-checked): Kirsch-Mitzenmacher double hashing
+    over ONE md5 per shingle - h1/h2 are the first two 32-bit hex words of
+    md5(shingle), h_i = (h1 + i*h2) & 0xFFFFFFFF. Every step is exact
+    integer arithmetic both engines implement identically (DuckDB parses
+    the same hex via ('0x'||substr(md5(s),1,8))::BIGINT), so signatures -
+    and therefore candidates and est_jaccard - agree cross-engine by
+    construction. The previous xxhash64(shingle, seed) lane computed k
+    string hashes per posting row; one md5 + k fused integer ops is the
+    same O(rows) shape (A/B at sf0.1 in SCALE.md r8), and i*h2 <= 31*2^32
+    never overflows a long, so the lane is ANSI-safe too.
     """
-    sh = postings.withColumn("h", F.xxhash64("shingle"))
-    # hash family h_i = xxhash64(h, seed=i): the variable-length string is
-    # hashed ONCE per shingle; each family member re-hashes only the 8-byte
-    # long - fixed-width, overflow-free (safe under ANSI sessions too).
+    sh = (
+        postings.withColumn("m", F.md5("shingle"))
+        .withColumn("h1", F.conv(F.substring("m", 1, 8), 16, 10).cast("long"))
+        .withColumn("h2", F.conv(F.substring("m", 9, 8), 16, 10).cast("long"))
+    )
     aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
+        F.min(F.expr(f"(h1 + {i} * h2) & 4294967295")).alias(f"mh{i}")
         for i in range(NUM_HASHES)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -401,36 +414,46 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs from banded MinHash signatures.
 
     The band self-join moves only 3-column rows (doc_id, band_idx,
-    band_hash); only bucket-mates are ever paired, and buckets above
+    band_key); only bucket-mates are ever paired, and buckets above
     _LSH_BUCKET_CAP are dropped before the join (the hot-bucket blacklist
     is tiny - each entry costs >= cap rows - so it broadcasts into a
     shuffle-free anti-join, exactly like the Jaccard hot-shingle cap).
+
+    The band key is the comma-joined decimal tuple of the band's minhash
+    values - a plain string both engines render identically (what lets the
+    oracle replicate the buckets verbatim). At deployment scale the key
+    would be re-hashed to 8 bytes (xxhash64 of the tuple) to shrink the
+    shuffle; the BUCKETING is identical either way, only the key width
+    changes (~40 bytes vs 8 for a 4-row band).
     """
     bands = sig.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(F.slice("sig", b * ROWS_PER_BAND + 1, ROWS_PER_BAND))
+                    F.expr(
+                        f"array_join(transform(slice(sig, {b * ROWS_PER_BAND + 1},"
+                        f" {ROWS_PER_BAND}), x -> cast(x AS string)), ',')"
+                    )
                     for b in range(BANDS)
                 ]
             )
-        ).alias("band_idx", "band_hash"),
+        ).alias("band_idx", "band_key"),
     )
     hot = (
-        bands.groupBy("band_idx", "band_hash")
+        bands.groupBy("band_idx", "band_key")
         .agg(F.count(F.lit(1)).alias("members"))
         .filter(F.col("members") > _LSH_BUCKET_CAP)
-        .select("band_idx", "band_hash")
+        .select("band_idx", "band_key")
     )
-    bands = bands.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
+    bands = bands.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -438,18 +461,86 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-@register("ext_dedup_fuzzy")  # rows-only: hash-family specific
+def _fuzzy_minhash_oracle() -> str:
+    """Generated DuckDB oracle for ext_dedup_fuzzy: the SAME md5
+    double-hashing signature math (minhash_from_postings), the same banded
+    candidate join with the same hot-bucket cap, the same agreeing-hash
+    fraction - every step exact integer arithmetic (or the exact double
+    k/32), so the full MinHash+LSH pipeline is cross-engine hash-checkable
+    with no literals and no margins (r8; previously rows-only under the
+    xxhash64 lane, which DuckDB cannot evaluate)."""
+    mh = ",\n         ".join(
+        f"min((h1 + {i} * h2) & 4294967295) AS mh{i}" for i in range(NUM_HASHES)
+    )
+    band_keys = ",\n         ".join(
+        "("
+        + " || ',' || ".join(
+            f"mh{b * ROWS_PER_BAND + i}::VARCHAR" for i in range(ROWS_PER_BAND)
+        )
+        + f") AS bk{b}"
+        for b in range(BANDS)
+    )
+    band_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, bk{b} AS band_key FROM keys"
+        for b in range(BANDS)
+    )
+    match_terms = " + ".join(
+        f"(sa.mh{i} = sb.mh{i})::INT" for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH sh0 AS ({_SH0_SQL}),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+  FROM sh0
+),
+sig AS (SELECT doc_id, {mh} FROM h GROUP BY doc_id),
+keys AS (SELECT doc_id, {band_keys} FROM sig),
+bands AS ({band_union}),
+cold AS (
+  SELECT doc_id, band_idx, band_key FROM (
+    SELECT doc_id, band_idx, band_key,
+           count(*) OVER (PARTITION BY band_idx, band_key) AS members
+    FROM bands
+  ) WHERE members <= {_LSH_BUCKET_CAP}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cold a JOIN cold b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+m AS (
+  SELECT doc_a, doc_b, ({match_terms}) AS n_match
+  FROM pairs
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, n_match / {NUM_HASHES} AS est_jaccard
+FROM m WHERE n_match / {NUM_HASHES} >= 0.4
+"""
+
+
+@register("ext_dedup_fuzzy", oracle=_fuzzy_minhash_oracle())
 def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs (the scale path for fuzzy dedup).
 
     shingle -> 32-hash MinHash signature (array) -> 8 bands of 4 -> bucket
-    join on (band_idx, band_hash) -> distinct candidate pairs -> signature
+    join on (band_idx, band_key) -> distinct candidate pairs -> signature
     re-join -> estimated Jaccard = fraction of agreeing hashes, >= 0.4.
+
+    Fully hash-checked since r8 (previously rows-only): the md5
+    double-hashing lane (minhash_from_postings) is exact integer
+    arithmetic both engines evaluate identically, so the generated oracle
+    replicates signatures, buckets and the match fraction verbatim - and
+    est_jaccard = k/32 is an exact double (denominator a power of two), so
+    even the float column is bit-identical with no rounding contract.
 
     Shuffle economics: signatures cross the wire once per *candidate pair*,
     not once per band row (an 8x reduction vs banding the full signature).
-    The oracle-checkable twin is ext_dedup_fuzzy_verified (exact-Jaccard
-    verification of these candidates).
+    ext_dedup_fuzzy_verified additionally certifies LSH recall against
+    all-pairs truth (exact-Jaccard verification of these candidates).
     """
     # Signatures read the family-shared postings checkpoint: MinHash is a
     # min over the shingle SET, so distinct postings give identical output
@@ -566,7 +657,8 @@ def ext_dedup_fuzzy_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_signatures(doc_df: DataFrame) -> DataFrame:
-    """doc_id + 64-bit simhash column, computed WITHOUT row explosion.
+    """doc_id + 64-bit simhash as TWO 32-bit halves (sim_lo, sim_hi),
+    computed WITHOUT row explosion.
 
     Each of the 64 bit-votes is a conditional sum over the token rows -
     one hash aggregate, shuffle input = token rows exactly (the same k-aggs
@@ -574,23 +666,40 @@ def simhash_signatures(doc_df: DataFrame) -> DataFrame:
     multiplied shuffle input 64x; at 100 TB that amplification is the
     difference between a pass and a dead stage.
 
-    Signed-shift note: ``(h >> bit) & 1`` uses Java's arithmetic shift, which
-    for bit 63 yields the sign bit - identical to the bit-twiddled vote.
+    Hash lane (r8, what graduated ext_dedup_simhash to hash-checked): the
+    per-token 64 bits are the first two 32-bit hex words of md5(word) -
+    exact integers both engines parse identically - and the signature is
+    kept as two non-negative 32-bit halves so every downstream shift/xor/
+    bit_count stays in unsigned-safe territory on both engines (a single
+    64-bit long would drag DuckDB through sign-bit shift semantics). Vote
+    ties (sum == 0) set the bit to 0 in both engines by the same b > 0
+    predicate; integer sums make the tie decision exact.
     """
     tok = _words(doc_df).select("doc_id", F.explode("words").alias("word"))
-    toks = tok.withColumn("h", F.xxhash64("word"))
+    toks = (
+        tok.withColumn("m", F.md5("word"))
+        .withColumn("lo", F.conv(F.substring("m", 1, 8), 16, 10).cast("long"))
+        .withColumn("hi", F.conv(F.substring("m", 9, 8), 16, 10).cast("long"))
+    )
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.expr(f"(h >> {i}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+                F.when(
+                    F.expr(f"({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1") == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
             ).alias(f"b{i}")
             for i in range(64)
         ]
     )
-    # OR the per-bit outcomes into one long; 1L<<63 sets the sign bit, which
-    # bitwise OR composes without overflow (no ANSI arithmetic involved).
-    bits_expr = " | ".join(f"if(b{i} > 0, shiftleft(1L, {i}), 0L)" for i in range(64))
-    return votes.select("doc_id", F.expr(bits_expr).alias("simhash"))
+    # Sum the per-bit outcomes into each half; the powers of two are
+    # disjoint so + and | are the same operation, and 2^31 < 2^63 keeps
+    # everything overflow-free (ANSI-safe).
+    lo_expr = " + ".join(f"if(b{i} > 0, {1 << i}L, 0L)" for i in range(32))
+    hi_expr = " + ".join(f"if(b{i + 32} > 0, {1 << i}L, 0L)" for i in range(32))
+    return votes.select(
+        "doc_id", F.expr(lo_expr).alias("sim_lo"), F.expr(hi_expr).alias("sim_hi")
+    )
 
 
 # Connected components over the near-dup graph, as a recursive reachability
@@ -701,7 +810,63 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_dedup_simhash")  # rows-only: hash-family specific
+def _simhash_oracle() -> str:
+    """Generated DuckDB oracle for ext_dedup_simhash: the SAME md5-lane
+    bit votes (simhash_signatures), the same 4 x 16-bit bands with the
+    same hot-bucket cap, the same two-half Hamming distance - all exact
+    integer arithmetic, so the pipeline is cross-engine hash-checkable
+    with no literals and no margins (r8; previously rows-only under the
+    xxhash64 lane, which DuckDB cannot evaluate)."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    lo_bits = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    hi_bits = " + ".join(
+        f"(CASE WHEN b{i + 32} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(word), 1, 8))::BIGINT AS lo,
+         ('0x' || substr(md5(word), 9, 8))::BIGINT AS hi
+  FROM tok
+),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, ({lo_bits}) AS sim_lo, ({hi_bits}) AS sim_hi FROM v),
+bands AS (
+  SELECT doc_id, sim_lo, sim_hi,
+         unnest([0, 1, 2, 3]) AS band_idx,
+         unnest([sim_lo & 65535, (sim_lo >> 16) & 65535,
+                 sim_hi & 65535, (sim_hi >> 16) & 65535]) AS band_val
+  FROM s
+),
+cold AS (
+  SELECT doc_id, sim_lo, sim_hi, band_idx, band_val FROM (
+    SELECT doc_id, sim_lo, sim_hi, band_idx, band_val,
+           count(*) OVER (PARTITION BY band_idx, band_val) AS members
+    FROM bands
+  ) WHERE members <= {_LSH_BUCKET_CAP}
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.sim_lo, b.sim_lo))
+         + bit_count(xor(a.sim_hi, b.sim_hi)) AS hamming
+  FROM cold a JOIN cold b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 8
+"""
+
+
+@register("ext_dedup_simhash", oracle=_simhash_oracle())
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signature from per-token hash bit
     votes; candidates share at least one of four 16-bit bands. Pigeonhole
@@ -711,10 +876,12 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract is "all pairs within 3, plus some within 8", not complete
     recall at 8.
 
-    Signatures come from :func:`simhash_signatures` - 64 conditional sums in
-    a single hash aggregate over un-exploded token rows (no 64x shuffle
-    amplification); a numpy bit-twiddle cross-check asserts the same
-    signatures (tests/test_plans.py).
+    Fully hash-checked since r8 (previously rows-only): signatures come
+    from :func:`simhash_signatures`'s md5 lane - 64 conditional sums in a
+    single hash aggregate over un-exploded token rows (no 64x shuffle
+    amplification), every step exact integer arithmetic the generated
+    oracle replicates verbatim; a numpy bit-twiddle cross-check asserts
+    the same signatures (tests/test_plans.py).
 
     Scale bounds: buckets above _LSH_BUCKET_CAP are dropped before pairing
     (degenerate low-entropy signatures; same ceiling as the MinHash bands).
@@ -728,9 +895,15 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = simhash_signatures(d)
     banded = sig.select(
         "doc_id",
-        "simhash",
+        "sim_lo",
+        "sim_hi",
         F.posexplode(
-            F.array(*[F.expr(f"(simhash >> {16 * i}) & 65535") for i in range(4)])
+            F.array(
+                F.expr("sim_lo & 65535"),
+                F.expr("(sim_lo >> 16) & 65535"),
+                F.expr("sim_hi & 65535"),
+                F.expr("(sim_hi >> 16) & 65535"),
+            )
         ).alias("band_idx", "band_val"),
         # Three consumers (hot-bucket agg + both self-join sides) would
         # otherwise re-run the 64-agg signature aggregation each; one lazy
@@ -755,7 +928,9 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.expr(
+                "bit_count(a.sim_lo ^ b.sim_lo) + bit_count(a.sim_hi ^ b.sim_hi)"
+            ).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= 8)

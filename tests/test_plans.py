@@ -210,9 +210,13 @@ def test_simhash_no_bit_explode(spark, sf_smoke):
 
 def test_simhash_matches_numpy_bit_twiddle(spark, sf_smoke):
     """Cross-implementation agreement: the SQL conditional-sum signature must
-    equal a direct numpy bit-twiddle over the same per-token xxhash64 values
-    (each path is the other's oracle, mirroring the knn jvm/arrow pair)."""
-    import numpy as np
+    equal a direct Python bit-twiddle over the same per-token md5-lane
+    values (each path is the other's oracle, mirroring the knn jvm/arrow
+    pair). Hashes are recomputed here with hashlib - so this also pins that
+    Spark's md5/conv/substring chain equals the reference md5, the property
+    the generated DuckDB oracle relies on."""
+    import hashlib
+
     from pyspark.sql import functions as F
 
     from bee_proof_spark.queries import tbl
@@ -222,30 +226,29 @@ def test_simhash_matches_numpy_bit_twiddle(spark, sf_smoke):
     tok = (
         _words(d)
         .select("doc_id", F.explode("words").alias("word"))
-        .select("doc_id", F.xxhash64("word").alias("h"))
         .collect()
     )
-    by_doc: dict[int, list[int]] = {}
+    by_doc: dict[int, list[tuple[int, int]]] = {}
     for r in tok:
-        by_doc.setdefault(r["doc_id"], []).append(r["h"])
+        m = hashlib.md5(r["word"].encode("utf-8")).hexdigest()
+        by_doc.setdefault(r["doc_id"], []).append(
+            (int(m[0:8], 16), int(m[8:16], 16))
+        )
 
     expected = {}
     for doc_id, hashes in by_doc.items():
-        # xxhash64 yields signed longs; go int64 -> uint64 via view (a direct
-        # uint64 cast of negative Python ints is deprecated in numpy).
-        arr = np.array(hashes, dtype=np.int64).view(np.uint64)
-        votes = np.zeros(64, dtype=np.int64)
-        for i in range(64):
-            bits = (arr >> np.uint64(i)) & np.uint64(1)
-            votes[i] = int(bits.sum()) * 2 - len(arr)  # (+1/-1 votes)
-        sig = np.uint64(0)
-        for i in range(64):
-            if votes[i] > 0:
-                sig |= np.uint64(1) << np.uint64(i)
-        expected[doc_id] = int(sig.astype(np.int64))  # two's complement long
+        lo_sig = hi_sig = 0
+        for i in range(32):
+            lo_votes = sum(1 if (lo >> i) & 1 else -1 for lo, _ in hashes)
+            hi_votes = sum(1 if (hi >> i) & 1 else -1 for _, hi in hashes)
+            if lo_votes > 0:
+                lo_sig |= 1 << i
+            if hi_votes > 0:
+                hi_sig |= 1 << i
+        expected[doc_id] = (lo_sig, hi_sig)
 
     actual = {
-        r["doc_id"]: r["simhash"]
+        r["doc_id"]: (r["sim_lo"], r["sim_hi"])
         for r in simhash_signatures(d).collect()
     }
     assert actual == expected
