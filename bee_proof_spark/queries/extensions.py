@@ -1745,68 +1745,181 @@ def ext_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_knn_ivf")  # rows-only: trained quantizer, iterative algorithm
-def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer (Spark ML, seeded) -> inverted
-    lists keyed by centroid -> probe the 2 nearest lists per query -> exact
-    cosine rerank inside probed lists only.
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, list_id, dots): every vector's frozen-quantizer assignment
+    plus its per-centroid dot array, staged once per (app, corpus).
 
-    Scale notes: training samples the corpus (distributed k-means); the
-    centroid table is tiny and broadcast for both assignment and probe
-    selection. Per query, candidates ~ 2/k of the corpus - recall tunes via
-    nprobe without touching the stored lists. This is the same plan shape as
-    ext_knn_lsh with learned (data-adaptive) buckets.
+    All IVF_K centroid dots happen in ONE float64 BLAS matmul per Arrow
+    batch - the _lsh_bucketed shape (the HOF fold form was measured 192 s
+    vs ~15 s at 2M vectors for the 32-plane knn bank; 8 centroids scale
+    the same way). The family checkpoint means repeat consumers (probe
+    side, candidate side, ext_knn_ann_recall) never re-run the UDF.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from bee_proof_spark.queries._ivf_centroids import IVF_CENTROIDS
+
+    cent_mat = np.array(IVF_CENTROIDS, dtype=np.float64).T.copy()  # (64, K)
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def ivf_dots(unit):
+        import pandas as pd
+
+        mat = np.vstack(unit.to_numpy()).astype(np.float64)  # (B, 64)
+        return pd.Series(list(mat @ cent_mat))
+
+    def build() -> DataFrame:
+        e = shared_unit_vectors(spark, sf_dir)
+        return e.select(
+            "vec_id", ivf_dots("unit").alias("dots")
+        ).select(
+            "vec_id",
+            "dots",
+            # argmax with ties to the LOWEST cent_id (array_position finds
+            # the first occurrence) - the same (dot DESC, cent_id ASC)
+            # order the oracle's row_number uses.
+            (F.expr("array_position(dots, array_max(dots))") - 1)
+            .cast("int")
+            .alias("list_id"),
+        )
+
+    return _family_checkpoint(
+        spark, sf_dir, "ivf_assign", build, source="embeddings"
+    )
+
+
+def _knn_ivf_oracle() -> str:
+    """Generated DuckDB oracle for ext_knn_ivf: the SAME frozen 3-decimal
+    centroid bank (literals digit-identical to the Spark plan - the
+    ext_knn_lsh plane-bank discipline applied to LEARNED centroids), the
+    same argmax assignment and top-NPROBE probe selection with (dot DESC,
+    cent_id ASC) tie-breaks, and the _KNN_ORACLE rerank contract. Sound
+    because the minimum assignment margin (best-dot minus second-best)
+    and probe margin (probe-2 minus probe-3) are pinned orders of
+    magnitude above float-summation divergence on every fixture
+    (tests/test_properties.py::test_ivf_assignment_margin...)."""
+    from bee_proof_spark.queries._ivf_centroids import IVF_CENTROIDS, IVF_K
+
+    dot_cols = ",\n         ".join(
+        "list_dot_product(unit, ["
+        + ", ".join(repr(float(v)) for v in IVF_CENTROIDS[k])
+        + f"]) AS d{k}"
+        for k in range(IVF_K)
+    )
+    long_form = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {k} AS cent_id, d{k} AS dot FROM d"
+        for k in range(IVF_K)
+    )
+    return f"""
+WITH n AS (
+  SELECT vec_id,
+         list_transform(
+           list_transform(embedding, x -> cast(x as double)),
+           x -> x / sqrt(list_sum(list_transform(
+                  list_transform(embedding, e -> cast(e as double)), y -> y * y)))
+         ) AS unit
+  FROM embeddings
+),
+d AS (SELECT vec_id, {dot_cols} FROM n),
+m AS ({long_form}),
+ranked AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cent_id) AS rnk
+  FROM m
+),
+a AS (SELECT vec_id, cent_id AS list_id FROM ranked WHERE rnk = 1),
+p AS (
+  SELECT vec_id AS q_id, cent_id AS probe_list
+  FROM ranked WHERE vec_id < 10 AND rnk <= 2
+),
+cand AS (
+  SELECT p.q_id, a.vec_id AS c_id
+  FROM p JOIN a ON a.list_id = p.probe_list AND a.vec_id <> p.q_id
+),
+v AS (
+  SELECT q_id, c_id, round(list_dot_product(x.unit, y.unit), 4) AS cosine
+  FROM cand
+  JOIN n x ON x.vec_id = q_id
+  JOIN n y ON y.vec_id = c_id
+),
+r AS (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+  FROM v
+)
+SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 5
+"""
+
+
+@register("ext_knn_ivf", oracle=_knn_ivf_oracle())
+def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: FROZEN k-means coarse quantizer -> inverted lists keyed by
+    centroid -> probe the 2 nearest lists per query -> exact cosine rerank
+    inside probed lists only.
+
+    Fully hash-checked since r8 (previously rows-only): IVF training is an
+    OFFLINE step - tools/train_ivf_centroids.py runs seeded Spark ML
+    KMeans (k=8, seed=42) and freezes the centroid bank to 3-decimal
+    literals (_ivf_centroids.py) - and this serving path assigns against
+    the frozen bank, which the generated oracle replicates digit-for-digit
+    (the ext_knn_lsh discipline with learned instead of random buckets;
+    measured assignment/probe margins >= 1.7e-5 on every fixture, pinned
+    by test). The rerank inherits the _KNN_ORACLE 4dp contract, whose
+    rounding agreement over every (query, candidate) pair ext_knn_cosine
+    already certifies (IVF candidates are a subset of its all-pairs scan).
+
+    Scale notes: train-offline/serve-frozen is exactly how production IVF
+    indexes work (re-running KMeans per query would re-scan the corpus);
+    assignment is one broadcast-free Arrow matmul pass staged per corpus;
+    per query, candidates ~ NPROBE/k of the corpus - recall tunes via
+    nprobe without touching the stored lists. Same plan shape as
+    ext_knn_lsh with learned (data-adaptive) buckets; quality is
+    independently bounded by ext_knn_ann_recall.
+    """
     from pyspark.sql import Window
 
-    K, NPROBE, TOPK = 8, 2, 5
+    NPROBE, TOPK = 2, 5
 
-    e = shared_unit_vectors(spark, sf_dir)
-    feat = e.withColumn("features", array_to_vector("unit"))
-    model = KMeans(k=K, seed=42, maxIter=10).fit(feat)
-    assigned = model.transform(feat).select(
-        "vec_id", "unit", F.col("prediction").alias("list_id")
-    )
-
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cent_id int, centroid array<double>",
-    )
-    # nprobe nearest centroids per query (centroid table is broadcast)
-    q = assigned.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("unit").alias("a_unit")
-    )
-    cdist = q.join(F.broadcast(centroids)).withColumn(
-        "cdot",
-        F.expr(
-            "aggregate(zip_with(a_unit, centroid, (x, y) -> x * y),"
-            " 0.0D, (acc, x) -> acc + x)"
-        ),
+    assigned = _ivf_assigned(spark, sf_dir)
+    qd = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.posexplode("dots").alias("cent_id", "cdot"),
     )
     wprobe = Window.partitionBy("q_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
     probes = (
-        cdist.withColumn("pr", F.row_number().over(wprobe))
+        qd.withColumn("pr", F.row_number().over(wprobe))
         .filter(F.col("pr") <= NPROBE)
-        .select("q_id", "a_unit", F.col("cent_id").alias("probe_list"))
+        .select("q_id", F.col("cent_id").alias("probe_list"))
     )
 
+    u = shared_unit_vectors(spark, sf_dir).select("vec_id", "unit")
+    qv = u.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("unit").alias("a_unit")
+    )
+    # Each vector lives in exactly ONE list, so probe-list candidates are
+    # already distinct per (q_id, c_id) - no dedup pass needed (unlike the
+    # multi-table LSH union).
     cands = (
-        assigned.withColumnRenamed("unit", "b_unit")
+        assigned.select("vec_id", "list_id")
         .join(
             F.broadcast(probes),
-            (F.col("list_id") == F.col("probe_list")) & (F.col("vec_id") != F.col("q_id")),
+            (F.col("list_id") == F.col("probe_list"))
+            & (F.col("vec_id") != F.col("q_id")),
         )
-        .withColumn("cosine", F.expr(_DOT))
+        .select("q_id", F.col("vec_id").alias("c_id"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    scored = (
+        cands.join(F.broadcast(qv), "q_id")
+        .join(u.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("b_unit")), "c_id")
+        .withColumn("cosine", F.round(F.expr(_DOT), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
-        cands.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOPK)
-        .select(
-            "q_id", F.col("vec_id").alias("c_id"), F.round("cosine", 4).alias("cosine"), "rnk"
-        )
+        .select("q_id", "c_id", "cosine", "rnk")
     )
 
 

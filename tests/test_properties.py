@@ -257,6 +257,35 @@ def test_knn_lsh_sign_margin_dwarfs_float_divergence():
         assert margin > 1e-9, (sf, margin)
 
 
+def test_ivf_assignment_margin_dwarfs_float_divergence():
+    """Same property for ext_knn_ivf's FROZEN centroid bank (upgraded from
+    rows-only to a generated hash-checked oracle in r8): the minimum
+    assignment margin (best centroid dot minus second-best) and probe
+    margin (probe-2 dot minus probe-3, query vectors only) across every
+    fixture must dwarf summation-order divergence, or a BLAS-vs-sequential
+    flip could diverge the list assignment between engines. Measured:
+    assignment 1.7e-5 (sf0.1) .. 4.4e-5 (sf0.01); probe 4.3e-5 (sf0.001)
+    .. 2.2e-3 (sf0.01)."""
+    import duckdb
+    import numpy as np
+
+    from bee_proof_spark.queries._ivf_centroids import IVF_CENTROIDS
+
+    cents = np.array(IVF_CENTROIDS, dtype=np.float64)
+    con = duckdb.connect()
+    for sf in ["sf0.001", "sf0.01", "sf0.1"]:
+        emb = con.execute(
+            "SELECT embedding FROM "
+            f"read_parquet('/root/testdata/{sf}/embeddings.parquet')"
+            " ORDER BY vec_id"
+        ).fetch_df()
+        vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        dots = np.sort(vecs @ cents.T, axis=1)[:, ::-1]
+        assert (dots[:, 0] - dots[:, 1]).min() > 1e-9, sf
+        assert (dots[:10, 1] - dots[:10, 2]).min() > 1e-9, sf
+
+
 def test_emb_lsh_planted_near_dups_all_caught(spark, tmp_path):
     """The complement of the subset-of-exact test: high-cosine near-dups
     must actually be CAUGHT. A deterministic planted fixture (2k isotropic
