@@ -9,22 +9,22 @@ All implementations live in ``bee_proof_spark.queries`` (SURVEY.md section 2
 inventory); every id declared here passes the same comparison locally first
 (tests/test_queries_oracle.py).
 
-Rows-only contract: 5 of the registered ids intentionally omit
+Rows-only contract: 2 of the registered ids intentionally omit
 ``oracle_sql()`` because their OUTPUT (not their correctness) is
-engine-specific, and each has an oracle-checked twin or invariant covering
-the capability:
+engine-specific, and each has an oracle-checked twin covering the
+capability:
 
-- ``ext_dedup_fuzzy`` / ``ext_dedup_simhash`` (xxhash64-family candidates)
-  -> ``ext_dedup_fuzzy_verified`` hash-checks the full LSH+exact-verify
-  pipeline against all-pairs truth.
-- ``ext_knn_ivf`` (trained quantizer) -> ``ext_knn_ann_recall``
-  hash-checks its recall@5 quality bound. (``ext_knn_lsh`` graduated to a
-  fully generated hash-checked oracle in r7 - 3-decimal plane literals,
-  the ext_dedup_embedding_lsh discipline.)
 - ``tablesample_rows`` / ``ext_sample_stratified`` (sample membership is
   engine-specific for Spark's seeded samplers) -> ``sample_hash_bernoulli``
   / ``sample_stratified_hash`` / ``ext_domain_mixture`` hash-check the
   sampling capability with deterministic md5-cutoff membership.
+
+r8 graduations shrank the set from 5: ``ext_dedup_fuzzy`` /
+``ext_dedup_simhash`` now ride an md5 double-hashing lane both engines
+evaluate identically (exact integer signatures - no literals, no
+margins), and ``ext_knn_ivf`` serves an offline-trained FROZEN centroid
+bank whose 3-decimal literals the generated oracle replicates (the r7
+``ext_knn_lsh`` plane-bank discipline, with pinned assignment margins).
 ``stream_watermark_late``, ``stream_dedup_state`` and
 ``stream_session_stateful`` were upgraded from rows-only to oracled in r5:
 on the in-order AvailableNow replay their emitted sets are closed-form (no
@@ -157,18 +157,26 @@ def _ever_ran() -> set[str]:
 
 
 def _builder_fingerprint(qid: str) -> str:
-    """Source hash of a query's builder plus every same-module function it
+    """Source hash of a query's builder plus every in-package function it
     (transitively) calls - the "did the code that produced the driver row
-    change since" key for rows-only evidence re-arming. Module-level
-    CONSTANTS are outside the net (acceptable: the caps/limits that matter
-    are read inside helper functions); function-level rewrites - the r6
-    ext_knn_lsh Arrow-matmul case this exists for - are caught."""
+    change since" key for rows-only evidence re-arming.
+
+    Widened in r8 (ADVICE): the net now crosses module boundaries within
+    the bee_proof_spark package (names are resolved against each visited
+    function's OWN module, so a helper imported from queries/__init__
+    re-arms its callers when edited) and includes the reprs of referenced
+    module-level PRIMITIVE constants (ints/strings/lists - the LSH_TABLES
+    class of behavior knob), so a constant edit re-arms too. Mutable
+    runtime state (dicts like the family cache, modules, classes) stays
+    excluded - their reprs are not stable across processes. Constants
+    imported inside function bodies from sibling modules remain outside
+    the net (their names don't resolve on the visited module); the frozen
+    IVF bank is the one such case and it is oracled, not rows-only."""
     import hashlib
     import inspect
     import types
 
     fn = _REGISTRY[qid].builder
-    mod = sys.modules.get(fn.__module__)
 
     def code_names(code: types.CodeType) -> set[str]:
         names = set(code.co_names)
@@ -177,12 +185,13 @@ def _builder_fingerprint(qid: str) -> str:
                 names |= code_names(c)
         return names
 
+    const_types = (str, int, float, bool, bytes, tuple, frozenset, list)
     seen: set[str] = set()
     parts: list[str] = []
     stack = [fn]
     while stack:
         f = stack.pop()
-        key = getattr(f, "__qualname__", repr(f))
+        key = f"{getattr(f, '__module__', '')}.{getattr(f, '__qualname__', repr(f))}"
         if key in seen:
             continue
         seen.add(key)
@@ -191,17 +200,57 @@ def _builder_fingerprint(qid: str) -> str:
         except (OSError, TypeError):
             continue
         code = getattr(f, "__code__", None)
+        mod = sys.modules.get(getattr(f, "__module__", None) or "")
         if code is None or mod is None:
             continue
-        for name in code_names(code):
+        for name in sorted(code_names(code)):
             g = getattr(mod, name, None)
-            if (
-                callable(g)
-                and getattr(g, "__module__", None) == fn.__module__
-                and hasattr(g, "__code__")
+            if g is None or isinstance(g, types.ModuleType):
+                continue
+            gmod = getattr(g, "__module__", None) or ""
+            if callable(g) and hasattr(g, "__code__") and gmod.startswith(
+                "bee_proof_spark"
             ):
                 stack.append(g)
-    return hashlib.sha256("".join(sorted(parts)).encode()).hexdigest()[:16]
+            elif isinstance(g, const_types):
+                parts.append(f"{mod.__name__}.{name}={g!r}")
+    return hashlib.sha256("\n".join(sorted(parts)).encode()).hexdigest()[:16]
+
+
+def _stamp_rows_only_fingerprints() -> None:
+    """Append the current rows-only builder fingerprints (with a wall-clock
+    ts) to tools/rows_only_fp_log.jsonl, deduping consecutive identical
+    stamps. Called from queries(), so THE CODE THE DRIVER ACTUALLY RUNS
+    stamps itself at run time; tools/rows_only_evidence.py --reconcile
+    then attributes a ledger's evidence rows to the stamp nearest before
+    that ledger landed instead of re-fingerprinting whatever the working
+    tree holds when reconcile happens to run (the r7 ADVICE
+    reconcile-after-edit mis-attribution hazard)."""
+    import json
+    import time
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools",
+        "rows_only_fp_log.jsonl",
+    )
+    fps = {
+        qid: _builder_fingerprint(qid)
+        for qid in _REGISTRY
+        if _REGISTRY[qid].oracle is None
+    }
+    last = None
+    try:
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    last = json.loads(line)
+    except (OSError, ValueError):
+        last = None
+    if last is not None and last.get("fps") == fps:
+        return
+    with open(path, "a") as f:
+        f.write(json.dumps({"ts": time.time(), "fps": fps}) + "\n")
 
 
 def _rows_only_evidence_current(qid: str) -> bool:
@@ -289,6 +338,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2."""
+    import contextlib
+
+    # run-time evidence attribution (see _stamp_rows_only_fingerprints);
+    # stamping must never break the driver contract (e.g. read-only tree)
+    with contextlib.suppress(Exception):
+        _stamp_rows_only_fingerprints()
     return {qid: _REGISTRY[qid].builder for qid in _ordered_ids()}
 
 

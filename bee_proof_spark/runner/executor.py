@@ -121,8 +121,21 @@ def _blank_literals_and_comments(sql: str) -> str:
             out.append(" " * (j - i))
             i = j
         elif sql.startswith("/*", i):
-            j = sql.find("*/", i + 2)
-            j = n if j < 0 else j + 2
+            # Spark's lexer supports NESTED bracketed comments: track depth
+            # so 'CREATE TABLE t AS /* a /* b */ c */ SELECT ...' blanks the
+            # WHOLE comment (a first-'*/' scan would leave ' c */' live
+            # between AS and SELECT and misclassify the CTAS as ddl - a
+            # statement that moves data under dry-run).
+            j, depth = i + 2, 1
+            while j < n and depth:
+                if sql.startswith("/*", j):
+                    depth += 1
+                    j += 2
+                elif sql.startswith("*/", j):
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
             seg = sql[i:j]
             out.append("".join(ch if ch == "\n" else " " for ch in seg))
             i = j
@@ -146,8 +159,18 @@ def strip_leading_comments(sql: str) -> str:
             j = sql.find("\n", i)
             i = n if j < 0 else j + 1
         elif sql.startswith("/*", i):
-            j = sql.find("*/", i + 2)
-            i = n if j < 0 else j + 2
+            # nesting-aware, mirroring _blank_literals_and_comments
+            j, depth = i + 2, 1
+            while j < n and depth:
+                if sql.startswith("/*", j):
+                    depth += 1
+                    j += 2
+                elif sql.startswith("*/", j):
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            i = j
         else:
             break
     return sql[i:]

@@ -126,6 +126,13 @@ def test_manifest_missing_script_key():
         # inside a comment does not open a literal:
         ("CREATE TABLE t (x STRING) COMMENT 'as -- select'", "ddl"),
         ("CREATE TABLE t (x INT) /* don't AS SELECT */", "ddl"),
+        # NESTED bracketed comments (Spark's lexer supports them): the
+        # scanner must track depth, not close at the first '*/'
+        # (review-caught r8: ' c */' stayed live and the CTAS classified
+        # 'ddl' - a statement that moves data under dry-run)
+        ("CREATE TABLE t AS /* a /* b */ c */ SELECT 1", "exec"),
+        ("/* outer /* inner */ still comment */ SET a=b", "set"),
+        ("CREATE TABLE t (x INT) /* as /* nested */ select */", "ddl"),
     ],
 )
 def test_classify(sql, kind):

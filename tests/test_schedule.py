@@ -168,12 +168,8 @@ def test_oracle_sql_covers_exactly_the_oracled_ids():
     assert len(e.queries()) == len(reg)
 
 
-def test_rows_only_evidence_reconcile(tmp_path, monkeypatch):
-    """--reconcile records the CURRENT fingerprint for exactly the rows-only
-    ids present in the newest ledger (evidence for this source), leaving
-    absent ids armed. A bug here silently mis-parks ids next round."""
+def _load_roe(tmp_path, monkeypatch):
     import importlib.util
-    import json
 
     spec = importlib.util.spec_from_file_location(
         "rows_only_evidence",
@@ -185,11 +181,24 @@ def test_rows_only_evidence_reconcile(tmp_path, monkeypatch):
     )
     roe = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(roe)
+    monkeypatch.setattr(roe, "HERE", str(tmp_path))
+    monkeypatch.setattr(roe, "EVIDENCE_PATH", str(tmp_path / "ev.json"))
+    monkeypatch.setattr(roe, "FP_LOG_PATH", str(tmp_path / "fp_log.jsonl"))
+    return roe
+
+
+def test_rows_only_evidence_reconcile_uses_runtime_stamp(tmp_path, monkeypatch):
+    """--reconcile must attribute a ledger's evidence rows to the run-time
+    fingerprint stamp nearest BEFORE the ledger landed (the code the driver
+    actually ran) - never to the current working-tree recompute, which may
+    already hold this round's edits (the r7 ADVICE mis-attribution)."""
+    import json
+    import time
+
+    roe = _load_roe(tmp_path, monkeypatch)
     e = _reload()
     rows_only = [q for q in e._REGISTRY if e._REGISTRY[q].oracle is None]
     target, absent = rows_only[0], rows_only[1]
-    monkeypatch.setattr(roe, "HERE", str(tmp_path))
-    monkeypatch.setattr(roe, "EVIDENCE_PATH", str(tmp_path / "ev.json"))
     # two ledgers: the OLD one also names `absent`, but only the NEWEST
     # ledger counts as evidence
     (tmp_path / "CORRECTNESS_r08.json").write_text(
@@ -198,6 +207,112 @@ def test_rows_only_evidence_reconcile(tmp_path, monkeypatch):
     (tmp_path / "CORRECTNESS_r09.json").write_text(
         json.dumps({target: {"spark_rows": 5, "err": "no_oracle"}})
     )
+    now = time.time()
+    with open(tmp_path / "fp_log.jsonl", "w") as f:
+        # the stamp the driver's queries() call left before the ledger...
+        f.write(json.dumps({"ts": now - 60, "fps": {target: "driver-ran-fp"}}))
+        f.write("\n")
+        # ...and a LATER stamp from a post-edit local run must NOT win
+        f.write(json.dumps({"ts": now + 3600, "fps": {target: "edited-fp"}}))
+        f.write("\n")
     assert roe.main(["--reconcile"]) == 0
     rec = json.loads((tmp_path / "ev.json").read_text())
+    assert rec == {target: "driver-ran-fp"}
+
+
+def test_rows_only_evidence_reconcile_refuses_unattributable(tmp_path, monkeypatch):
+    """With NO stamp predating the ledger, the fallback is the current
+    recompute - allowed only on a clean source tree. tmp_path is not a git
+    repo (clean-check unknowable -> dirty), so reconcile must refuse rather
+    than silently attribute possibly-edited code; --force overrides."""
+    import json
+
+    roe = _load_roe(tmp_path, monkeypatch)
+    e = _reload()
+    target = next(q for q in e._REGISTRY if e._REGISTRY[q].oracle is None)
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({target: {"spark_rows": 5, "err": "no_oracle"}})
+    )
+    assert roe.main(["--reconcile"]) == 1
+    assert json.loads((tmp_path / "ev.json").read_text()) == {}
+    assert roe.main(["--reconcile", "--force"]) == 0
+    rec = json.loads((tmp_path / "ev.json").read_text())
     assert rec == {target: e._builder_fingerprint(target)}
+
+
+def test_rows_only_evidence_reconcile_prunes_graduated_ids(tmp_path, monkeypatch):
+    """Ids that graduated to oracles must drop out of the evidence file on
+    reconcile - a stale entry is dead weight that would resurrect if the
+    id ever returned to rows-only with old code."""
+    import json
+
+    roe = _load_roe(tmp_path, monkeypatch)
+    e = _reload()
+    target = next(q for q in e._REGISTRY if e._REGISTRY[q].oracle is None)
+    (tmp_path / "ev.json").write_text(
+        json.dumps({"ext_dedup_fuzzy": "oldfp", target: "keepfp"})
+    )
+    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps({}))
+    assert roe.main(["--reconcile", "--force"]) == 0
+    rec = json.loads((tmp_path / "ev.json").read_text())
+    assert rec == {target: "keepfp"}
+
+
+def test_builder_fingerprint_sees_constants_and_cross_module_helpers(
+    tmp_path, monkeypatch
+):
+    """The r8 widening (ADVICE): a referenced module-level primitive
+    constant and a same-package CROSS-MODULE callee must both be inside
+    the fingerprint net - an edit to either re-arms the evidence slot.
+    Probed with synthetic in-package modules so the test controls the
+    sources."""
+    import importlib.util
+    import types
+
+    seq = iter(range(100))
+
+    def load(name: str, src: str):
+        # distinct file per version: inspect/linecache cache sources by
+        # path, and same-size same-second rewrites can go stale
+        p = tmp_path / f"{name.rsplit('.', 1)[-1]}_{next(seq)}.py"
+        p.write_text(src)
+        spec = importlib.util.spec_from_file_location(name, p)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    helper_src = "KNOB = {knob}\n\ndef helper():\n    return KNOB\n"
+    main_src = (
+        "CONST = {const!r}\n\n"
+        "def builder(spark, sf_dir):\n    return (CONST, helper())\n"
+    )
+    e = _reload()
+    try:
+        h = load("bee_proof_spark._fp_probe_helper", helper_src.format(knob=1))
+        m = load("bee_proof_spark._fp_probe_main", main_src.format(const="a"))
+        m.helper = h.helper
+        monkeypatch.setitem(
+            e._REGISTRY, "___fp_probe___",
+            types.SimpleNamespace(builder=m.builder, oracle=None),
+        )
+        fp0 = e._builder_fingerprint("___fp_probe___")
+        assert fp0 == e._builder_fingerprint("___fp_probe___")  # deterministic
+
+        # editing the CROSS-MODULE helper's constant must change the hash
+        h2 = load("bee_proof_spark._fp_probe_helper", helper_src.format(knob=2))
+        m.helper = h2.helper
+        fp_knob = e._builder_fingerprint("___fp_probe___")
+        assert fp_knob != fp0
+
+        # ...and editing the builder's own module-level constant must too
+        m2 = load("bee_proof_spark._fp_probe_main", main_src.format(const="b"))
+        m2.helper = h2.helper
+        monkeypatch.setitem(
+            e._REGISTRY, "___fp_probe___",
+            types.SimpleNamespace(builder=m2.builder, oracle=None),
+        )
+        assert e._builder_fingerprint("___fp_probe___") != fp_knob
+    finally:
+        sys.modules.pop("bee_proof_spark._fp_probe_helper", None)
+        sys.modules.pop("bee_proof_spark._fp_probe_main", None)

@@ -8,18 +8,22 @@ the new code lands a fresh spark_rows>0 row on driver hardware (r6 verdict
 item #3: the Arrow-matmul ext_knn_lsh rewrite never re-evidenced under the
 old "has any ledger row" rule).
 
-Usage (at ROUND START, before touching query code, so "current source"
-still equals "the source the driver ran last round"):
+Attribution (r8, closes the ADVICE reconcile-after-edit hazard): every
+``queries()`` call appends the fingerprints of the code it is about to hand
+the driver to tools/rows_only_fp_log.jsonl (run-time stamping). --reconcile
+attributes a ledger's evidence rows to the LAST STAMP AT OR BEFORE that
+ledger file landed - the code the driver actually ran - not to whatever the
+working tree holds when reconcile happens to run. Only when no stamp
+predates the ledger (pre-r8 ledgers) does it fall back to the current
+recompute, and then ONLY if the source tree is git-clean (``--force``
+overrides, for when you have verified the edits postdate the ledger).
+
+Usage:
 
     python tools/rows_only_evidence.py                 # status table
     python tools/rows_only_evidence.py --reconcile     # record fingerprints
                                                        # for ids with a row
                                                        # in the latest ledger
-
---reconcile records the current fingerprint for every rows-only id that has
-a row in the NEWEST CORRECTNESS_r*.json (evidence for this exact source);
-ids whose row predates their rewrite keep their stale/absent entry and stay
-armed.
 """
 
 from __future__ import annotations
@@ -28,16 +32,18 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 EVIDENCE_PATH = os.path.join(HERE, "tools", "rows_only_evidence.json")
+FP_LOG_PATH = os.path.join(HERE, "tools", "rows_only_fp_log.jsonl")
 
 
-def _latest_ledger() -> tuple[int, dict]:
-    best_round, best = 0, {}
+def _latest_ledger() -> tuple[int, dict, float]:
+    best_round, best, mtime = 0, {}, 0.0
     for path in glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -45,9 +51,42 @@ def _latest_ledger() -> tuple[int, dict]:
             try:
                 with open(path) as f:
                     best_round, best = rnd, json.load(f)
+                mtime = os.path.getmtime(path)
             except Exception:
                 pass
-    return best_round, best
+    return best_round, best, mtime
+
+
+def _stamp_before(mtime: float) -> dict | None:
+    """Last run-time fingerprint stamp at or before the ledger landed
+    (+1 s grace for same-second filesystem timestamps)."""
+    best = None
+    try:
+        with open(FP_LOG_PATH) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                entry = json.loads(line)
+                if entry.get("ts", 0) <= mtime + 1.0:
+                    best = entry.get("fps")
+    except (OSError, ValueError):
+        return None
+    return best
+
+
+def _source_tree_clean() -> bool:
+    """True when the query-source paths have no uncommitted changes (so the
+    current recompute still describes the code the driver ran). Unknown
+    (no git) counts as dirty - refuse rather than mis-attribute."""
+    try:
+        out = subprocess.run(
+            ["git", "-C", HERE, "status", "--porcelain", "--",
+             "bee_proof_spark", "__spark_entry__.py"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout
+        return out.strip() == ""
+    except Exception:
+        return False
 
 
 def main(argv: list[str]) -> int:
@@ -61,18 +100,39 @@ def main(argv: list[str]) -> int:
         recorded = {}
 
     if "--reconcile" in argv:
-        rnd, ledger = _latest_ledger()
-        changed = []
+        rnd, ledger, mtime = _latest_ledger()
+        stamps = _stamp_before(mtime)
+        force = "--force" in argv
+        # ids that graduated to oracles no longer occupy evidence slots
+        recorded = {k: v for k, v in recorded.items() if k in rows_only}
+        changed, refused = [], []
         for qid in rows_only:
-            if qid in ledger:
+            if qid not in ledger:
+                continue
+            if stamps is not None and qid in stamps:
+                fp = stamps[qid]  # the code the driver actually ran
+            elif force or _source_tree_clean():
                 fp = e._builder_fingerprint(qid)
-                if recorded.get(qid) != fp:
-                    recorded[qid] = fp
-                    changed.append(qid)
+            else:
+                refused.append(qid)
+                continue
+            if recorded.get(qid) != fp:
+                recorded[qid] = fp
+                changed.append(qid)
         with open(EVIDENCE_PATH, "w") as f:
             json.dump(dict(sorted(recorded.items())), f, indent=1)
             f.write("\n")
-        print(f"reconciled against CORRECTNESS_r{rnd:02d}: updated {changed or 'nothing'}")
+        print(
+            f"reconciled against CORRECTNESS_r{rnd:02d}: updated {changed or 'nothing'}"
+        )
+        if refused:
+            print(
+                f"REFUSED (no run-time stamp predates the ledger and the source"
+                f" tree is dirty - evidence would be mis-attributed): {refused}."
+                f" Commit/stash the edits or pass --force if they postdate the"
+                f" ledger."
+            )
+            return 1
         return 0
 
     ran = e._ever_ran()
