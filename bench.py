@@ -31,9 +31,16 @@ Methodology (self-adjudicating, round-3):
   the headline later.
 - A fixed calibration workload (calibration_pass: synthetic 20M-row
   CPU+shuffle job, fixture-independent, constant across rounds) brackets
-  the sweep; its floor is emitted as ``calibration`` in the result line.
-  Round-over-round totals should be compared as value/calibration ratios:
-  host drift (r6 measured x1.4 across a session) divides out.
+  EVERY sweep pass (r8): samples land before pass 1, between passes, and
+  after adjudication, emitted as ``pass_calibration`` bracket pairs plus
+  per-query ``query_calibration_ratio`` (floor / calibration floor) in the
+  runs line - a stall inside one pass is attributable to that pass from
+  the artifact alone. The result line's ``calibration`` floor normalizes
+  round-over-round totals: host drift (r6 measured x1.4 across a session)
+  divides out.
+- One-time family-checkpoint staging cost is a NAMED number
+  (``staging.knn_lsh``: pass-0 minus warm floor for the query that builds
+  the knn bucket table) instead of hiding inside min-of-passes (r8).
 """
 
 from __future__ import annotations
@@ -98,6 +105,10 @@ TAIL_QUERIES = [
     "ext_dedup_embedding_lsh",   # hyperplane-bucket near-dup (r6)
     "ext_knn_lsh",               # multi-table LSH ANN, oracled + bucket
                                  # checkpoint (r7)
+    # r8 graduations: both newly hash-checked paths join the headline so
+    # their oracled forms are tracked round-over-round.
+    "ext_dedup_simhash",         # md5-lane simhash banding (oracled r8)
+    "ext_knn_ivf",               # frozen-quantizer IVF ANN (oracled r8)
 ]
 
 BENCH_QUERIES = STABLE_QUERIES + TAIL_QUERIES
@@ -150,11 +161,13 @@ def main() -> None:
         materialize(registry["join_smb_bucketed"].builder(spark, sf_dir))
 
     runs: dict[str, list[float]] = {}
-    # Calibration brackets the sweep (one warm sample now, one after the
-    # timed passes); min-of-samples is the host yardstick for this run.
+    # Calibration brackets EVERY sweep pass (r7 verdict #3): a sample
+    # before pass 1, between passes, and after the adjudication passes.
+    # A host stall INSIDE pass 2 (the r7 stream_dedup_state [4.45, 10.31]
+    # case) then shows up in that pass's own bracket pair and is
+    # machine-attributable from the artifact, no judge microbench needed.
     calib: list[float] = []
     calibration_pass(spark)  # codegen/JIT warmup for the calibration shape
-    calib.append(calibration_pass(spark))
 
     def one_pass(name: str) -> None:
         t0 = time.perf_counter()
@@ -165,20 +178,23 @@ def main() -> None:
     # the second pass after the full sweep (rather than back-to-back per
     # query) so both passes see comparable JVM/page-cache state and a
     # transient stall can't inflate both samples of one query.
+    calib.append(calibration_pass(spark))
     for name in stable + tail:
         one_pass(name)
+    calib.append(calibration_pass(spark))
     for name in stable + tail:
         one_pass(name)
+    calib.append(calibration_pass(spark))
     # Self-tuning third pass: two samples >3x apart means one of them was
     # cold/noisy - a cheap extra sample settles which (min-of-three).
     for name in stable + tail:
         ts = runs[name]
         if max(ts) > 3 * min(ts):
             one_pass(name)
-
     calib.append(calibration_pass(spark))
 
     per_query = {name: min(ts) for name, ts in runs.items()}
+    calib_floor = min(calib)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "bench_total_wall_clock",
@@ -186,12 +202,39 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "calibration": min(calib),
+        "calibration": calib_floor,
+        # One-time family-checkpoint staging, tracked as its own named
+        # number (r7 verdict #5) instead of hiding inside min-of-passes:
+        # pass-0 minus the warm floor for the query that builds the knn
+        # bucket table on its first touch.
+        "staging": {
+            "knn_lsh": round(runs["ext_knn_lsh"][0] - per_query["ext_knn_lsh"], 3)
+        }
+        if "ext_knn_lsh" in runs
+        else {},
     }
     spark.stop()
     # Raw samples first (own line + optional side file), compact line LAST -
     # the driver's tail capture must always see the full compact line.
-    runs_line = json.dumps({"bench_runs": runs, "calibration_runs": calib})
+    # pass_calibration pairs bracket each sweep pass ([before, after]);
+    # query_calibration_ratio is each query's floor divided by the
+    # calibration floor - the host-normalized number to compare across
+    # rounds.
+    runs_line = json.dumps(
+        {
+            "bench_runs": runs,
+            "calibration_runs": calib,
+            "pass_calibration": {
+                "pass1": calib[0:2],
+                "pass2": calib[1:3],
+                "pass3": calib[2:4],
+            },
+            "query_calibration_ratio": {
+                name: round(min(ts) / calib_floor, 2)
+                for name, ts in runs.items()
+            },
+        }
+    )
     print(runs_line)
     side = os.environ.get("SPARK_GRAFT_BENCH_RUNS")
     if side:
