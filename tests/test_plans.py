@@ -81,6 +81,21 @@ def test_lsh_join_is_not_cartesian(spark, sf_smoke):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_plan_shape(spark, sf_smoke):
+    """The frozen-quantizer IVF path (oracled r8) must keep the scale
+    shape: broadcast probe join (never cartesian/BNLJ), top-k via
+    WindowGroupLimit, no row-at-a-time Python eval. (The Arrow-matmul
+    assignment UDF lives inside the _ivf_assigned family checkpoint, so
+    the served plan shows the staged scan, not the UDF - same as the knn
+    bucket table.)"""
+    plan = _plan(spark, "ext_knn_ivf", sf_smoke, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan  # Arrow batches only, never per-row
+
+
 # -------------------------------------------------- top-k & aggregation shape
 
 def test_topk_avoids_global_sort(spark, sf_smoke):

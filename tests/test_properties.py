@@ -286,6 +286,57 @@ def test_ivf_assignment_margin_dwarfs_float_divergence():
         assert (dots[:10, 1] - dots[:10, 2]).min() > 1e-9, sf
 
 
+def test_md5_hash_lane_cross_engine_parity_whole_corpus(spark):
+    """The md5 double-hashing lane (r8: what makes ext_dedup_fuzzy /
+    ext_dedup_simhash hash-checkable) must produce BYTE-IDENTICAL h1/h2
+    integers in Spark and DuckDB for every shingle of a real corpus - not
+    just the adversarial spike strings. A single divergent hex parse or
+    md5 of any UTF-8 content would silently shift one signature."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bee_proof_spark.queries import tbl
+    from bee_proof_spark.queries.extensions import _shingle_postings
+
+    sf = "/root/testdata/sf0.001"
+    sdf = (
+        _shingle_postings(tbl(spark, sf, "documents"))
+        .select(
+            "shingle",
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        )
+        .distinct()
+    )
+    spark_rows = {(r["shingle"], r["h1"], r["h2"]) for r in sdf.collect()}
+    con = duckdb.connect()
+    duck_rows = set(
+        con.execute(
+            f"""
+            WITH sh AS (
+              SELECT DISTINCT unnest(list_transform(
+                       generate_series(1, greatest(len(words) - 2, 1)),
+                       i -> array_to_string(words[i:i+2], ' '))) AS shingle
+              FROM (SELECT string_split(text, ' ') AS words
+                    FROM read_parquet('{sf}/documents.parquet'))
+            )
+            SELECT shingle,
+                   ('0x' || substr(md5(shingle), 1, 8))::BIGINT,
+                   ('0x' || substr(md5(shingle), 9, 8))::BIGINT
+            FROM sh
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert len(spark_rows) > 1000
+    assert spark_rows == duck_rows
+
+
 def test_emb_lsh_planted_near_dups_all_caught(spark, tmp_path):
     """The complement of the subset-of-exact test: high-cosine near-dups
     must actually be CAUGHT. A deterministic planted fixture (2k isotropic
