@@ -891,8 +891,17 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e.g. 8 x 8-bit -> 4 x 16-bit -> 2 x 32-bit as the corpus decade grows);
     band width is the simhash recall/candidate-volume knob, not this cap.
     """
-    d = tbl(spark, sf_dir, "documents")
-    sig = simhash_signatures(d)
+    # The 64-vote signature aggregate is the dominant cost (19.8 s warm at
+    # the 100x fixture's 27M tokens) and is deterministic per corpus, so it
+    # stages once per (app, corpus) like the minhash/postings family
+    # stages; repeat calls (bench pass 2, future consumers) read the
+    # staged (doc_id, sim_lo, sim_hi) rows.
+    sig = _family_checkpoint(
+        spark,
+        sf_dir,
+        "simhash_sig",
+        lambda: simhash_signatures(tbl(spark, sf_dir, "documents")),
+    )
     banded = sig.select(
         "doc_id",
         "sim_lo",
