@@ -184,7 +184,14 @@ def _family_stage_dir(sf_dir: str, stage: str) -> str:
 #: thus Python's) last reference; Spark's ContextCleaner releases the
 #: checkpoint blocks after GC unless a still-live derived plan holds the
 #: RDD - which is exactly when the blocks must survive anyway.
-_FAMILY_CACHE_MAX = 12
+#: Sized ABOVE the one-corpus working set (~14 stages after r8 added
+#: ivf_assign + simhash_sig: sh0, minhash_sig, lsh_pairs, cand_postings,
+#: capped_postings, jaccard_pairs, unit_vec, knn_lsh_buckets, knn_exact/
+#: knn_lsh/knn_ivf, emb-lsh buckets, simhash_sig, ivf_assign) - at the old
+#: cap of 12 a full bench pass FIFO-evicted the corpus postings mid-sweep
+#: and pass 2 silently re-exploded the corpus, the exact cost the stages
+#: exist to avoid.
+_FAMILY_CACHE_MAX = 24
 
 
 def _family_checkpoint(
