@@ -79,21 +79,15 @@ _FRONT = [
 # Ids that are driver-GREEN but whose code was rewritten after that green
 # landed, paired with the round whose ledger the rewrite postdates: forced
 # to the front until a green row from a LATER round exists, then they sink
-# back into the normal stalest-first rotation (self-retiring). r7 cohort:
-# the r6 exact-sum rewrites (last green r3) and the r6 streaming fixes
-# (last green r4/r5) - the two "rewritten after green" lists in the r6
-# verdict.
+# back into the normal stalest-first rotation (self-retiring). The r7
+# cohort (r6 exact-sum rewrites + streaming fixes) all re-greened in r7
+# and self-retired. r8 cohort: the two greens whose OUTPUT-DERIVING code
+# the r8 graduations rewrote - fuzzy_verified consumes the md5-lane LSH
+# candidates, ann_recall consumes the frozen-quantizer ivf - so their
+# r6 greens describe superseded code until a fresher row lands.
 _REFRESH_FRONT: list[tuple[str, int]] = [
-    ("tpch_q8_market_share", 6),
-    ("tpch_q11_important_stock", 6),
-    ("tpch_q14_promo", 6),
-    ("tpch_q16_supplier_cnt", 6),
-    ("tpch_q17_small_qty", 6),
-    ("tpch_q22_global_sales", 6),
-    ("dml_merge_rewrite", 6),
-    ("stream_dedup_state", 6),
-    ("stream_watermark_late", 6),
-    ("stream_session_dynamic_gap", 6),
+    ("ext_dedup_fuzzy_verified", 7),
+    ("ext_knn_ann_recall", 7),
 ]
 
 # Operators added this round: verified locally, but the r1-era untested
