@@ -22,9 +22,12 @@ def split_statements(script: str) -> list[Statement]:
     """Split a script into ';'-terminated statements.
 
     Handles: '...' and "..." strings with backslash escapes, `backtick`
-    identifiers, ``--`` line comments, ``/* */`` block comments. Comments are
-    kept inside statement text (Spark's parser accepts them); a statement that
-    is only whitespace/comments is dropped.
+    identifiers, ``--`` line comments, ``/* */`` block comments - NESTED,
+    as Spark's lexer supports (r8, the executor's classify fix applied
+    here too: without depth tracking a ';' between an inner '*/' and the
+    outer close split a statement mid-comment). Comments are kept inside
+    statement text (Spark's parser accepts them); a statement that is
+    only whitespace/comments is dropped.
     """
     statements: list[Statement] = []
     buf: list[str] = []
@@ -33,6 +36,7 @@ def split_statements(script: str) -> list[Statement]:
     has_content = False
     i, n = 0, len(script)
     state = "plain"  # plain | squote | dquote | btick | lcomment | bcomment
+    depth = 0  # bracketed-comment nesting depth while state == bcomment
 
     def flush() -> None:
         nonlocal buf, start_line, has_content
@@ -59,6 +63,7 @@ def split_statements(script: str) -> list[Statement]:
                 state = "lcomment"
             elif c == "/" and nxt == "*":
                 state = "bcomment"
+                depth = 1
             else:
                 if not c.isspace():
                     if start_line is None:
@@ -98,11 +103,19 @@ def split_statements(script: str) -> list[Statement]:
             if c == "`":
                 state = "plain"
         elif state == "bcomment":
+            if c == "/" and nxt == "*":
+                buf.append(c)
+                buf.append(nxt)
+                i += 2
+                depth += 1
+                continue
             if c == "*" and nxt == "/":
                 buf.append(c)
                 buf.append(nxt)
                 i += 2
-                state = "plain"
+                depth -= 1
+                if depth == 0:
+                    state = "plain"
                 continue
         buf.append(c)
         i += 1

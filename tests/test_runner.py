@@ -54,6 +54,19 @@ def test_split_backtick():
     assert len(stmts) == 2
 
 
+def test_split_nested_block_comment():
+    """Spark's lexer nests bracketed comments: a ';' between an inner '*/'
+    and the outer close must NOT split (review-caught r8, the classify
+    scanner's bug applied to the splitter)."""
+    stmts = split_statements(
+        "SELECT 1 /* outer /* inner */ ; still comment */; SELECT 2"
+    )
+    assert len(stmts) == 2
+    assert stmts[0].text.startswith("SELECT 1")
+    assert stmts[0].text.endswith("*/")
+    assert stmts[1].text == "SELECT 2"
+
+
 # ---------------------------------------------------------------- substitution
 
 def test_substitute_plain_and_namespaced():
