@@ -1089,3 +1089,63 @@ def test_fuzz_string_functions(engines, pred, exprs, agg):
             f"FROM fuzz_documents WHERE {pred}"
         )
     _both_agree(engines, sql)
+
+
+# Bitwise / integer-bit surface: the operator class the r8 md5 hash lane
+# leans on (mask &, logical shifts on non-negative values, bit_count,
+# modulo). XOR is excluded from the shared-SQL grammar - Spark spells it
+# `a ^ b` while DuckDB's `^` is exponentiation and its xor() has no Spark
+# twin - so xor parity is pinned by the oracle gate + the corpus-wide
+# md5-lane parity test instead. All atoms stay non-negative and well
+# under 2^63, keeping shifts and sums overflow-free in both engines.
+_bit_atom = st.sampled_from(
+    [
+        "(l_orderkey & 255)",
+        "(l_partkey & 65535)",
+        "(l_suppkey & 15)",
+        "(l_orderkey >> 3)",
+        "(l_partkey >> 7)",
+        "(l_linenumber << 4)",
+        "(l_suppkey << 2)",
+        "bit_count(l_orderkey)",
+        "bit_count(l_partkey & 4294967295)",
+        "(l_orderkey % 97)",
+        "(l_partkey % 16)",
+    ]
+)
+bitwise_expr = st.one_of(
+    _bit_atom,
+    st.tuples(_bit_atom, _bit_atom, st.sampled_from(["+", "&", "|"])).map(
+        lambda t: f"({t[0]} {t[2]} {t[1]})"
+    ),
+)
+
+
+@given(
+    pred=predicate,
+    exprs=st.lists(bitwise_expr, min_size=1, max_size=4, unique=True),
+    agg=st.booleans(),
+)
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_bitwise_integer_ops(engines, pred, exprs, agg):
+    """Bitwise projections (and grouped counts over them) must agree
+    cell-for-cell: a one-bit divergence in &/shift/bit_count semantics
+    would silently shift every md5-lane signature."""
+    aliased = [f"cast({e} AS bigint) AS b{i}" for i, e in enumerate(exprs)]
+    if agg:
+        grp = ", ".join(f"b{i}" for i in range(len(exprs)))
+        sql = (
+            f"SELECT {', '.join(aliased)}, count(*) AS cnt "
+            f"FROM fuzz_lineitem WHERE {pred} GROUP BY {grp}"
+        )
+    else:
+        sql = (
+            f"SELECT l_orderkey, l_linenumber, {', '.join(aliased)} "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+    _both_agree(engines, sql)
