@@ -179,7 +179,25 @@ def _builder_fingerprint(qid: str) -> str:
                 names |= code_names(c)
         return names
 
-    const_types = (str, int, float, bool, bytes, tuple, frozenset, list)
+    def pure_const(v, depth: int = 0) -> bool:
+        # only reprs that are stable ACROSS PROCESSES may enter the hash:
+        # a container holding a function/object reprs with a memory
+        # address, which would re-arm the id on every run and grow the
+        # stamp log without bound
+        if isinstance(v, (str, int, float, bool, bytes, type(None))):
+            return True
+        # sets are excluded outright: their repr is hash-iteration order,
+        # which string-hash randomization shuffles per process
+        if depth < 4 and isinstance(v, (tuple, list)):
+            return all(pure_const(x, depth + 1) for x in v)
+        if depth < 4 and isinstance(v, dict):
+            return all(
+                pure_const(k, depth + 1) and pure_const(x, depth + 1)
+                for k, x in v.items()
+            )
+        return False
+
+    const_types = (str, int, float, bool, bytes, tuple, list, dict)
     seen: set[str] = set()
     parts: list[str] = []
     stack = [fn]
@@ -206,7 +224,7 @@ def _builder_fingerprint(qid: str) -> str:
                 "bee_proof_spark"
             ):
                 stack.append(g)
-            elif isinstance(g, const_types):
+            elif isinstance(g, const_types) and pure_const(g):
                 parts.append(f"{mod.__name__}.{name}={g!r}")
     return hashlib.sha256("\n".join(sorted(parts)).encode()).hexdigest()[:16]
 

@@ -24,6 +24,7 @@ from collections.abc import Callable
 
 from pyspark.sql import SparkSession
 
+from bee_proof_spark.runner.comments import skip_block_comment
 from bee_proof_spark.runner.setcmd import SetProcessor
 from bee_proof_spark.runner.splitter import Statement, split_statements
 from bee_proof_spark.runner.substitution import substitute
@@ -121,21 +122,12 @@ def _blank_literals_and_comments(sql: str) -> str:
             out.append(" " * (j - i))
             i = j
         elif sql.startswith("/*", i):
-            # Spark's lexer supports NESTED bracketed comments: track depth
-            # so 'CREATE TABLE t AS /* a /* b */ c */ SELECT ...' blanks the
-            # WHOLE comment (a first-'*/' scan would leave ' c */' live
-            # between AS and SELECT and misclassify the CTAS as ddl - a
-            # statement that moves data under dry-run).
-            j, depth = i + 2, 1
-            while j < n and depth:
-                if sql.startswith("/*", j):
-                    depth += 1
-                    j += 2
-                elif sql.startswith("*/", j):
-                    depth -= 1
-                    j += 2
-                else:
-                    j += 1
+            # Nesting-aware (Spark's lexer): 'CREATE TABLE t AS
+            # /* a /* b */ c */ SELECT ...' must blank the WHOLE comment -
+            # a first-'*/' scan would leave ' c */' live between AS and
+            # SELECT and misclassify the CTAS as ddl, a statement that
+            # moves data under dry-run.
+            j = skip_block_comment(sql, i)
             seg = sql[i:j]
             out.append("".join(ch if ch == "\n" else " " for ch in seg))
             i = j
@@ -159,18 +151,7 @@ def strip_leading_comments(sql: str) -> str:
             j = sql.find("\n", i)
             i = n if j < 0 else j + 1
         elif sql.startswith("/*", i):
-            # nesting-aware, mirroring _blank_literals_and_comments
-            j, depth = i + 2, 1
-            while j < n and depth:
-                if sql.startswith("/*", j):
-                    depth += 1
-                    j += 2
-                elif sql.startswith("*/", j):
-                    depth -= 1
-                    j += 2
-                else:
-                    j += 1
-            i = j
+            i = skip_block_comment(sql, i)
         else:
             break
     return sql[i:]

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from bee_proof_spark.runner.comments import skip_block_comment
+
 
 @dataclass(frozen=True)
 class Statement:
@@ -22,12 +24,13 @@ def split_statements(script: str) -> list[Statement]:
     """Split a script into ';'-terminated statements.
 
     Handles: '...' and "..." strings with backslash escapes, `backtick`
-    identifiers, ``--`` line comments, ``/* */`` block comments - NESTED,
-    as Spark's lexer supports (r8, the executor's classify fix applied
-    here too: without depth tracking a ';' between an inner '*/' and the
-    outer close split a statement mid-comment). Comments are kept inside
-    statement text (Spark's parser accepts them); a statement that is
-    only whitespace/comments is dropped.
+    identifiers, ``--`` line comments, ``/* */`` block comments - NESTED
+    and consumed whole via the shared skip_block_comment scanner (r8; a
+    per-char state machine here drifted from the classifier's scanner
+    twice: first-close splitting, then the '/*/' opener-reread bug the
+    round's review caught). Comments are kept inside statement text
+    (Spark's parser accepts them); a statement that is only
+    whitespace/comments is dropped.
     """
     statements: list[Statement] = []
     buf: list[str] = []
@@ -35,8 +38,7 @@ def split_statements(script: str) -> list[Statement]:
     start_line: int | None = None
     has_content = False
     i, n = 0, len(script)
-    state = "plain"  # plain | squote | dquote | btick | lcomment | bcomment
-    depth = 0  # bracketed-comment nesting depth while state == bcomment
+    state = "plain"  # plain | squote | dquote | btick | lcomment
 
     def flush() -> None:
         nonlocal buf, start_line, has_content
@@ -62,8 +64,12 @@ def split_statements(script: str) -> list[Statement]:
             if c == "-" and nxt == "-":
                 state = "lcomment"
             elif c == "/" and nxt == "*":
-                state = "bcomment"
-                depth = 1
+                j = skip_block_comment(script, i)
+                seg = script[i:j]
+                buf.append(seg)
+                line += seg.count("\n")
+                i = j
+                continue
             else:
                 if not c.isspace():
                     if start_line is None:
@@ -102,21 +108,6 @@ def split_statements(script: str) -> list[Statement]:
         elif state == "btick":
             if c == "`":
                 state = "plain"
-        elif state == "bcomment":
-            if c == "/" and nxt == "*":
-                buf.append(c)
-                buf.append(nxt)
-                i += 2
-                depth += 1
-                continue
-            if c == "*" and nxt == "/":
-                buf.append(c)
-                buf.append(nxt)
-                i += 2
-                depth -= 1
-                if depth == 0:
-                    state = "plain"
-                continue
         buf.append(c)
         i += 1
     flush()

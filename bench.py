@@ -38,9 +38,10 @@ Methodology (self-adjudicating, round-3):
   the artifact alone. The result line's ``calibration`` floor normalizes
   round-over-round totals: host drift (r6 measured x1.4 across a session)
   divides out.
-- One-time family-checkpoint staging cost is a NAMED number
-  (``staging.knn_lsh``: pass-0 minus warm floor for the query that builds
-  the knn bucket table) instead of hiding inside min-of-passes (r8).
+- One-time family-checkpoint staging cost is a NAMED map (``staging``:
+  pass-0 minus warm floor for every STAGING_QUERIES member - the queries
+  whose first pass builds a family stage) instead of hiding inside
+  min-of-passes (r8).
 """
 
 from __future__ import annotations
@@ -112,6 +113,19 @@ TAIL_QUERIES = [
 ]
 
 BENCH_QUERIES = STABLE_QUERIES + TAIL_QUERIES
+
+#: Benched queries whose FIRST pass pays a once-per-(app, corpus) family
+#: checkpoint build; their pass-0-minus-floor delta is emitted as the
+#: result line's ``staging`` map so the one-time cost is tracked
+#: round-over-round instead of hiding inside min-of-passes.
+STAGING_QUERIES = [
+    "ext_dedup_fuzzy",           # shingle postings + minhash + band pairs
+    "ext_dedup_fuzzy_verified",  # candidate postings
+    "ext_dedup_simhash",         # simhash_sig (r8)
+    "ext_knn_lsh",               # knn bucket table
+    "ext_knn_ivf",               # ivf_assign (r8)
+    "ext_dedup_embedding_lsh",   # hyperplane buckets + unit vectors
+]
 
 
 def materialize(df) -> None:
@@ -203,15 +217,17 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration": calib_floor,
-        # One-time family-checkpoint staging, tracked as its own named
-        # number (r7 verdict #5) instead of hiding inside min-of-passes:
-        # pass-0 minus the warm floor for the query that builds the knn
-        # bucket table on its first touch.
+        # One-time family-checkpoint staging, tracked as named numbers
+        # (r7 verdict #5) instead of hiding inside min-of-passes: pass-0
+        # minus the warm floor for every benched query that builds a
+        # family stage on its first touch (postings/signature family,
+        # knn bucket table, simhash signatures, ivf assignment,
+        # embedding-LSH buckets).
         "staging": {
-            "knn_lsh": round(runs["ext_knn_lsh"][0] - per_query["ext_knn_lsh"], 3)
-        }
-        if "ext_knn_lsh" in runs
-        else {},
+            name: round(runs[name][0] - per_query[name], 3)
+            for name in STAGING_QUERIES
+            if name in runs
+        },
     }
     spark.stop()
     # Raw samples first (own line + optional side file), compact line LAST -

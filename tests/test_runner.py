@@ -67,6 +67,22 @@ def test_split_nested_block_comment():
     assert stmts[1].text == "SELECT 2"
 
 
+def test_split_comment_opener_consumes_both_chars():
+    """'/*/' must NOT read its own '*' as half a closer (review-caught r8:
+    the splitter's opener advanced one char, so '/*/ ; */' split at the
+    ';' and '/*/*' miscounted depth - both now shared-scanner cases)."""
+    stmts = split_statements("SELECT 1 /*/ ; */ SELECT 2")
+    assert [s.text for s in stmts] == ["SELECT 1 /*/ ; */ SELECT 2"]
+    stmts = split_statements("SELECT 1 /*/* ; */ */; SELECT 2")
+    assert [s.text for s in stmts] == ["SELECT 1 /*/* ; */ */", "SELECT 2"]
+    # unterminated comment: everything to EOF is comment, never resurrected
+    stmts = split_statements("SELECT 1 /*/ ; SELECT 2")
+    assert [s.text for s in stmts] == ["SELECT 1 /*/ ; SELECT 2"]
+    # line numbers survive multi-line comments consumed in one bite
+    stmts = split_statements("/* a\n/* b */\nc */\nSELECT 9;\nSELECT 10")
+    assert [s.line for s in stmts] == [4, 5]
+
+
 # ---------------------------------------------------------------- substitution
 
 def test_substitute_plain_and_namespaced():

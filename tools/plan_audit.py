@@ -57,11 +57,6 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "same bounded query-set broadcast as "
         "ext_knn_cosine (the recall harness runs the exact scorer as truth)",
     },
-    "ext_knn_ivf": {
-        "BroadcastNestedLoopJoin": "broadcast side is the k-means centroid "
-        "table (fixed k); every vector scores against k centroids to pick "
-        "its list - the standard IVF assignment shape",
-    },
     "ext_domain_mixture": {
         "BroadcastNestedLoopJoin": "5-row per-stratum counts x 1-row "
         "global min - both sides bounded by stratum count, not corpus size",

@@ -42,8 +42,31 @@ EVIDENCE_PATH = os.path.join(HERE, "tools", "rows_only_evidence.json")
 FP_LOG_PATH = os.path.join(HERE, "tools", "rows_only_fp_log.jsonl")
 
 
+def _ledger_landed_at(path: str) -> float:
+    """When the ledger LANDED: for a git-tracked ledger, the committer
+    time of the last commit touching it (preserved across clones - a
+    checkout's file mtime is checkout time and would post-date every
+    committed stamp, mis-attributing evidence to post-edit stamps); for
+    the untracked just-written-by-the-driver case, the file mtime."""
+    try:
+        rel = os.path.relpath(path, HERE)
+        subprocess.run(
+            ["git", "-C", HERE, "ls-files", "--error-unmatch", rel],
+            capture_output=True, timeout=30, check=True,
+        )
+        out = subprocess.run(
+            ["git", "-C", HERE, "log", "-1", "--format=%ct", "--", rel],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.strip()
+        if out:
+            return float(out)
+    except Exception:
+        pass
+    return os.path.getmtime(path)
+
+
 def _latest_ledger() -> tuple[int, dict, float]:
-    best_round, best, mtime = 0, {}, 0.0
+    best_round, best, landed = 0, {}, 0.0
     for path in glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -51,10 +74,10 @@ def _latest_ledger() -> tuple[int, dict, float]:
             try:
                 with open(path) as f:
                     best_round, best = rnd, json.load(f)
-                mtime = os.path.getmtime(path)
+                landed = _ledger_landed_at(path)
             except Exception:
                 pass
-    return best_round, best, mtime
+    return best_round, best, landed
 
 
 def _stamp_before(mtime: float) -> dict | None:
