@@ -52,6 +52,41 @@ def test_comment_only_scripts_yield_nothing(body):
     assert split_statements(script) == []
 
 
+@st.composite
+def _nested_comment(draw, depth=0):
+    """A well-formed (possibly nested) bracketed comment whose body may
+    contain ';' and newlines. Body chars exclude '*'/'/' so comment
+    delimiters can only form where the generator places them - seams
+    like body'*' + inner'/*' would otherwise create accidental '*/'
+    tokens whose parse is ambiguous even for Spark's lexer; the lone-char
+    cases are pinned by the explicit unit tests instead."""
+    body = draw(
+        st.text(
+            st.characters(whitelist_characters=" ;ab\n", whitelist_categories=()),
+            max_size=12,
+        )
+    )
+    inner = ""
+    if depth < 2 and draw(st.booleans()):
+        inner = draw(_nested_comment(depth + 1))
+    return f"/*{body}{inner}{body}*/"
+
+
+@given(st.lists(safe_body, min_size=1, max_size=4), _nested_comment())
+@settings(max_examples=150, deadline=None)
+def test_nested_comments_never_split(parts, comment):
+    """Splicing an arbitrary well-formed nested comment (which may contain
+    ';') into every statement must not change the split: same count, and
+    each statement still carries its comment intact."""
+    script = ";\n".join(f"{p} {comment}" for p in parts) + ";"
+    stmts = split_statements(script)
+    expected = [p.strip() for p in parts if p.strip()]
+    assert len(stmts) == len(expected)
+    for s, p in zip(stmts, expected):
+        assert s.text.startswith(p)
+        assert s.text.endswith("*/")
+
+
 @given(st.lists(safe_body, min_size=1, max_size=5), st.integers(0, 3))
 @settings(max_examples=100, deadline=None)
 def test_line_numbers_point_at_statement_start(parts, leading_blank):
