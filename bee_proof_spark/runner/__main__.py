@@ -11,26 +11,47 @@ import sys
 
 from bee_proof_spark.runner.executor import StatementError, run_manifest
 from bee_proof_spark.runner.manifest import Manifest
+from bee_proof_spark.runner.release_gates import RELEASE_HIVE_VERSION
 from bee_proof_spark.session import build_session, reset_tmp_tree
 
 
 def main(argv: list[str]) -> int:
-    if len(argv) != 1:
-        print("usage: python -m bee_proof_spark.runner <manifest.json>", file=sys.stderr)
+    # In the reference the release is baked into WHICH jar the Ruby layer
+    # launches (bee-proof.rb:5-27), not into the manifest; --release is this
+    # CLI's equivalent of that jar choice and turns on the Hive-pin gates.
+    release = None
+    args = []
+    for a in argv:
+        if a.startswith("--release="):
+            release = a.split("=", 1)[1]
+        else:
+            args.append(a)
+    if len(args) != 1:
+        print(
+            "usage: python -m bee_proof_spark.runner [--release=emr-3|emr-4|emr-5] <manifest.json>",
+            file=sys.stderr,
+        )
+        return 2
+    if release is not None and release not in RELEASE_HIVE_VERSION:
+        print(
+            f"[ERROR] unknown release {release!r}; expected one of "
+            f"{tuple(RELEASE_HIVE_VERSION)}",
+            file=sys.stderr,
+        )
         return 2
     try:
-        manifest = Manifest.from_file(argv[0])
+        manifest = Manifest.from_file(args[0])
     except (OSError, ValueError, TypeError, AttributeError) as ex:
         # Missing file, bad JSON, or valid JSON of the wrong shape (a list,
         # non-dict tasks, ...): clean CLI error, not a traceback - and no
         # Spark session is ever started.
-        print(f"[ERROR] cannot load manifest {argv[0]}: {ex}", file=sys.stderr)
+        print(f"[ERROR] cannot load manifest {args[0]}: {ex}", file=sys.stderr)
         return 1
     reset_tmp_tree()
     spark = build_session(app_name="bee-proof-spark-runner")
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        run_manifest(manifest, spark)
+        run_manifest(manifest, spark, release=release)
     except (StatementError, OSError) as ex:
         print(f"[ERROR] {ex}", file=sys.stderr)
         return 1

@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import SparkSession
 
 from bee_proof_spark.runner.comments import skip_block_comment
+from bee_proof_spark.runner.release_gates import violations as release_violations
 from bee_proof_spark.runner.setcmd import SetProcessor
 from bee_proof_spark.runner.splitter import Statement, split_statements
 from bee_proof_spark.runner.substitution import substitute
@@ -189,6 +190,7 @@ class ScriptRunner:
         debug: bool = False,
         out: Callable[[str], None] | None = None,
         max_print_rows: int = 1000,
+        release: str | None = None,
     ):
         self.spark = spark
         self.execute = execute  # False = dry-run (enableHadoop=false default)
@@ -196,6 +198,11 @@ class ScriptRunner:
         self.debug = debug
         self.out = out or print
         self.max_print_rows = max_print_rows
+        # Per-release Hive-pin feature gating (release_gates.py). None = no
+        # gating (engine-native surface); Verification always passes its
+        # release so emr-3/emr-4 scripts fail on emr-5-only constructs at
+        # validation time, matching the reference's version-pinned hive-exec.
+        self.release = release
         self.setproc = SetProcessor(spark)
         # The runner owns ${...} substitution (Hive semantics: unresolved
         # references stay verbatim). Spark's built-in substitutor would
@@ -252,6 +259,15 @@ class ScriptRunner:
 
     def _run_statement(self, sql: str, stmt: Statement, script: str) -> None:
         kind = classify(sql)
+        # Release gating runs in BOTH modes (the reference's version-pinned
+        # hive-exec rejects unknown constructs at parse/analyze time, which
+        # dry-run exercises too). SET statements are exempt: a variable VALUE
+        # is only Hive text at its substitution site, where the gate re-checks.
+        if self.release is not None and kind != "set":
+            viol = release_violations(_blank_literals_and_comments(sql), self.release)
+            if viol:
+                name, msg, line_off = viol[0]
+                raise StatementError(script, stmt.line + line_off, sql, msg)
         try:
             if kind == "set":
                 for ln in self.setproc.process(strip_leading_comments(sql)):
@@ -260,9 +276,14 @@ class ScriptRunner:
                 # SHOW/DESCRIBE/EXPLAIN... produce rows the reference CLI
                 # prints (Hive CliDriver.processFile); dropping them made
                 # the statements silently useless. Commands run in dry-run
-                # too (catalog-only), so print in both modes.
-                for r in self.spark.sql(sql).collect():
+                # too (catalog-only), so print in both modes. Same driver-
+                # memory cap as the query branch: SHOW PARTITIONS on a
+                # million-partition table must not collect a million rows.
+                rows = self.spark.sql(sql).limit(self.max_print_rows + 1).collect()
+                for r in rows[: self.max_print_rows]:
                     self.out("\t".join("NULL" if v is None else str(v) for v in r))
+                if len(rows) > self.max_print_rows:
+                    self.out(f"> Output truncated at {self.max_print_rows} rows")
             elif kind == "ddl":
                 self.spark.sql(sql).collect()
             elif self.execute:
@@ -323,7 +344,12 @@ class ScriptRunner:
     # -- per-manifest -------------------------------------------------------
 
 
-def run_manifest(manifest, spark: SparkSession, out: Callable[[str], None] | None = None) -> None:
+def run_manifest(
+    manifest,
+    spark: SparkSession,
+    out: Callable[[str], None] | None = None,
+    release: str | None = None,
+) -> None:
     """Execute a parsed Manifest: sequential tasks, fail-fast, timing line."""
     out = out or print
     start = time.monotonic()
@@ -333,6 +359,7 @@ def run_manifest(manifest, spark: SparkSession, out: Callable[[str], None] | Non
         verbose=manifest.verbose_output,
         debug=manifest.debug_output,
         out=out,
+        release=release,
     )
     if manifest.debug_output:
         out(">>>>>>>> Current Spark Config:")

@@ -1,0 +1,102 @@
+"""Per-release HiveQL feature gating for validate-only / execute runs.
+
+The reference's whole point is per-release pins: ``Verification.for_release``
+selects a jar whose hive-exec dependency is version-locked per EMR profile
+(reference pom.xml:28-66 - emr-3 = Hive 0.13.1, emr-4 = Hive 1.0.0,
+emr-5 = Hive 2.3.3), so a script using a construct that Hive version lacks
+fails validation there at parse/analyze time. This module re-expresses that
+contract as a release -> feature table derived from SURVEY.md section 2-B's
+version gates (SURVEY.md:255-288; feature-to-version facts are public Hive
+release knowledge):
+
+- ``INTERSECT`` / ``EXCEPT`` / ``MINUS`` set operators: Hive 2.3 -> emr-5 only.
+- ``UNION [DISTINCT]`` (bare UNION): Hive 1.2; Hive 0.13/1.0 parse only
+  ``UNION ALL`` -> emr-5 only under our pins.
+- scalar functions: initcap/add_months/last_day/greatest/least (1.1),
+  months_between (1.2), md5/sha1/sha2/crc32 (1.3), bround (2.0), nullif (2.3).
+
+Detection runs on literal-and-comment-blanked statement text (the executor's
+scanner) so ``COMMENT 'use nullif here'`` or a ``-- TODO: INTERSECT``
+comment can never trip a gate, while real constructs always do. Violations
+carry a line offset within the statement so the runner's error is
+line-addressed like the reference's Hive parse errors (README.md:76).
+"""
+
+from __future__ import annotations
+
+import re
+
+#: Release -> pinned Hive version (reference pom.xml:33,45,59).
+RELEASE_HIVE_VERSION: dict[str, tuple[int, int, int]] = {
+    "emr-3": (0, 13, 1),
+    "emr-4": (1, 0, 0),
+    "emr-5": (2, 3, 3),
+}
+
+#: Scalar function -> minimum Hive version (SURVEY.md section 2-B fn tables).
+_FN_GATES: dict[str, tuple[int, int, int]] = {
+    "initcap": (1, 1, 0),
+    "add_months": (1, 1, 0),
+    "last_day": (1, 1, 0),
+    "greatest": (1, 1, 0),
+    "least": (1, 1, 0),
+    "months_between": (1, 2, 0),
+    "md5": (1, 3, 0),
+    "sha1": (1, 3, 0),
+    "sha2": (1, 3, 0),
+    "crc32": (1, 3, 0),
+    "bround": (2, 0, 0),
+    "nullif": (2, 3, 0),
+}
+
+#: Keyword constructs -> minimum Hive version.
+_KW_GATES: list[tuple[re.Pattern, str, tuple[int, int, int]]] = [
+    (re.compile(r"\bINTERSECT\b", re.IGNORECASE), "INTERSECT", (2, 3, 0)),
+    (re.compile(r"\bEXCEPT\b", re.IGNORECASE), "EXCEPT", (2, 3, 0)),
+    (re.compile(r"\bMINUS\b", re.IGNORECASE), "MINUS", (2, 3, 0)),
+]
+
+#: ``UNION`` whose next token is NOT ``ALL`` = UNION [DISTINCT] (Hive 1.2).
+_UNION_RE = re.compile(r"\bUNION\b(?!\s+ALL\b)", re.IGNORECASE)
+
+_FN_CALL_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+
+
+def _fmt(v: tuple[int, int, int]) -> str:
+    return ".".join(str(x) for x in v)
+
+
+def violations(blanked_sql: str, release: str) -> list[tuple[str, str, int]]:
+    """Gate violations for a statement under a release's Hive pin.
+
+    ``blanked_sql`` must already have literal/comment contents blanked
+    (executor._blank_literals_and_comments). Returns
+    ``[(construct, message, line_offset), ...]`` ordered by position;
+    line_offset is 0-based lines from the statement start to the match.
+    """
+    pin = RELEASE_HIVE_VERSION.get(release)
+    if pin is None or pin >= (2, 3, 3):
+        return []  # emr-5 pin covers every gated construct
+
+    found: list[tuple[int, str, tuple[int, int, int]]] = []
+    for pat, name, need in _KW_GATES:
+        if need > pin:
+            for m in pat.finditer(blanked_sql):
+                found.append((m.start(), name, need))
+    if (1, 2, 0) > pin:
+        for m in _UNION_RE.finditer(blanked_sql):
+            found.append((m.start(), "UNION [DISTINCT]", (1, 2, 0)))
+    for m in _FN_CALL_RE.finditer(blanked_sql):
+        need = _FN_GATES.get(m.group(1).lower())
+        if need is not None and need > pin:
+            found.append((m.start(), f"{m.group(1).lower()}()", need))
+
+    found.sort()
+    out = []
+    for pos, name, need in found:
+        msg = (
+            f"{name} requires Hive {_fmt(need)} but release {release} pins "
+            f"Hive {_fmt(pin)} (release gate; reference pom.xml:28-66)"
+        )
+        out.append((name, msg, blanked_sql.count("\n", 0, pos)))
+    return out

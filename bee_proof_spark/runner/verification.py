@@ -15,8 +15,12 @@ from bee_proof_spark.runner.executor import run_manifest
 from bee_proof_spark.runner.manifest import Manifest, Task
 from bee_proof_spark.session import build_session, reset_tmp_tree
 
-#: Known release profiles (pom.xml:28-66). All map to the same Spark engine;
-#: the release is recorded for manifest parity and future conf gating.
+#: Known release profiles (pom.xml:28-66). All run the same Spark engine,
+#: but the release's Hive pin is ENFORCED at validation time: statements
+#: using constructs the pinned Hive lacks (INTERSECT/EXCEPT, bare UNION,
+#: nullif, bround, 1.1+ date fns, ...) fail with a line-addressed error,
+#: matching the reference's version-locked hive-exec behavior
+#: (runner/release_gates.py; table derived from SURVEY.md section 2-B).
 KNOWN_RELEASES = ("emr-3", "emr-4", "emr-5")
 
 
@@ -67,7 +71,7 @@ class Verification:
                 reset_tmp_tree()
             spark = build_session(app_name=f"bee-proof-{self.release}")
         try:
-            run_manifest(self.manifest(enable_hadoop), spark, out=out)
+            run_manifest(self.manifest(enable_hadoop), spark, out=out, release=self.release)
         finally:
             if owns_session:
                 spark.stop()

@@ -494,3 +494,92 @@ def test_manifest_without_tasks_key_is_malformed():
     with pytest.raises(ValueError):
         Manifest.from_json('{"script": "a.hql"}')
     assert Manifest.from_json('{"tasks": []}').tasks == []
+
+
+# ---------------------------------------------------------------- release gates
+
+def test_release_gate_table_pure():
+    """Gate facts (release_gates.py, from SURVEY section 2-B): emr-3 = Hive
+    0.13.1 lacks 1.1+/2.x constructs; emr-4 = 1.0.0 gains nothing gated;
+    emr-5 = 2.3.3 passes everything."""
+    from bee_proof_spark.runner.release_gates import violations
+
+    assert violations("SELECT nullif(a, b) FROM t", "emr-5") == []
+    for rel in ("emr-3", "emr-4"):
+        names = [v[0] for v in violations(
+            "SELECT nullif(a,b), add_months(d,1), bround(x), NULLIF(1,2) FROM t", rel)]
+        assert names == ["nullif()", "add_months()", "bround()", "nullif()"]
+        assert [v[0] for v in violations("SELECT 1 INTERSECT SELECT 2", rel)] == ["INTERSECT"]
+        assert [v[0] for v in violations("SELECT 1 EXCEPT SELECT 2", rel)] == ["EXCEPT"]
+        # bare UNION = UNION DISTINCT (Hive 1.2); UNION ALL is 0.13-safe
+        assert [v[0] for v in violations("SELECT 1 UNION SELECT 2", rel)] == ["UNION [DISTINCT]"]
+        assert violations("SELECT 1 UNION ALL SELECT 2", rel) == []
+    # months_between is 1.2: gated on emr-4 too
+    assert violations("SELECT months_between(a, b) FROM t", "emr-4")
+    # ungated releases (engine-native mode) never gate
+    assert violations("SELECT 1 INTERSECT SELECT 2", "native") == []
+
+
+def test_release_gate_line_offset_pure():
+    from bee_proof_spark.runner.release_gates import violations
+
+    v = violations("SELECT a\nFROM t\nUNION\nSELECT b FROM u", "emr-3")
+    assert v[0][0] == "UNION [DISTINCT]"
+    assert v[0][2] == 2  # 0-based line offset of the UNION token
+
+
+def test_release_gate_rejects_in_dry_run(spark, runner_out):
+    """The reference's version-pinned hive-exec rejects emr-5-only constructs
+    at validation time (pom.xml:28-66 pins); our dry-run must too."""
+    lines, out = runner_out
+    script = "SELECT 1 AS one;\nSELECT nullif(1, 2) AS n;"
+    # emr-5: validates clean
+    ScriptRunner(spark, execute=False, verbose=False, out=out, release="emr-5").run_text(script)
+    assert lines.count("> Skipped!") == 2
+    # emr-3: line-addressed failure on statement 2
+    with pytest.raises(StatementError) as ei:
+        ScriptRunner(spark, execute=False, verbose=False, out=out, release="emr-3").run_text(script)
+    assert "nullif" in str(ei.value) and "emr-3" in str(ei.value)
+    assert ei.value.line == 2
+
+
+def test_release_gate_literals_and_comments_do_not_trip(spark, runner_out):
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=False, verbose=False, out=out, release="emr-3")
+    r.run_text(
+        "-- TODO: rewrite with INTERSECT once off emr-3\n"
+        "SELECT 'use nullif(a,b) here' AS note; /* EXCEPT */ SELECT 2 AS two;"
+    )
+    assert lines.count("> Skipped!") == 2
+
+
+def test_release_gate_applies_in_execute_mode(spark, runner_out):
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=True, verbose=False, out=out, release="emr-4")
+    with pytest.raises(StatementError) as ei:
+        r.run_text("SELECT 1 AS a INTERSECT SELECT 1 AS a")
+    assert "INTERSECT" in str(ei.value) and "2.3.0" in str(ei.value)
+
+
+def test_release_gate_end_to_end_verification(spark, tmp_path, runner_out):
+    """Same script: passes under emr-5, fails under emr-3 (VERDICT r8 #2)."""
+    from bee_proof_spark.runner.verification import Verification
+
+    lines, out = runner_out
+    script = tmp_path / "gated.hql"
+    script.write_text("SELECT greatest(1, 2) AS g;")
+    Verification.for_release("emr-5").add_task(str(script)).run(spark=spark, out=out)
+    with pytest.raises(StatementError) as ei:
+        Verification.for_release("emr-3").add_task(str(script)).run(spark=spark, out=out)
+    assert "greatest" in str(ei.value) and "Hive 0.13.1" in str(ei.value)
+
+
+def test_command_output_truncation_is_announced(spark, runner_out):
+    """SHOW/DESCRIBE output is capped like the query branch (VERDICT r8 #3:
+    SHOW PARTITIONS on a million-partition table must not collect a million
+    rows driver-side) and the cap is announced, not silent."""
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=False, verbose=False, out=out, max_print_rows=5)
+    r.run_text("SHOW FUNCTIONS")  # hundreds of rows
+    assert lines[-1] == "> Output truncated at 5 rows"
+    assert len([ln for ln in lines if not ln.startswith(">")]) == 5
