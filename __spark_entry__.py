@@ -231,38 +231,59 @@ def _builder_fingerprint(qid: str) -> str:
 
 def _stamp_rows_only_fingerprints() -> None:
     """Append the current rows-only builder fingerprints (with a wall-clock
-    ts) to tools/rows_only_fp_log.jsonl, deduping consecutive identical
-    stamps. Called from queries(), so THE CODE THE DRIVER ACTUALLY RUNS
-    stamps itself at run time; tools/rows_only_evidence.py --reconcile
-    then attributes a ledger's evidence rows to the stamp nearest before
-    that ledger landed instead of re-fingerprinting whatever the working
-    tree holds when reconcile happens to run (the r7 ADVICE
-    reconcile-after-edit mis-attribution hazard)."""
+    ts) to tools/rows_only_fp_log.jsonl. Called from queries(), so THE CODE
+    THE DRIVER ACTUALLY RUNS stamps itself at run time;
+    tools/rows_only_evidence.py --reconcile then attributes a ledger's
+    evidence rows to the stamp nearest before that ledger landed instead of
+    re-fingerprinting whatever the working tree holds when reconcile happens
+    to run (the r7 ADVICE reconcile-after-edit mis-attribution hazard).
+
+    r9 hardening (r8 ADVICE):
+    - NEVER stamps under pytest: test runs (incl. monkeypatched registries)
+      were mutating the committed log with alternating fingerprints, growing
+      it unboundedly and planting stamps that could steal attribution.
+    - Each stamp records whether the query-source tree was git-clean;
+      --reconcile prefers the last CLEAN stamp before the ledger, so a
+      post-edit local queries() run (dirty tree) that lands between the
+      driver run and the ledger's commit no longer steals attribution from
+      the driver's own clean-tree stamp.
+    - Dedupes against any of the last 8 stamps (not only the final line),
+      so two alternating registries cannot grow the log without bound.
+    """
     import json
+    import subprocess
     import time
 
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tools",
-        "rows_only_fp_log.jsonl",
-    )
+    if "PYTEST_CURRENT_TEST" in os.environ or "pytest" in sys.modules:
+        return
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "tools", "rows_only_fp_log.jsonl")
     fps = {
         qid: _builder_fingerprint(qid)
         for qid in _REGISTRY
         if _REGISTRY[qid].oracle is None
     }
-    last = None
+    try:
+        clean = subprocess.run(
+            ["git", "-C", here, "status", "--porcelain", "--",
+             "bee_proof_spark", "__spark_entry__.py"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.strip() == ""
+    except Exception:
+        clean = False  # unknown counts as dirty - never over-claim
+    recent = []
     try:
         with open(path) as f:
             for line in f:
                 if line.strip():
-                    last = json.loads(line)
+                    recent.append(json.loads(line))
+                    recent = recent[-8:]
     except (OSError, ValueError):
-        last = None
-    if last is not None and last.get("fps") == fps:
+        recent = []
+    if any(e.get("fps") == fps and e.get("clean", None) == clean for e in recent):
         return
     with open(path, "a") as f:
-        f.write(json.dumps({"ts": time.time(), "fps": fps}) + "\n")
+        f.write(json.dumps({"ts": time.time(), "clean": clean, "fps": fps}) + "\n")
 
 
 def _rows_only_evidence_current(qid: str) -> bool:

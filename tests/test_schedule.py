@@ -316,3 +316,50 @@ def test_builder_fingerprint_sees_constants_and_cross_module_helpers(
     finally:
         sys.modules.pop("bee_proof_spark._fp_probe_helper", None)
         sys.modules.pop("bee_proof_spark._fp_probe_main", None)
+
+
+def test_rows_only_evidence_clean_stamp_outranks_dirty(tmp_path, monkeypatch):
+    """r9 (r8 ADVICE): a post-edit local queries() run can stamp BETWEEN the
+    driver run and the ledger's git commit - wall-clock ordering alone would
+    attribute the driver's evidence to the edited code. Stamps now carry a
+    git-clean flag; reconcile prefers the last CLEAN stamp before the ledger
+    (the driver runs the committed tree), falling back to any stamp only for
+    pre-r9 logs without the flag."""
+    import json
+    import time
+
+    roe = _load_roe(tmp_path, monkeypatch)
+    e = _reload()
+    target = next(q for q in e._REGISTRY if e._REGISTRY[q].oracle is None)
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({target: {"spark_rows": 5, "err": "no_oracle"}})
+    )
+    now = time.time()
+    with open(tmp_path / "fp_log.jsonl", "w") as f:
+        # driver's stamp: committed tree, clean
+        f.write(json.dumps({"ts": now - 60, "clean": True,
+                            "fps": {target: "driver-ran-fp"}}) + "\n")
+        # post-edit local run sneaking in before the ledger commit: dirty
+        f.write(json.dumps({"ts": now - 30, "clean": False,
+                            "fps": {target: "edited-fp"}}) + "\n")
+    assert roe.main(["--reconcile"]) == 0
+    assert json.loads((tmp_path / "ev.json").read_text()) == {target: "driver-ran-fp"}
+
+
+def test_stamping_is_inert_under_pytest(tmp_path):
+    """queries() must NOT mutate the committed fp log during test runs
+    (r8 ADVICE: monkeypatched-registry tests alternated fingerprints and
+    grew tools/rows_only_fp_log.jsonl unboundedly). Under pytest the stamp
+    hook is a no-op - the committed log is byte-identical across queries()
+    calls here."""
+    import os as _os
+
+    e = _reload()
+    log = _os.path.join(
+        _os.path.dirname(_os.path.abspath(e.__file__)), "tools", "rows_only_fp_log.jsonl"
+    )
+    before = open(log, "rb").read() if _os.path.exists(log) else b""
+    e.queries()
+    e.queries()
+    after = open(log, "rb").read() if _os.path.exists(log) else b""
+    assert before == after

@@ -82,8 +82,15 @@ def _latest_ledger() -> tuple[int, dict, float]:
 
 def _stamp_before(mtime: float) -> dict | None:
     """Last run-time fingerprint stamp at or before the ledger landed
-    (+1 s grace for same-second filesystem timestamps)."""
-    best = None
+    (+1 s grace for same-second filesystem timestamps).
+
+    Stamps made on a git-CLEAN query-source tree win over dirty-tree stamps
+    (r8 ADVICE): the driver runs the committed tree, so its stamp is clean,
+    while a post-edit local queries() run that slots between the driver run
+    and the ledger's commit stamps dirty and must not steal attribution.
+    Pre-r9 stamps lack the flag and are used only when no clean stamp
+    qualifies."""
+    best_clean, best_any = None, None
     try:
         with open(FP_LOG_PATH) as f:
             for line in f:
@@ -91,10 +98,12 @@ def _stamp_before(mtime: float) -> dict | None:
                     continue
                 entry = json.loads(line)
                 if entry.get("ts", 0) <= mtime + 1.0:
-                    best = entry.get("fps")
+                    best_any = entry.get("fps")
+                    if entry.get("clean"):
+                        best_clean = entry.get("fps")
     except (OSError, ValueError):
         return None
-    return best
+    return best_clean if best_clean is not None else best_any
 
 
 def _source_tree_clean() -> bool:
