@@ -59,6 +59,16 @@ _KW_GATES: list[tuple[re.Pattern, str, tuple[int, int, int]]] = [
 #: ``UNION`` whose next token is NOT ``ALL`` = UNION [DISTINCT] (Hive 1.2).
 _UNION_RE = re.compile(r"\bUNION\b(?!\s+ALL\b)", re.IGNORECASE)
 
+#: Scalar subquery as a comparison operand (SURVEY.md:318: NOT in Hive
+#: 0.13). Hive 0.13's subquery work (HIVE-784 era) covered only IN/EXISTS
+#: predicates; scalar subqueries in expressions arrived with the Hive 2.x
+#: subquery expansion - gate at 2.3 like INTERSECT/EXCEPT (emr-5 only).
+#: Detection is deliberately conservative: only the unambiguous
+#: ``<op> (SELECT`` shape; IN/EXISTS subqueries are 0.13-legal and never
+#: match (their SELECT follows ``IN (`` / ``EXISTS (``, not a comparison
+#: operator).
+_SCALAR_SUBQ_RE = re.compile(r"(?:=|<>|!=|<=|>=|<|>)\s*\(\s*SELECT\b", re.IGNORECASE)
+
 _FN_CALL_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 
 
@@ -86,6 +96,9 @@ def violations(blanked_sql: str, release: str) -> list[tuple[str, str, int]]:
     if (1, 2, 0) > pin:
         for m in _UNION_RE.finditer(blanked_sql):
             found.append((m.start(), "UNION [DISTINCT]", (1, 2, 0)))
+    if (2, 3, 0) > pin:
+        for m in _SCALAR_SUBQ_RE.finditer(blanked_sql):
+            found.append((m.start(), "scalar subquery", (2, 3, 0)))
     for m in _FN_CALL_RE.finditer(blanked_sql):
         need = _FN_GATES.get(m.group(1).lower())
         if need is not None and need > pin:

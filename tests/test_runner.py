@@ -583,3 +583,22 @@ def test_command_output_truncation_is_announced(spark, runner_out):
     r.run_text("SHOW FUNCTIONS")  # hundreds of rows
     assert lines[-1] == "> Output truncated at 5 rows"
     assert len([ln for ln in lines if not ln.startswith(">")]) == 5
+
+
+def test_release_gate_scalar_subquery_emr5_only():
+    """SURVEY.md:318: scalar subqueries are NOT in Hive 0.13; Hive's 0.13
+    subquery work covered only IN/EXISTS predicates, expression-position
+    scalar subqueries are a Hive 2.x feature -> emr-5 only. IN/EXISTS
+    subqueries ARE 0.13-legal and must never match the conservative
+    `<op> (SELECT` detector."""
+    from bee_proof_spark.runner.release_gates import violations
+
+    scalar = "SELECT * FROM t WHERE a > (SELECT avg(a) FROM t)"
+    assert [v[0] for v in violations(scalar, "emr-3")] == ["scalar subquery"]
+    assert [v[0] for v in violations(scalar, "emr-4")] == ["scalar subquery"]
+    assert violations(scalar, "emr-5") == []
+    for ok in (
+        "SELECT * FROM t WHERE a IN (SELECT a FROM u)",
+        "SELECT * FROM t WHERE EXISTS (SELECT 1 FROM u WHERE u.a = t.a)",
+    ):
+        assert violations(ok, "emr-3") == []
