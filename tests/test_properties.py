@@ -589,3 +589,56 @@ def test_knn_oracle_cosines_clear_of_4dp_rounding_boundaries():
         divergence = np.abs(seq - cos[0, : len(seq)]).max()
         assert dist.min() > 1e-13, (sf, dist.min())
         assert dist.min() > 100 * max(divergence, 1e-16), (sf, dist.min(), divergence)
+
+
+# ---------------------------------------------------------------- release gates
+
+_gated_frags = st.sampled_from([
+    "SELECT 1 INTERSECT SELECT 2",
+    "SELECT 1 EXCEPT SELECT 2",
+    "SELECT 1 UNION SELECT 2",
+    "SELECT 1 UNION ALL SELECT 2",
+    "SELECT nullif(a, b) FROM t",
+    "SELECT add_months(d, 1) FROM t",
+    "SELECT months_between(a, b) FROM t",
+    "SELECT bround(x) FROM t",
+    "SELECT greatest(1, 2)",
+    "SELECT md5(s) FROM t",
+    "SELECT a FROM t WHERE a > (SELECT max(a) FROM t)",
+    "SELECT a FROM t WHERE a IN (SELECT a FROM u)",
+    "SELECT upper(s), length(s) FROM t",
+])
+
+
+@given(st.lists(_gated_frags, min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_release_gate_monotone_in_pin(frags):
+    """Gate soundness invariant: an OLDER Hive pin can only reject MORE -
+    for any statement, violations(emr-3) >= violations(emr-4) >=
+    violations(emr-5) as multisets of constructs, and emr-5 is always
+    empty (its 2.3.3 pin covers every gated feature)."""
+    from bee_proof_spark.runner.release_gates import violations
+
+    sql = ";\n".join(frags)
+    v3 = [v[0] for v in violations(sql, "emr-3")]
+    v4 = [v[0] for v in violations(sql, "emr-4")]
+    v5 = [v[0] for v in violations(sql, "emr-5")]
+    assert v5 == []
+    # every emr-4 violation is also an emr-3 violation (with multiplicity)
+    from collections import Counter
+    c3, c4 = Counter(v3), Counter(v4)
+    assert all(c3[k] >= n for k, n in c4.items())
+
+
+@given(st.text(st.characters(whitelist_characters=" abcdef_'-\n;()", whitelist_categories=()), max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_release_gate_never_fires_inside_literals(body):
+    """Arbitrary text hidden in a blanked literal can never trip a gate -
+    the executor blanks literal contents before the check; this pins the
+    contract violations() assumes (pre-blanked input = no literal text)."""
+    from bee_proof_spark.runner.executor import _blank_literals_and_comments
+    from bee_proof_spark.runner.release_gates import violations
+
+    lit = body.replace("'", "").replace("\n", " ")
+    sql = f"SELECT 'nullif INTERSECT {lit} EXCEPT bround(' AS s FROM t"
+    assert violations(_blank_literals_and_comments(sql), "emr-3") == []
