@@ -49,15 +49,30 @@ _FN_GATES: dict[str, tuple[int, int, int]] = {
     "nullif": (2, 3, 0),
 }
 
+#: A set-operator keyword is only a set operator when the NEXT token can
+#: start a query (SELECT/(/VALUES/TABLE) or is the ALL/DISTINCT qualifier.
+#: Without the lookahead, a column or alias NAMED ``minus``/``union``/
+#: ``except`` (all non-reserved identifiers in Hive 0.13 -
+#: ``CREATE TABLE t (minus INT)`` is legal there) would be falsely
+#: rejected under the old pins. FROM/MAP/REDUCE are deliberately NOT in
+#: the lookahead even though Hive queries can start with them: ``x AS
+#: union FROM t`` (alias named union) is the overwhelmingly likelier
+#: parse of ``UNION FROM``, and a set-op branch written FROM-first is
+#: vanishing-rare; gates err toward never rejecting legal old-pin SQL.
+_QSTART = r"(?=\s*(SELECT\b|\(|ALL\b|DISTINCT\b|VALUES\b|TABLE\b))"
+
 #: Keyword constructs -> minimum Hive version.
 _KW_GATES: list[tuple[re.Pattern, str, tuple[int, int, int]]] = [
-    (re.compile(r"\bINTERSECT\b", re.IGNORECASE), "INTERSECT", (2, 3, 0)),
-    (re.compile(r"\bEXCEPT\b", re.IGNORECASE), "EXCEPT", (2, 3, 0)),
-    (re.compile(r"\bMINUS\b", re.IGNORECASE), "MINUS", (2, 3, 0)),
+    (re.compile(r"\bINTERSECT\b" + _QSTART, re.IGNORECASE), "INTERSECT", (2, 3, 0)),
+    (re.compile(r"\bEXCEPT\b" + _QSTART, re.IGNORECASE), "EXCEPT", (2, 3, 0)),
+    (re.compile(r"\bMINUS\b" + _QSTART, re.IGNORECASE), "MINUS", (2, 3, 0)),
 ]
 
-#: ``UNION`` whose next token is NOT ``ALL`` = UNION [DISTINCT] (Hive 1.2).
-_UNION_RE = re.compile(r"\bUNION\b(?!\s+ALL\b)", re.IGNORECASE)
+#: ``UNION`` followed by a query start but NOT by ``ALL`` = UNION
+#: [DISTINCT] (Hive 1.2). The same identifier guard applies.
+_UNION_RE = re.compile(
+    r"\bUNION\b(?!\s+ALL\b)" + _QSTART, re.IGNORECASE
+)
 
 #: Scalar subquery as a comparison operand (SURVEY.md:318: NOT in Hive
 #: 0.13). Hive 0.13's subquery work (HIVE-784 era) covered only IN/EXISTS

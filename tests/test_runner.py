@@ -602,3 +602,27 @@ def test_release_gate_scalar_subquery_emr5_only():
         "SELECT * FROM t WHERE EXISTS (SELECT 1 FROM u WHERE u.a = t.a)",
     ):
         assert violations(ok, "emr-3") == []
+
+
+def test_release_gate_setop_keywords_need_query_start():
+    """minus/union/except are NON-RESERVED identifiers in Hive 0.13 -
+    'CREATE TABLE t (minus INT)' and a column alias named union are legal
+    emr-3 scripts and must NOT trip the set-operator gates; real set-ops
+    (next token starts a query or is ALL/DISTINCT) still do."""
+    from bee_proof_spark.runner.release_gates import violations
+
+    for ok in (
+        "CREATE TABLE t (minus INT, union STRING, except DOUBLE)",
+        "SELECT a AS minus, b AS union FROM t",
+        "SELECT t.minus FROM t JOIN union_members u ON t.id = u.id",
+    ):
+        assert violations(ok, "emr-3") == [], ok
+    for bad, name in (
+        ("SELECT 1 MINUS SELECT 2", "MINUS"),
+        ("SELECT 1 EXCEPT DISTINCT SELECT 2", "EXCEPT"),
+        ("SELECT 1 INTERSECT (SELECT 2)", "INTERSECT"),
+        ("SELECT 1 UNION DISTINCT SELECT 2", "UNION [DISTINCT]"),
+        ("SELECT 1 UNION\nSELECT 2", "UNION [DISTINCT]"),
+    ):
+        assert [v[0] for v in violations(bad, "emr-3")] == [name], bad
+    assert violations("SELECT 1 UNION ALL SELECT 2", "emr-3") == []
