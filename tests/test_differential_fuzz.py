@@ -30,6 +30,14 @@ from hypothesis import strategies as st
 from bee_proof_spark.testing import _rowset
 from tests.conftest import SF_ORACLE
 
+# Soak knob: FUZZ_EXAMPLES_SCALE=N multiplies every surface's example
+# budget (default 1 = the CI budget). Used for extended divergence-hunting
+# soaks between rounds; decorated @settings would override a hypothesis
+# profile, so the scale lives here.
+import os as _os
+
+_SCALE = max(1, int(_os.environ.get("FUZZ_EXAMPLES_SCALE", "1")))
+
 LINEITEM = f"{SF_ORACLE}/lineitem.parquet"
 
 INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
@@ -199,7 +207,7 @@ def _both_agree(engines, sql: str) -> None:
 
 @given(pred=predicate, cols=st.lists(projection, min_size=1, max_size=4, unique=True))
 @settings(
-    max_examples=40,
+    max_examples=40 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -215,7 +223,7 @@ def test_fuzz_filter_projection(engines, pred, cols):
     having_min=st.one_of(st.none(), st.integers(0, 50)),
 )
 @settings(
-    max_examples=40,
+    max_examples=40 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -242,7 +250,7 @@ def test_fuzz_group_aggregate(engines, pred, keys, aggs, having_min):
     aggs=st.lists(agg_expr, min_size=1, max_size=2, unique=True),
 )
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -301,7 +309,7 @@ window_fn = st.one_of(
 
 @given(pred=predicate, wf=window_fn)
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -334,7 +342,7 @@ _setop_op = st.sampled_from(
 
 @given(cols=_setop_cols, op=_setop_op, pa=predicate, pb=predicate)
 @settings(
-    max_examples=40,
+    max_examples=40 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -356,7 +364,7 @@ def test_fuzz_set_operations(engines, cols, op, pa, pb):
     quantifier=st.sampled_from(["EXISTS", "NOT EXISTS"]),
 )
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -401,7 +409,7 @@ _ml_form = st.sampled_from(
     aggs=st.lists(agg_expr, min_size=1, max_size=2, unique=True),
 )
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -465,7 +473,7 @@ scalar_expr = st.sampled_from(
 
 @given(pred=predicate, exprs=st.lists(scalar_expr, min_size=1, max_size=4, unique=True))
 @settings(
-    max_examples=40,
+    max_examples=40 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -499,7 +507,7 @@ distinct_agg = st.sampled_from(
     aggs=st.lists(distinct_agg, min_size=1, max_size=3, unique=True),
 )
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -525,7 +533,7 @@ def test_fuzz_distinct_aggregates(engines, pred, keys, aggs):
     direction=st.sampled_from(["ASC", "DESC"]),
 )
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -560,7 +568,7 @@ _range_frame = st.tuples(
 
 @given(pred=predicate, wf=_range_frame)
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -581,7 +589,7 @@ def test_fuzz_range_frames(engines, pred, wf):
     quantifier=st.sampled_from(["IN", "NOT IN"]),
 )
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -602,7 +610,7 @@ def test_fuzz_in_subquery(engines, pred, corr, quantifier):
 
 @given(pred=predicate, agg=st.sampled_from(["max", "min", "count"]))
 @settings(
-    max_examples=20,
+    max_examples=20 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -652,7 +660,7 @@ cond_agg = leaf.flatmap(
     aggs=st.lists(cond_agg, min_size=1, max_size=3),
 )
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -694,7 +702,7 @@ _expr_key = st.sampled_from(
     aggs=st.lists(agg_expr, min_size=1, max_size=2, unique=True),
 )
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -727,7 +735,7 @@ def test_fuzz_expression_group_keys(engines, pred, keys, aggs):
     ),
 )
 @settings(
-    max_examples=25,
+    max_examples=25 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -762,7 +770,7 @@ _rows_frame = st.tuples(
 
 @given(pred=predicate, wf=_rows_frame)
 @settings(
-    max_examples=25,
+    max_examples=25 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -792,7 +800,7 @@ def test_fuzz_bounded_rows_frames(engines, pred, wf):
     direction=st.sampled_from(["ASC", "DESC"]),
 )
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -822,7 +830,7 @@ def test_fuzz_agg_topk(engines, pred, keys, agg, n, direction):
     n=st.integers(1, 100),
 )
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -865,7 +873,7 @@ _oj_proj = st.sampled_from(
     projs=st.lists(_oj_proj, min_size=1, max_size=3, unique=True),
 )
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -910,7 +918,7 @@ like_pattern = st.tuples(
     col=st.sampled_from(["text", "lang", "source"]),
 )
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -960,7 +968,7 @@ case_expr = st.one_of(
     agg=st.booleans(),
 )
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1010,7 +1018,7 @@ date_part_expr = st.sampled_from(
     parts=st.lists(date_part_expr, min_size=1, max_size=2, unique=True),
 )
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1068,7 +1076,7 @@ doc_pred = st.one_of(
     agg=st.booleans(),
 )
 @settings(
-    max_examples=30,
+    max_examples=30 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -1127,7 +1135,7 @@ bitwise_expr = st.one_of(
     agg=st.booleans(),
 )
 @settings(
-    max_examples=40,
+    max_examples=40 * _SCALE,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
