@@ -172,21 +172,66 @@ join_predicate = st.tuples(leaf, ord_pred, st.sampled_from(["AND", "OR"])).map(
 DOCUMENTS = f"{SF_ORACLE}/documents.parquet"
 
 
+class _OracleBox:
+    """DuckDB oracle connection with crash recycling.
+
+    duckdb 1.0.0 has an optimizer assertion bug - InternalException
+    'Attempted to dereference unique_ptr that is NULL' on (minimized) a
+    duplicate-literal IN list inside OR'd re-ordered conjunct groups under
+    a window function - and an internal error FATALLY invalidates the
+    in-memory database, cascading spurious failures into every later
+    example sharing the connection (r9 12x soak: one internal error ->
+    22 surface failures, all 'database has been invalidated'). An
+    ORACLE-ENGINE crash says nothing about Spark: the example is discarded
+    via assume(False) and the connection rebuilt. Real duckdb errors
+    (binder/syntax/conversion) still raise - they mean the generated SQL
+    or the comparison is wrong, which IS a finding."""
+
+    def __init__(self):
+        self._con = None
+        self._rebuild()
+
+    def _rebuild(self):
+        if self._con is not None:
+            try:
+                self._con.close()
+            except Exception:
+                pass
+        self._con = duckdb.connect()
+        for name, path in (
+            ("fuzz_lineitem", LINEITEM),
+            ("fuzz_orders", ORDERS),
+            ("fuzz_documents", DOCUMENTS),
+        ):
+            self._con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    def execute(self, sql: str):
+        from hypothesis import assume
+
+        crash = (duckdb.InternalException, getattr(duckdb, "FatalException", ()))
+        try:
+            return self._con.execute(sql)
+        except crash:
+            self._rebuild()
+            assume(False)  # oracle crashed; example says nothing about Spark
+        except duckdb.Error as ex:
+            if "database has been invalidated" in str(ex):
+                self._rebuild()
+                assume(False)
+            raise
+
+    def close(self):
+        self._con.close()
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     spark.read.parquet(LINEITEM).createOrReplaceTempView("fuzz_lineitem")
     spark.read.parquet(ORDERS).createOrReplaceTempView("fuzz_orders")
     spark.read.parquet(DOCUMENTS).createOrReplaceTempView("fuzz_documents")
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW fuzz_lineitem AS SELECT * FROM read_parquet('{LINEITEM}')"
-    )
-    con.execute(
-        f"CREATE VIEW fuzz_orders AS SELECT * FROM read_parquet('{ORDERS}')"
-    )
-    con.execute(
-        f"CREATE VIEW fuzz_documents AS SELECT * FROM read_parquet('{DOCUMENTS}')"
-    )
+    con = _OracleBox()
     yield spark, con
     con.close()
     spark.catalog.dropTempView("fuzz_lineitem")
