@@ -626,3 +626,76 @@ def test_release_gate_setop_keywords_need_query_start():
     ):
         assert [v[0] for v in violations(bad, "emr-3")] == [name], bad
     assert violations("SELECT 1 UNION ALL SELECT 2", "emr-3") == []
+
+
+# ------------------------------------------------- dry-run/execute property
+
+def test_dry_run_never_moves_data_property(spark, runner_out):
+    """End-to-end classify-vs-behavior invariant over adversarial comment/
+    literal placement (the r6-r8 bug family: literal text flipping
+    classification, comments hiding a CTAS's query keyword, nested
+    comments resurrecting text): for ANY script assembled from these
+    fragments, dry-run must (a) create plain-DDL tables EMPTY, (b) not
+    create CTAS tables at all (validate-only), (c) never apply an INSERT;
+    the same script under execute must materialize every table with its
+    expected rows."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    lines, out = runner_out
+    counter = itertools.count()
+
+    ctas_sep = st.sampled_from([
+        " ", " -- note; same as the daily select\n", " /* staged copy */ ",
+        " /* a /* nested; */ c */ ", "\n-- one\n-- two\n",
+    ])
+    ddl_comment = st.sampled_from([
+        "", " COMMENT 'same as the daily select snapshot'",
+        " COMMENT 'as -- select'", " COMMENT 'use nullif(a,b); later'",
+    ])
+
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["ddl", "ctas", "ddl_insert"]), ctas_sep, ddl_comment),
+            min_size=1, max_size=4,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(parts):
+        n = next(counter)
+        stmts, expect = [], {}  # table -> (kind, rows_after_execute)
+        for i, (kind, sep, comment) in enumerate(parts):
+            t = f"dryprop_{n}_{i}"
+            if kind == "ddl":
+                stmts.append(f"CREATE TABLE {t} (a INT, b STRING) USING parquet{comment}")
+                expect[t] = ("ddl", 0)
+            elif kind == "ctas":
+                stmts.append(f"CREATE TABLE {t} AS{sep}SELECT 1 AS a, 'x' AS b")
+                expect[t] = ("ctas", 1)
+            else:
+                stmts.append(f"CREATE TABLE {t} (a INT, b STRING) USING parquet{comment}")
+                stmts.append(f"INSERT INTO {t} VALUES (1, 'x'), (2, 'y')")
+                expect[t] = ("ddl_insert", 2)
+        script = ";\n".join(stmts) + ";"
+        try:
+            ScriptRunner(spark, execute=False, verbose=False, out=out).run_text(script)
+            for t, (kind, _) in expect.items():
+                if kind == "ctas":
+                    assert not spark.catalog.tableExists(t), f"dry-run created CTAS {t}"
+                else:
+                    assert spark.catalog.tableExists(t), t
+                    assert spark.table(t).count() == 0, f"dry-run moved data into {t}"
+            # fresh-warehouse parity between phases: the reference resets
+            # ./bee-proof-tmp per run, so CREATEs never collide across runs
+            for t in expect:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            ScriptRunner(spark, execute=True, verbose=False, out=out).run_text(script)
+            for t, (_, rows) in expect.items():
+                assert spark.table(t).count() == rows, t
+        finally:
+            for t in expect:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    check()
