@@ -170,6 +170,7 @@ join_predicate = st.tuples(leaf, ord_pred, st.sampled_from(["AND", "OR"])).map(
 
 
 DOCUMENTS = f"{SF_ORACLE}/documents.parquet"
+CUSTOMER = f"{SF_ORACLE}/customer.parquet"
 
 
 class _OracleBox:
@@ -202,6 +203,7 @@ class _OracleBox:
             ("fuzz_lineitem", LINEITEM),
             ("fuzz_orders", ORDERS),
             ("fuzz_documents", DOCUMENTS),
+            ("fuzz_customer", CUSTOMER),
         ):
             self._con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
@@ -231,12 +233,14 @@ def engines(spark):
     spark.read.parquet(LINEITEM).createOrReplaceTempView("fuzz_lineitem")
     spark.read.parquet(ORDERS).createOrReplaceTempView("fuzz_orders")
     spark.read.parquet(DOCUMENTS).createOrReplaceTempView("fuzz_documents")
+    spark.read.parquet(CUSTOMER).createOrReplaceTempView("fuzz_customer")
     con = _OracleBox()
     yield spark, con
     con.close()
     spark.catalog.dropTempView("fuzz_lineitem")
     spark.catalog.dropTempView("fuzz_orders")
     spark.catalog.dropTempView("fuzz_documents")
+    spark.catalog.dropTempView("fuzz_customer")
 
 
 def _both_agree(engines, sql: str) -> None:
@@ -1202,3 +1206,312 @@ def test_fuzz_bitwise_integer_ops(engines, pred, exprs, agg):
             f"FROM fuzz_lineitem WHERE {pred}"
         )
     _both_agree(engines, sql)
+
+
+# --------------------------------------------------- multi-relation surfaces
+# Surfaces 26-30: query SHAPES the single-table grammars cannot reach -
+# 3-relation join chains, CTE pipelines, set-op chains under aggregation,
+# interval date arithmetic, and projection-site correlated scalar
+# subqueries. Same literal SQL to both engines, exact-semantics atoms only.
+
+cust_pred = st.one_of(
+    st.tuples(
+        st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]),
+        st.integers(-1000, 10000),
+    ).map(lambda t: f"c_acctbal {t[0]} {t[1]}"),
+    st.tuples(
+        st.sampled_from(["=", "<>"]),
+        st.sampled_from(["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD", "NONE"]),
+    ).map(lambda t: f"c_mktsegment {t[0]} '{t[1]}'"),
+    st.tuples(
+        st.sampled_from(["<", ">=", "="]),
+        st.integers(0, 30),
+    ).map(lambda t: f"c_nationkey {t[0]} {t[1]}"),
+)
+
+_three_keys = st.lists(
+    st.sampled_from(["l_returnflag", "l_linestatus", "o_orderstatus", "c_mktsegment", "c_nationkey"]),
+    min_size=1,
+    max_size=3,
+    unique=True,
+)
+
+three_way_pred = st.tuples(
+    leaf, ord_pred, cust_pred, st.sampled_from(["AND", "OR"]), st.sampled_from(["AND", "OR"])
+).map(lambda t: f"(({t[0]} {t[3]} {t[1]}) {t[4]} {t[2]})")
+
+
+@given(
+    pred=three_way_pred,
+    keys=_three_keys,
+    aggs=st.lists(agg_expr, min_size=1, max_size=2, unique=True),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_three_way_join(engines, pred, keys, aggs):
+    """lineitem JOIN orders JOIN customer chains: filter placement across
+    two join boundaries plus grouping on columns from all three relations
+    must agree (join reorder / pushdown freedom may not change results)."""
+    sql = (
+        f"SELECT {', '.join(keys)}, {', '.join(aggs)} "
+        f"FROM fuzz_lineitem "
+        f"JOIN fuzz_orders ON l_orderkey = o_orderkey "
+        f"JOIN fuzz_customer ON o_custkey = c_custkey "
+        f"WHERE {pred} GROUP BY {', '.join(keys)}"
+    )
+    _both_agree(engines, sql)
+
+
+@given(
+    p1=predicate,
+    p2=predicate,
+    keys=st.lists(
+        st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]),
+        min_size=1,
+        max_size=2,
+        unique=True,
+    ),
+    aggs=st.lists(agg_expr, min_size=1, max_size=2, unique=True),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_cte_chain(engines, p1, p2, keys, aggs):
+    """Two-stage WITH pipelines (filter, then filter-of-CTE, then group):
+    CTE inlining and predicate stacking must be semantically invisible."""
+    sql = (
+        f"WITH a AS (SELECT * FROM fuzz_lineitem WHERE {p1}), "
+        f"b AS (SELECT * FROM a WHERE {p2}) "
+        f"SELECT {', '.join(keys)}, {', '.join(aggs)} "
+        f"FROM b GROUP BY {', '.join(keys)}"
+    )
+    _both_agree(engines, sql)
+
+
+@given(
+    preds=st.lists(predicate, min_size=2, max_size=3),
+    ops=st.lists(st.sampled_from(["UNION ALL", "UNION"]), min_size=2, max_size=2),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_union_chain_aggregate(engines, preds, ops):
+    """Aggregation over 2-3 branch UNION [ALL] chains: left-associative
+    bag/set mixing then grouping must agree (a dedup placed differently
+    by either optimizer would change counts)."""
+    branches = [
+        f"SELECT l_returnflag, l_linenumber, l_orderkey FROM fuzz_lineitem WHERE {p}"
+        for p in preds
+    ]
+    chain = branches[0]
+    for op, br in zip(ops, branches[1:]):
+        chain += f" {op} {br}"
+    sql = (
+        "SELECT l_returnflag, count(*) AS cnt, sum(l_linenumber) AS s, "
+        "count(l_orderkey) AS c2 "
+        f"FROM ({chain}) u GROUP BY l_returnflag"
+    )
+    _both_agree(engines, sql)
+
+
+interval_term = st.tuples(
+    st.sampled_from(["+", "-"]),
+    st.integers(1, 400),
+    st.sampled_from(["DAY", "MONTH"]),
+).map(lambda t: f"l_shipdate {t[0]} INTERVAL {t[1]} {t[2]}")
+
+
+@given(
+    term=interval_term,
+    cmp_term=interval_term,
+    y=st.integers(1995, 2001),
+    mth=st.integers(1, 12),
+    pred=predicate,
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_interval_arithmetic(engines, term, cmp_term, y, mth, pred):
+    """Timestamp +/- INTERVAL n DAY|MONTH in projections and predicates:
+    both engines must shift and end-of-month-clamp identically (a one-day
+    divergence flips predicate boundaries)."""
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {term} AS shifted "
+        f"FROM fuzz_lineitem "
+        f"WHERE ({cmp_term}) < TIMESTAMP '{y}-{mth:02d}-01 00:00:00' AND ({pred})"
+    )
+    _both_agree(engines, sql)
+
+
+_corr_agg = st.sampled_from(
+    [
+        "count(*)",
+        "count(l_partkey)",
+        "sum(l_linenumber)",
+        "min(l_extendedprice)",
+        "max(l_extendedprice)",
+        "min(l_shipdate)",
+    ]
+)
+
+
+@given(agg=_corr_agg, inner=leaf, outer=ord_pred)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_projection_scalar_subquery(engines, agg, inner, outer):
+    """Correlated scalar subqueries in the SELECT list: empty-group
+    semantics (count -> 0, min/max/sum -> NULL) and the aggregate-then-
+    left-join rewrite Spark applies must match DuckDB's evaluation."""
+    sql = (
+        f"SELECT o_orderkey, o_orderstatus, "
+        f"(SELECT {agg} FROM fuzz_lineitem l "
+        f"WHERE l.l_orderkey = o.o_orderkey AND {inner}) AS sub "
+        f"FROM fuzz_orders o WHERE {outer}"
+    )
+    _both_agree(engines, sql)
+
+
+# --------------------------------------------------------- null-rich surface
+# TPC-H columns are NOT NULL, so the single-table grammars above only meet
+# NULLs at outer-join shells and empty aggregate groups. This view injects
+# deterministic NULLs into every column class (int, double, string,
+# timestamp) with the SAME view SQL on both engines, making 3VL the rule
+# rather than the exception: NULL grouping keys, count(*) vs count(col),
+# null-ignoring min/max/sum, IN/NOT IN with NULL operands, IS [NOT] NULL,
+# COALESCE/NULLIF algebra.
+_NULLITEM_SQL = (
+    "SELECT "
+    "CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_orderkey END AS n_orderkey, "
+    "CASE WHEN l_suppkey % 5 = 0 THEN NULL ELSE l_partkey END AS n_partkey, "
+    "CASE WHEN l_partkey % 7 = 0 THEN NULL ELSE l_quantity END AS n_quantity, "
+    "CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE l_returnflag END AS n_flag, "
+    "CASE WHEN l_partkey % 2 = 0 THEN NULL ELSE l_shipdate END AS n_shipdate, "
+    "l_linenumber AS n_linenumber "
+    "FROM fuzz_lineitem"
+)
+
+null_leaf = st.one_of(
+    st.tuples(
+        st.sampled_from(["n_orderkey", "n_partkey", "n_linenumber"]),
+        st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]),
+        st.integers(0, 7000),
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+    st.tuples(
+        st.sampled_from(["n_orderkey", "n_partkey", "n_quantity", "n_flag", "n_shipdate"]),
+        st.sampled_from(["IS NULL", "IS NOT NULL"]),
+    ).map(lambda t: f"{t[0]} {t[1]}"),
+    st.tuples(
+        st.sampled_from(["IN", "NOT IN"]),
+        st.sampled_from(["n_partkey", "n_linenumber"]),
+        st.lists(
+            st.one_of(st.integers(0, 100), st.just("NULL")),
+            min_size=1,
+            max_size=5,
+        ),
+    ).map(lambda t: f"{t[1]} {t[0]} ({', '.join(map(str, t[2]))})"),
+    st.tuples(
+        st.sampled_from(["=", "<>", "<", ">="]),
+        st.sampled_from(["'A'", "'N'", "'R'", "NULL"]),
+    ).map(lambda t: f"n_flag {t[0]} {t[1]}"),
+    st.tuples(
+        st.sampled_from(["n_quantity", "coalesce(n_quantity, 0)"]),
+        st.sampled_from(["<", ">="]),
+        st.integers(0, 55),
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+)
+
+null_predicate = st.recursive(
+    null_leaf,
+    lambda inner: st.one_of(
+        st.lists(inner, min_size=2, max_size=3).flatmap(_combine),
+        inner.map(lambda p: f"NOT ({p})"),
+    ),
+    max_leaves=5,
+)
+
+null_agg = st.sampled_from(
+    [
+        "count(*) AS cnt",
+        "count(n_partkey) AS cnt_pk",
+        "count(n_quantity) AS cnt_q",
+        "sum(n_linenumber) AS sum_ln",
+        "sum(n_partkey) AS sum_pk",
+        "min(n_quantity) AS min_q",
+        "max(n_shipdate) AS max_ship",
+        "min(n_flag) AS min_flag",
+        "count(DISTINCT n_flag) AS d_flag",
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def null_engines(engines):
+    spark, con = engines
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW fuzz_nullitem AS {_NULLITEM_SQL}")
+    con.execute(f"CREATE OR REPLACE VIEW fuzz_nullitem AS {_NULLITEM_SQL}")
+    yield engines
+    spark.catalog.dropTempView("fuzz_nullitem")
+
+
+@given(
+    pred=null_predicate,
+    keys=st.lists(
+        st.sampled_from(["n_flag", "n_linenumber", "coalesce(n_flag, '?')"]),
+        min_size=1,
+        max_size=2,
+        unique=True,
+    ),
+    aggs=st.lists(null_agg, min_size=1, max_size=3, unique=True),
+)
+@settings(
+    max_examples=40 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_null_rich_3vl(null_engines, pred, keys, aggs):
+    """Filter + group + aggregate where every column class carries NULLs:
+    NULL grouping keys must form one group, count(col)/sum/min/max must
+    ignore NULLs identically, and NOT IN / <> / NULL-literal comparisons
+    must filter by the same 3VL truth table in both engines."""
+    aliased_keys = [f"{k} AS k{i}" for i, k in enumerate(keys)]
+    grp = ", ".join(f"k{i}" for i in range(len(keys)))
+    sql = (
+        f"SELECT {', '.join(aliased_keys)}, {', '.join(aggs)} "
+        f"FROM fuzz_nullitem WHERE {pred} GROUP BY {grp}"
+    )
+    _both_agree(null_engines, sql)
+
+
+@given(pred=null_predicate)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_null_distinct_rows(null_engines, pred):
+    """SELECT DISTINCT over NULL-bearing tuples: NULL equality-for-
+    distinctness (NULLs collapse into one distinct row) must agree."""
+    sql = (
+        f"SELECT DISTINCT n_flag, n_linenumber, n_quantity "
+        f"FROM fuzz_nullitem WHERE {pred}"
+    )
+    _both_agree(null_engines, sql)
