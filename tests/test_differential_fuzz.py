@@ -1515,3 +1515,60 @@ def test_fuzz_null_distinct_rows(null_engines, pred):
         f"FROM fuzz_nullitem WHERE {pred}"
     )
     _both_agree(null_engines, sql)
+
+
+@given(
+    pred=null_predicate,
+    form=st.sampled_from(
+        [
+            "ROLLUP(n_flag, n_linenumber)",
+            "CUBE(n_flag, n_linenumber)",
+            "GROUPING SETS ((n_flag, n_linenumber), (n_flag), ())",
+        ]
+    ),
+    aggs=st.lists(null_agg, min_size=1, max_size=2, unique=True),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_rollup_nullable_keys(null_engines, pred, form, aggs):
+    """ROLLUP/CUBE/GROUPING SETS over keys that ALREADY carry data NULLs:
+    rolled-up-NULL vs data-NULL rows collide in the key columns, so both
+    engines must emit identical grouping() flags to tell them apart and
+    identical aggregates for each (key, flags) cell.
+
+    KNOWN DIVERGENCE (pinned by test_rollup_empty_input_divergence_pinned):
+    on EMPTY filtered input the SQL standard emits one grand-total row for
+    the () grouping set (DuckDB/PostgreSQL: count=0), while Spark keys
+    every set by spark_grouping_id and emits zero rows. Our engine's
+    contract is Spark semantics; HAVING count(*) > 0 excludes exactly that
+    one row shape (every other grouping-set row has count >= 1 by
+    construction) so the surface compares everything else."""
+    sql = (
+        f"SELECT n_flag, n_linenumber, {', '.join(aggs)}, "
+        f"grouping(n_flag) AS g1, grouping(n_linenumber) AS g2 "
+        f"FROM fuzz_nullitem WHERE {pred} GROUP BY {form} "
+        f"HAVING count(*) > 0"
+    )
+    _both_agree(null_engines, sql)
+
+
+def test_rollup_empty_input_divergence_pinned(null_engines):
+    """Deterministic pin of the known grouping-sets divergence (first
+    surfaced by test_fuzz_multilevel_grouping on 2026-08-14, re-found by
+    the nullable-keys surface): empty input under GROUP BY ROLLUP yields
+    the standard's grand-total row (count=0) in DuckDB/PostgreSQL but
+    ZERO rows in Spark (every grouping set - including () - is keyed by
+    spark_grouping_id, so an empty relation has no groups). If Spark ever
+    adopts the standard behavior this pin fails, and both the HAVING
+    guard here and multilevel_grouping's assume() can be dropped."""
+    spark, con = null_engines
+    sql = (
+        "SELECT n_flag, count(*) AS cnt FROM fuzz_nullitem "
+        "WHERE n_orderkey < 0 GROUP BY ROLLUP(n_flag)"
+    )
+    assert spark.sql(sql).count() == 0
+    assert con.execute(sql).fetchall() == [(None, 0)]
