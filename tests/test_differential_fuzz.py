@@ -1572,3 +1572,43 @@ def test_rollup_empty_input_divergence_pinned(null_engines):
     )
     assert spark.sql(sql).count() == 0
     assert con.execute(sql).fetchall() == [(None, 0)]
+
+
+_null_win_fn = st.sampled_from(
+    [
+        "rank() OVER (PARTITION BY n_flag ORDER BY n_quantity {d} {np})",
+        "dense_rank() OVER (PARTITION BY n_flag ORDER BY n_quantity {d} {np})",
+        "sum(n_linenumber) OVER (PARTITION BY n_flag ORDER BY n_quantity {d} {np})",
+        "count(n_orderkey) OVER (PARTITION BY n_flag ORDER BY n_quantity {d} {np})",
+        "count(*) OVER (PARTITION BY n_flag ORDER BY n_shipdate {d} {np})",
+        "min(n_quantity) OVER (PARTITION BY n_linenumber ORDER BY n_shipdate {d} {np})",
+    ]
+)
+
+
+@given(
+    pred=null_predicate,
+    wf=_null_win_fn,
+    d=st.sampled_from(["ASC", "DESC"]),
+    np=st.sampled_from(["NULLS FIRST", "NULLS LAST"]),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_window_nullable_keys(null_engines, pred, wf, d, np):
+    """Windows where the PARTITION BY key, the ORDER BY key, and the
+    aggregated column all carry NULLs: NULL partitions must form one
+    partition, explicit NULLS FIRST/LAST must place the NULL peer group
+    identically, and rank/sum/count over that peer structure must agree.
+    Functions are restricted to peer-deterministic ones (rank families
+    and default-RANGE-frame aggregates over full peer groups) because
+    the nulled view has no unique total order for row_number."""
+    expr = wf.format(d=d, np=np)
+    sql = (
+        f"SELECT n_orderkey, n_linenumber, n_flag, {expr} AS w "
+        f"FROM fuzz_nullitem WHERE {pred}"
+    )
+    _both_agree(null_engines, sql)
