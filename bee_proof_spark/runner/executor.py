@@ -91,8 +91,9 @@ def _blank_literals_and_comments(sql: str) -> str:
 
     One left-to-right scan so the two syntaxes can't fool each other: a
     ``--`` inside a string literal is not a comment, and a quote inside a
-    comment does not open a literal. Newlines inside comments are kept so
-    line numbers (and ``\\s*`` matches across them) survive. Used for the
+    comment does not open a literal. Newlines are kept inside comments AND
+    inside literals/backtick identifiers so line numbers (and ``\\s*``
+    matches across them) survive. Used for the
     CTAS classification: ``CREATE TABLE t AS -- note\\nSELECT ...`` must
     still classify as exec (the comment sits between AS and the query
     keyword), while ``COMMENT 'same as the daily select'`` must not.
@@ -104,7 +105,11 @@ def _blank_literals_and_comments(sql: str) -> str:
         if c in ("'", '"'):
             m = _LITERAL_RE.match(sql, i)
             if m:
-                out.append(c + " " + c)
+                # Keep newlines inside the literal (like comments below) so
+                # release-gate line offsets stay correct past a multi-line
+                # string; every other char blanks to a space.
+                body = m.group(0)[1:-1]
+                out.append(c + "".join(ch if ch == "\n" else " " for ch in body) + c)
                 i = m.end()
                 continue
             out.append(c)
@@ -112,7 +117,8 @@ def _blank_literals_and_comments(sql: str) -> str:
         elif c == "`":
             j = sql.find("`", i + 1)
             if j >= 0:
-                out.append("` `")
+                body = sql[i + 1 : j]
+                out.append("`" + "".join(ch if ch == "\n" else " " for ch in body) + "`")
                 i = j + 1
                 continue
             out.append(c)
@@ -264,10 +270,17 @@ class ScriptRunner:
         # dry-run exercises too). SET statements are exempt: a variable VALUE
         # is only Hive text at its substitution site, where the gate re-checks.
         if self.release is not None and kind != "set":
-            viol = release_violations(_blank_literals_and_comments(sql), self.release)
+            blanked = _blank_literals_and_comments(sql)
+            viol = release_violations(blanked, self.release)
             if viol:
                 name, msg, line_off = viol[0]
-                raise StatementError(script, stmt.line + line_off, sql, msg)
+                # stmt.line addresses the first CONTENT char, but stmt.text
+                # retains any leading comments, whose newlines would inflate
+                # line_off. Blanking turns those comments into whitespace,
+                # so the newline count of blanked's leading-whitespace run
+                # is exactly the overcount to subtract.
+                lead = blanked[: len(blanked) - len(blanked.lstrip())].count("\n")
+                raise StatementError(script, stmt.line + line_off - lead, sql, msg)
         try:
             if kind == "set":
                 for ln in self.setproc.process(strip_leading_comments(sql)):

@@ -190,6 +190,12 @@ class _OracleBox:
 
     def __init__(self):
         self._con = None
+        #: Views registered AFTER construction (fixture-added, e.g.
+        #: fuzz_nullitem) must survive a crash recycle too - _rebuild
+        #: replays them, else one oracle crash would cascade
+        #: CatalogExceptions into every later derived-view example (the
+        #: exact failure mode the recycler exists to prevent).
+        self._extra_views: dict[str, str] = {}
         self._rebuild()
 
     def _rebuild(self):
@@ -208,6 +214,13 @@ class _OracleBox:
             self._con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
             )
+        for name, view_sql in self._extra_views.items():
+            self._con.execute(f"CREATE OR REPLACE VIEW {name} AS {view_sql}")
+
+    def register_view(self, name: str, view_sql: str) -> None:
+        """Create a derived view that survives crash recycling."""
+        self._extra_views[name] = view_sql
+        self._con.execute(f"CREATE OR REPLACE VIEW {name} AS {view_sql}")
 
     def execute(self, sql: str):
         from hypothesis import assume
@@ -1465,7 +1478,7 @@ null_agg = st.sampled_from(
 def null_engines(engines):
     spark, con = engines
     spark.sql(f"CREATE OR REPLACE TEMP VIEW fuzz_nullitem AS {_NULLITEM_SQL}")
-    con.execute(f"CREATE OR REPLACE VIEW fuzz_nullitem AS {_NULLITEM_SQL}")
+    con.register_view("fuzz_nullitem", _NULLITEM_SQL)
     yield engines
     spark.catalog.dropTempView("fuzz_nullitem")
 

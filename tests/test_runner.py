@@ -699,3 +699,20 @@ def test_dry_run_never_moves_data_property(spark, runner_out):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
 
     check()
+
+
+def test_release_gate_line_addressing_comments_and_multiline_literals(spark, runner_out):
+    """Line addressing stays correct when the statement text carries leading
+    comments (whose newlines must NOT inflate the reported line) or
+    multi-line string literals before the construct (whose newlines must
+    not be LOST by blanking) - both found by r9 review."""
+    lines, out = runner_out
+    r = ScriptRunner(spark, execute=False, verbose=False, out=out, release="emr-3")
+    # leading comment between statements: gate is on script line 3
+    with pytest.raises(StatementError) as ei:
+        r.run_text("SELECT 1 AS one;\n-- setup note\nSELECT nullif(1, 2) AS n;")
+    assert ei.value.line == 3
+    # multi-line literal before the construct: gate is on script line 4
+    with pytest.raises(StatementError) as ei:
+        r.run_text("SELECT 'a\nb\nc' AS s,\n nullif(1, 2) AS n")
+    assert ei.value.line == 4
