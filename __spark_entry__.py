@@ -229,6 +229,44 @@ def _builder_fingerprint(qid: str) -> str:
     return hashlib.sha256("\n".join(sorted(parts)).encode()).hexdigest()[:16]
 
 
+#: The paths whose uncommitted edits make a queries() run "dirty" for
+#: evidence attribution. ONE definition shared by the stamp hook below and
+#: tools/rows_only_evidence._source_tree_clean (r9 review: two divergent
+#: copies could mark a stamp clean under one scope while reconcile's
+#: fallback used another, reintroducing mis-attribution).
+QUERY_SOURCE_PATHS = ("bee_proof_spark", "__spark_entry__.py")
+
+
+def _query_source_tree_clean(repo_dir: str) -> bool:
+    """True when QUERY_SOURCE_PATHS have no uncommitted changes in
+    ``repo_dir``. Unknown (no git, timeout) counts as dirty - never
+    over-claim."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo_dir, "status", "--porcelain", "--",
+             *QUERY_SOURCE_PATHS],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout
+        return out.strip() == ""
+    except Exception:
+        return False
+
+
+def _stamp_is_duplicate(last: dict | None, fps: dict, clean: bool) -> bool:
+    """True only when the FINAL log entry already records (fps, clean).
+
+    Deliberately last-line-only: after a revert to a recently-stamped code
+    state, the reverted state must re-stamp so the next ledger attributes
+    to IT, not to the newer stamp still sitting above it in the log."""
+    return (
+        last is not None
+        and last.get("fps") == fps
+        and last.get("clean", None) == clean
+    )
+
+
 def _stamp_rows_only_fingerprints() -> None:
     """Append the current rows-only builder fingerprints (with a wall-clock
     ts) to tools/rows_only_fp_log.jsonl. Called from queries(), so THE CODE
@@ -247,11 +285,13 @@ def _stamp_rows_only_fingerprints() -> None:
       post-edit local queries() run (dirty tree) that lands between the
       driver run and the ledger's commit no longer steals attribution from
       the driver's own clean-tree stamp.
-    - Dedupes against any of the last 8 stamps (not only the final line),
-      so two alternating registries cannot grow the log without bound.
+    - Dedupes against the FINAL stamp only. A wider window (r9 tried 8)
+      suppresses re-stamping when code reverts to a recently-stamped state,
+      so the next ledger would be attributed to the wrong (newer) stamp -
+      and the alternating-registry growth it targeted cannot happen outside
+      pytest, where stamping is disabled entirely (r9 review).
     """
     import json
-    import subprocess
     import time
 
     if "PYTEST_CURRENT_TEST" in os.environ or "pytest" in sys.modules:
@@ -263,24 +303,16 @@ def _stamp_rows_only_fingerprints() -> None:
         for qid in _REGISTRY
         if _REGISTRY[qid].oracle is None
     }
-    try:
-        clean = subprocess.run(
-            ["git", "-C", here, "status", "--porcelain", "--",
-             "bee_proof_spark", "__spark_entry__.py"],
-            capture_output=True, text=True, timeout=30, check=True,
-        ).stdout.strip() == ""
-    except Exception:
-        clean = False  # unknown counts as dirty - never over-claim
-    recent = []
+    clean = _query_source_tree_clean(here)
+    last = None
     try:
         with open(path) as f:
             for line in f:
                 if line.strip():
-                    recent.append(json.loads(line))
-                    recent = recent[-8:]
+                    last = json.loads(line)
     except (OSError, ValueError):
-        recent = []
-    if any(e.get("fps") == fps and e.get("clean", None) == clean for e in recent):
+        last = None
+    if _stamp_is_duplicate(last, fps, clean):
         return
     with open(path, "a") as f:
         f.write(json.dumps({"ts": time.time(), "clean": clean, "fps": fps}) + "\n")

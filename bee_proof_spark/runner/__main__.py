@@ -19,18 +19,27 @@ def main(argv: list[str]) -> int:
     # In the reference the release is baked into WHICH jar the Ruby layer
     # launches (bee-proof.rb:5-27), not into the manifest; --release is this
     # CLI's equivalent of that jar choice and turns on the Hive-pin gates.
+    usage = (
+        "usage: python -m bee_proof_spark.runner "
+        f"[--release={'|'.join(RELEASE_HIVE_VERSION)}] <manifest.json>"
+    )
     release = None
     args = []
     for a in argv:
         if a.startswith("--release="):
             release = a.split("=", 1)[1]
+        elif a.startswith("--"):
+            # '--release emr-5' (space form) or any unknown '--foo' must be
+            # a clean usage error, not silently treated as a manifest path
+            # (r9 review: '--release manifest.json' printed 'cannot load
+            # manifest --release' and ran with NO gating).
+            print(f"[ERROR] unknown option {a!r}", file=sys.stderr)
+            print(usage, file=sys.stderr)
+            return 2
         else:
             args.append(a)
     if len(args) != 1:
-        print(
-            "usage: python -m bee_proof_spark.runner [--release=emr-3|emr-4|emr-5] <manifest.json>",
-            file=sys.stderr,
-        )
+        print(usage, file=sys.stderr)
         return 2
     if release is not None and release not in RELEASE_HIVE_VERSION:
         print(

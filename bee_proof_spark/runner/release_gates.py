@@ -74,15 +74,24 @@ _UNION_RE = re.compile(
     r"\bUNION\b(?!\s+ALL\b)" + _QSTART, re.IGNORECASE
 )
 
-#: Scalar subquery as a comparison operand (SURVEY.md:318: NOT in Hive
+#: Scalar subquery as an expression operand (SURVEY.md:318: NOT in Hive
 #: 0.13). Hive 0.13's subquery work (HIVE-784 era) covered only IN/EXISTS
 #: predicates; scalar subqueries in expressions arrived with the Hive 2.x
 #: subquery expansion - gate at 2.3 like INTERSECT/EXCEPT (emr-5 only).
-#: Detection is deliberately conservative: only the unambiguous
-#: ``<op> (SELECT`` shape; IN/EXISTS subqueries are 0.13-legal and never
-#: match (their SELECT follows ``IN (`` / ``EXISTS (``, not a comparison
-#: operator).
-_SCALAR_SUBQ_RE = re.compile(r"(?:=|<>|!=|<=|>=|<|>)\s*\(\s*SELECT\b", re.IGNORECASE)
+#: Detection covers the unambiguous shapes only: a comparison or
+#: arithmetic operator, a SELECT-list head (``SELECT (SELECT``), or a
+#: CASE branch (``WHEN/THEN/ELSE (SELECT``) directly before ``(SELECT``.
+#: IN/EXISTS subqueries are 0.13-legal and never match (their SELECT
+#: follows ``IN (`` / ``EXISTS (``), and derived tables follow FROM/JOIN.
+#: ``, (SELECT`` (non-head projection position) is deliberately NOT
+#: matched: it is ambiguous with a comma cross-join's derived table
+#: (``FROM a, (SELECT ...) b``) and gates err toward never rejecting
+#: legal old-pin SQL.
+_SCALAR_SUBQ_RE = re.compile(
+    r"(?:=|<>|!=|<=|>=|<|>|\+|-|\*|/|%)\s*\(\s*SELECT\b"
+    r"|\b(?:SELECT|WHEN|THEN|ELSE)\s*\(\s*SELECT\b",
+    re.IGNORECASE,
+)
 
 _FN_CALL_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 

@@ -13,6 +13,7 @@ from pyspark.sql import SparkSession
 
 from bee_proof_spark.runner.executor import run_manifest
 from bee_proof_spark.runner.manifest import Manifest, Task
+from bee_proof_spark.runner.release_gates import RELEASE_HIVE_VERSION
 from bee_proof_spark.session import build_session, reset_tmp_tree
 
 #: Known release profiles (pom.xml:28-66). All run the same Spark engine,
@@ -21,7 +22,9 @@ from bee_proof_spark.session import build_session, reset_tmp_tree
 #: nullif, bround, 1.1+ date fns, ...) fail with a line-addressed error,
 #: matching the reference's version-locked hive-exec behavior
 #: (runner/release_gates.py; table derived from SURVEY.md section 2-B).
-KNOWN_RELEASES = ("emr-3", "emr-4", "emr-5")
+#: Derived from the gate table so the two can never diverge (r9 review:
+#: a release accepted here but absent there would silently get ZERO gating).
+KNOWN_RELEASES = tuple(RELEASE_HIVE_VERSION)
 
 
 class Verification:

@@ -597,11 +597,26 @@ def test_release_gate_scalar_subquery_emr5_only():
     assert [v[0] for v in violations(scalar, "emr-3")] == ["scalar subquery"]
     assert [v[0] for v in violations(scalar, "emr-4")] == ["scalar subquery"]
     assert violations(scalar, "emr-5") == []
+    # r9 review widening: projection-head, arithmetic-operand, and CASE-
+    # branch scalar subqueries are the same Hive 2.x feature and equally
+    # unambiguous shapes
+    for bad in (
+        "SELECT (SELECT max(a) FROM t) AS m FROM u",
+        "SELECT a + (SELECT avg(a) FROM t) AS x FROM u",
+        "SELECT a / (SELECT count(*) FROM t) AS x FROM u",
+        "SELECT CASE WHEN (SELECT count(*) FROM t) > 0 THEN 1 ELSE 0 END FROM u",
+        "SELECT CASE WHEN a THEN (SELECT max(b) FROM t) ELSE 0 END FROM u",
+    ):
+        assert [v[0] for v in violations(bad, "emr-3")] == ["scalar subquery"], bad
+        assert violations(bad, "emr-5") == [], bad
     for ok in (
         "SELECT * FROM t WHERE a IN (SELECT a FROM u)",
         "SELECT * FROM t WHERE EXISTS (SELECT 1 FROM u WHERE u.a = t.a)",
+        "SELECT x FROM (SELECT a AS x FROM u) d",          # derived table
+        "SELECT x FROM t JOIN (SELECT a FROM u) d ON 1=1",  # join operand
+        "SELECT a, (b) AS x FROM u",                        # plain parens
     ):
-        assert violations(ok, "emr-3") == []
+        assert violations(ok, "emr-3") == [], ok
 
 
 def test_release_gate_setop_keywords_need_query_start():
@@ -716,3 +731,27 @@ def test_release_gate_line_addressing_comments_and_multiline_literals(spark, run
     with pytest.raises(StatementError) as ei:
         r.run_text("SELECT 'a\nb\nc' AS s,\n nullif(1, 2) AS n")
     assert ei.value.line == 4
+
+
+def test_cli_rejects_unknown_and_space_form_options(capsys):
+    """r9 review: '--release emr-5' (space form) and any unknown '--foo'
+    must be clean usage errors, never silently treated as manifest paths
+    (which printed a misleading 'cannot load manifest --release' and ran
+    with NO gating)."""
+    from bee_proof_spark.runner.__main__ import main
+
+    assert main(["--release", "emr-5", "m.json"]) == 2
+    err = capsys.readouterr().err
+    assert "unknown option '--release'" in err and "usage:" in err
+    assert main(["--dry-run", "m.json"]) == 2
+    assert "unknown option '--dry-run'" in capsys.readouterr().err
+
+
+def test_known_releases_derived_from_gate_table():
+    """r9 review: the Verification release list and the gate table must be
+    the same object-level source - a release accepted by one but absent
+    from the other would silently get zero gating."""
+    from bee_proof_spark.runner.release_gates import RELEASE_HIVE_VERSION
+    from bee_proof_spark.runner.verification import KNOWN_RELEASES
+
+    assert KNOWN_RELEASES == tuple(RELEASE_HIVE_VERSION)

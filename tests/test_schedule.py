@@ -363,3 +363,48 @@ def test_stamping_is_inert_under_pytest(tmp_path):
     e.queries()
     after = open(log, "rb").read() if _os.path.exists(log) else b""
     assert before == after
+
+
+def test_rows_only_evidence_stale_clean_stamp_does_not_outrank(tmp_path, monkeypatch):
+    """r9 review: the clean-stamp preference must be bounded to the driver
+    pass that produced the ledger (queries() stamps at run start, ledger
+    lands at run end). A clean stamp from a run HOURS earlier must not
+    outrank the nearest-before dirty stamp - the dirty run produced this
+    ledger, and attributing its fps is honest (a non-matching fps just
+    re-arms the slot), while resurrecting the stale clean fps over-claims."""
+    import json
+    import time
+
+    roe = _load_roe(tmp_path, monkeypatch)
+    e = _reload()
+    target = next(q for q in e._REGISTRY if e._REGISTRY[q].oracle is None)
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({target: {"spark_rows": 5, "err": "no_oracle"}})
+    )
+    now = time.time()
+    with open(tmp_path / "fp_log.jsonl", "w") as f:
+        # clean stamp from a PRIOR run, well outside the window
+        f.write(json.dumps({"ts": now - 7 * 3600, "clean": True,
+                            "fps": {target: "stale-clean-fp"}}) + "\n")
+        # the run that actually produced this ledger (dirty tree)
+        f.write(json.dumps({"ts": now - 30, "clean": False,
+                            "fps": {target: "dirty-run-fp"}}) + "\n")
+    assert roe.main(["--reconcile"]) == 0
+    assert json.loads((tmp_path / "ev.json").read_text()) == {target: "dirty-run-fp"}
+
+
+def test_stamp_dedupe_is_last_line_only():
+    """r9 review: a wider dedupe window suppressed re-stamping after a
+    revert to a recently-stamped state, silently attributing the next
+    ledger to the wrong (newer) stamp. Only the final log entry may
+    suppress a stamp."""
+    e = _reload()
+    a = {"fps": {"q": "fpA"}, "clean": True}
+    assert e._stamp_is_duplicate(a, {"q": "fpA"}, True)          # true repeat
+    assert not e._stamp_is_duplicate(None, {"q": "fpA"}, True)   # empty log
+    assert not e._stamp_is_duplicate(a, {"q": "fpB"}, True)      # code moved on
+    assert not e._stamp_is_duplicate(a, {"q": "fpA"}, False)     # clean flipped
+    # revert scenario: log ends with B; current state A (stamped earlier,
+    # but NOT last) must re-stamp
+    b = {"fps": {"q": "fpB"}, "clean": True}
+    assert not e._stamp_is_duplicate(b, {"q": "fpA"}, True)

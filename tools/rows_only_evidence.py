@@ -80,6 +80,16 @@ def _latest_ledger() -> tuple[int, dict, float]:
     return best_round, best, landed
 
 
+#: A clean stamp may only outrank a NEWER dirty stamp when it plausibly
+#: belongs to the same driver pass as the ledger: queries() stamps at run
+#: start and the ledger lands at run end, minutes-to-an-hour later. A clean
+#: stamp older than this window is from some PRIOR run and preferring it
+#: would over-claim - attribute the nearest stamp (even dirty) instead,
+#: which is honest: a dirty fps that doesn't match the committed builder
+#: simply re-arms the evidence slot (r9 review).
+_CLEAN_STAMP_WINDOW_S = 6 * 3600.0
+
+
 def _stamp_before(mtime: float) -> dict | None:
     """Last run-time fingerprint stamp at or before the ledger landed
     (+1 s grace for same-second filesystem timestamps).
@@ -87,10 +97,13 @@ def _stamp_before(mtime: float) -> dict | None:
     Stamps made on a git-CLEAN query-source tree win over dirty-tree stamps
     (r8 ADVICE): the driver runs the committed tree, so its stamp is clean,
     while a post-edit local queries() run that slots between the driver run
-    and the ledger's commit stamps dirty and must not steal attribution.
-    Pre-r9 stamps lack the flag and are used only when no clean stamp
-    qualifies."""
+    and the ledger's commit stamps dirty and must not steal attribution -
+    but only within _CLEAN_STAMP_WINDOW_S of the ledger, else a stale clean
+    stamp from a long-past run would itself steal attribution from the
+    dirty run that actually produced the ledger. Pre-r9 stamps lack the
+    flag and are used only when no clean stamp qualifies."""
     best_clean, best_any = None, None
+    best_clean_ts = 0.0
     try:
         with open(FP_LOG_PATH) as f:
             for line in f:
@@ -101,24 +114,23 @@ def _stamp_before(mtime: float) -> dict | None:
                     best_any = entry.get("fps")
                     if entry.get("clean"):
                         best_clean = entry.get("fps")
+                        best_clean_ts = entry.get("ts", 0)
     except (OSError, ValueError):
         return None
-    return best_clean if best_clean is not None else best_any
+    if best_clean is not None and best_clean_ts >= mtime - _CLEAN_STAMP_WINDOW_S:
+        return best_clean
+    return best_any
 
 
 def _source_tree_clean() -> bool:
     """True when the query-source paths have no uncommitted changes (so the
     current recompute still describes the code the driver ran). Unknown
-    (no git) counts as dirty - refuse rather than mis-attribute."""
-    try:
-        out = subprocess.run(
-            ["git", "-C", HERE, "status", "--porcelain", "--",
-             "bee_proof_spark", "__spark_entry__.py"],
-            capture_output=True, text=True, timeout=30, check=True,
-        ).stdout
-        return out.strip() == ""
-    except Exception:
-        return False
+    (no git) counts as dirty - refuse rather than mis-attribute. Delegates
+    to the ONE shared definition in __spark_entry__ so the stamp hook and
+    this fallback can never disagree on scope (r9 review)."""
+    import __spark_entry__ as e
+
+    return e._query_source_tree_clean(HERE)
 
 
 def main(argv: list[str]) -> int:
