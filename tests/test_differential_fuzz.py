@@ -1625,3 +1625,72 @@ def test_fuzz_window_nullable_keys(null_engines, pred, wf, d, np):
         f"FROM fuzz_nullitem WHERE {pred}"
     )
     _both_agree(null_engines, sql)
+
+
+_lateral_aggs = st.lists(
+    st.sampled_from(
+        [
+            "count(l_partkey) AS cnt_pk",
+            "sum(l_linenumber) AS sum_ln",
+            "min(l_extendedprice) AS min_price",
+            "max(l_shipdate) AS max_ship",
+        ]
+    ),
+    min_size=1,
+    max_size=3,
+    unique=True,
+)
+
+
+@given(aggs=_lateral_aggs, inner=leaf, outer=ord_pred, corr=st.booleans())
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_lateral_subquery(engines, aggs, inner, outer, corr):
+    """Standard LATERAL correlated subqueries (`FROM o, LATERAL (...) s`):
+    an aggregate lateral yields EXACTLY one row per outer row (empty inner
+    group included - count->0, min/max/sum->NULL), so join multiplicity and
+    per-cell values must both agree. `corr` toggles the correlation
+    predicate so uncorrelated (constant) laterals are exercised too.
+
+    count(*) is ALWAYS in the lateral's SELECT list: duckdb 1.0.0's
+    decorrelation DROPS the empty-group row when the lateral computes only
+    non-count aggregates (pinned by
+    test_lateral_empty_group_oracle_bug_pinned - Spark matches the
+    standard, the oracle does not); with count(*) present duckdb emits the
+    row with correct cells, so the NULL cells still get compared."""
+    where_inner = f"l.l_orderkey = o.o_orderkey AND {inner}" if corr else inner
+    cols = ", ".join(f"s.{a.split(' AS ')[1]}" for a in aggs)
+    sql = (
+        f"SELECT o.o_orderkey, o.o_orderstatus, s.cnt, {cols} "
+        f"FROM fuzz_orders o, LATERAL ("
+        f"SELECT count(*) AS cnt, {', '.join(aggs)} "
+        f"FROM fuzz_lineitem l WHERE {where_inner}"
+        f") s WHERE {outer}"
+    )
+    _both_agree(engines, sql)
+
+
+def test_lateral_empty_group_oracle_bug_pinned(engines):
+    """Pin the ORACLE-engine bug the lateral surface found (r9): for a
+    correlated lateral computing only non-count aggregates over an empty
+    group, duckdb 1.0.0 emits ZERO rows where the standard (and Spark,
+    and duckdb itself once count(*) is added) emits one row with NULL.
+    If a duckdb upgrade fixes this, this pin fails and the mandatory
+    count(*) guard in test_fuzz_lateral_subquery can be dropped."""
+    spark, con = engines
+    sql = (
+        "SELECT o.o_orderkey, s.s FROM fuzz_orders o, LATERAL ("
+        "SELECT sum(l_linenumber) AS s FROM fuzz_lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey AND l_orderkey < 0) s "
+        "WHERE o.o_orderkey < 3"
+    )
+    n_outer = spark.sql(
+        "SELECT count(*) FROM fuzz_orders WHERE o_orderkey < 3"
+    ).collect()[0][0]
+    assert n_outer > 0
+    assert spark.sql(sql).count() == n_outer  # standard: one row per outer
+    assert con.execute(sql).fetchall() == []  # duckdb 1.0.0: drops them
