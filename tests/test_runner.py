@@ -755,3 +755,52 @@ def test_known_releases_derived_from_gate_table():
     from bee_proof_spark.runner.verification import KNOWN_RELEASES
 
     assert KNOWN_RELEASES == tuple(RELEASE_HIVE_VERSION)
+
+
+def test_release_gate_line_addressing_property(spark, runner_out):
+    """Property (r9 review follow-up): for ANY script assembled from filler
+    statements, leading comments, multi-line block comments, multi-line
+    string literals, and one gated construct, the StatementError line must
+    equal the 1-based line where the construct's token actually sits in
+    the SCRIPT text - computed independently of the splitter/blanker by
+    counting newlines up to the token."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    lines, out = runner_out
+
+    filler = st.sampled_from([
+        "SELECT 1 AS one;\n",
+        "SELECT 2 AS two;\n-- between-statement note\n",
+        "SELECT 'x' AS s;\n/* block\nspanning\nlines */\n",
+    ])
+    lead = st.sampled_from([
+        "", "-- lead one\n", "-- lead one\n-- lead two\n",
+        "/* lead\nblock */ ", "/* a /* nested\n */ b */\n",
+    ])
+    item = st.sampled_from([
+        "1 AS c", "'multi\nline\nliteral' AS s", "'a;b' AS semi",
+        "-- inline note\n 2 AS d", "'quote '' inside' AS q",
+    ])
+
+    @given(
+        fills=st.lists(filler, min_size=0, max_size=3),
+        pre=lead,
+        items=st.lists(item, min_size=0, max_size=3),
+    )
+    @settings(max_examples=40, deadline=None)
+    def check(fills, pre, items):
+        cols = ", ".join(
+            f"{frag.rsplit(' AS ', 1)[0]} AS a{i}" for i, frag in enumerate(items)
+        )
+        gated = f"SELECT {cols + ', ' if cols else ''}nullif(1, 2) AS n;"
+        script = "".join(fills) + pre + gated
+        assert script.count("nullif") == 1
+        expected = script[: script.index("nullif")].count("\n") + 1
+        r = ScriptRunner(spark, execute=False, verbose=False, out=out, release="emr-3")
+        with pytest.raises(StatementError) as ei:
+            r.run_text(script)
+        assert "nullif" in str(ei.value)
+        assert ei.value.line == expected, script
+
+    check()
