@@ -1694,3 +1694,69 @@ def test_lateral_empty_group_oracle_bug_pinned(engines):
     assert n_outer > 0
     assert spark.sql(sql).count() == n_outer  # standard: one row per outer
     assert con.execute(sql).fetchall() == []  # duckdb 1.0.0: drops them
+
+
+# Binary-collation string ordering: range predicates, least/greatest, and
+# ordering over concatenations. Both engines default to binary (codepoint)
+# collation, so <'N', BETWEEN, min/max over strings, and least/greatest
+# must agree cell-for-cell; mixed-case literals probe the A < a codepoint
+# gap a locale-aware collation would invert.
+str_ord_leaf = st.one_of(
+    st.tuples(
+        st.sampled_from(["l_returnflag", "l_linestatus"]),
+        st.sampled_from(["<", "<=", ">", ">="]),
+        st.sampled_from(["'A'", "'N'", "'O'", "'a'", "'n'", "''"]),
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+    st.tuples(
+        st.sampled_from(["'A'", "'F'", "'N'"]),
+        st.sampled_from(["'O'", "'R'", "'a'"]),
+    ).map(lambda t: f"l_returnflag BETWEEN {t[0]} AND {t[1]}"),
+    st.tuples(
+        st.sampled_from(["<", ">="]),
+        st.sampled_from(["'AF'", "'NO'", "'Na'", "'RF'"]),
+    ).map(lambda t: f"concat(l_returnflag, l_linestatus) {t[0]} {t[1]}"),
+)
+
+str_ord_expr = st.sampled_from(
+    [
+        "least(l_returnflag, l_linestatus) AS lo",
+        "greatest(l_returnflag, l_linestatus) AS hi",
+        "least(l_returnflag, 'B') AS lob",
+        "greatest(concat(l_returnflag, l_linestatus), 'NF') AS hic",
+        "min(l_returnflag) AS mn",
+        "max(concat(l_returnflag, l_linestatus)) AS mxc",
+    ]
+)
+
+
+@given(
+    pred=st.lists(str_ord_leaf, min_size=1, max_size=3).flatmap(_combine),
+    exprs=st.lists(str_ord_expr, min_size=1, max_size=3, unique=True),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_string_ordering(engines, pred, exprs):
+    """Binary-collation string ordering must agree: range predicates over
+    single chars, concatenations, and empty/lowercase boundaries, plus
+    least/greatest and string min/max. A locale-aware collation sneaking
+    into either engine flips A-vs-a orderings immediately."""
+    aggs = [e for e in exprs if e.startswith(("min(", "max("))]
+    scalars = [e for e in exprs if not e.startswith(("min(", "max("))]
+    if aggs:
+        grp = [f"{s.rsplit(' AS ', 1)[0]} AS {s.rsplit(' AS ', 1)[1]}" for s in scalars]
+        keys = ", ".join(s.rsplit(" AS ", 1)[1] for s in scalars)
+        sel = (grp + aggs) if grp else aggs
+        sql = (
+            f"SELECT {', '.join(sel)}, count(*) AS cnt FROM fuzz_lineitem "
+            f"WHERE {pred}" + (f" GROUP BY {keys}" if keys else "")
+        )
+    else:
+        sql = (
+            f"SELECT l_orderkey, l_linenumber, {', '.join(scalars)} "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+    _both_agree(engines, sql)
