@@ -1760,3 +1760,26 @@ def test_fuzz_string_ordering(engines, pred, exprs):
             f"FROM fuzz_lineitem WHERE {pred}"
         )
     _both_agree(engines, sql)
+
+
+def test_decimal_rescale_divergence_pinned(engines):
+    """Third pinned engine-level divergence (r9): Spark rescales decimals
+    with HALF_UP everywhere (0.125 -> 0.13, 3.5 -> 4); duckdb 1.0.0
+    TRUNCATES decimal->decimal rescales toward zero (0.125 -> 0.12,
+    3.5 -> 3) while double->decimal casts round like Spark's (both 0.13).
+    This is why the shared-SQL grammar excludes decimal casts alongside
+    round()-on-doubles: exact-halfway literals diverge at the engine
+    level, not per query. The repo's registered queries avoid the
+    minefield by returning doubles (dsum/davg cast back), and the one
+    rounded-cosine contract is fixture-verified
+    (test_knn_oracle_cosines_clear_of_4dp_rounding_boundaries)."""
+    spark, con = engines
+    sql = (
+        "SELECT CAST(0.125 AS DECIMAL(4,2)) AS a, "
+        "CAST(3.5 AS DECIMAL(3,0)) AS b, "
+        "CAST(CAST(0.125 AS DOUBLE) AS DECIMAL(4,2)) AS c"
+    )
+    s = [str(v) for v in spark.sql(sql).collect()[0]]
+    o = [str(v) for v in con.execute(sql).fetchone()]
+    assert s == ["0.13", "4", "0.13"]   # HALF_UP everywhere
+    assert o == ["0.12", "3", "0.13"]   # truncating decimal rescale
