@@ -1114,8 +1114,17 @@ str_expr = st.one_of(
             "replace(source, 'src', 's_')",
         ]
     ),
-    st.tuples(st.integers(1, 50), st.integers(1, 20)).map(
-        lambda t: f"substr(text, {t[0]}, {t[1]})"
+    # start ranges deliberately EXCLUDE 0: substr(s, 0, n) is an engine
+    # divergence (duckdb treats position 0 as a real slot and yields n-1
+    # chars; Spark treats 0 as 1) - pinned by
+    # test_substr_zero_start_divergence_pinned. Negative starts (count
+    # from the end, out-of-range -> '') agree exactly and are fuzzed.
+    st.tuples(
+        st.one_of(st.integers(1, 50), st.integers(-50, -1)),
+        st.integers(1, 20),
+    ).map(lambda t: f"substr(text, {t[0]}, {t[1]})"),
+    st.sampled_from(
+        ["instr(text, 'e')", "instr(text, 'zq')", "instr(lang, source)"]
     ),
 )
 
@@ -1783,3 +1792,15 @@ def test_decimal_rescale_divergence_pinned(engines):
     o = [str(v) for v in con.execute(sql).fetchone()]
     assert s == ["0.13", "4", "0.13"]   # HALF_UP everywhere
     assert o == ["0.12", "3", "0.13"]   # truncating decimal rescale
+
+
+def test_substr_zero_start_divergence_pinned(engines):
+    """Fourth pinned engine-level divergence (r9): substr with start=0.
+    Spark treats position 0 as 1 (returns the first n chars); duckdb
+    treats 0 as a real slot before the first char and returns n-1 chars.
+    Positive and negative starts (and instr) agree exactly and ARE fuzzed;
+    start=0 is excluded from the grammar and pinned here."""
+    spark, con = engines
+    sql = "SELECT substr('abcdef', 0, 3) AS z"
+    assert spark.sql(sql).collect()[0][0] == "abc"
+    assert con.execute(sql).fetchone()[0] == "ab"
