@@ -28,11 +28,13 @@ def main(argv: list[str]) -> int:
     for a in argv:
         if a.startswith("--release="):
             release = a.split("=", 1)[1]
-        elif a.startswith("--"):
-            # '--release emr-5' (space form) or any unknown '--foo' must be
-            # a clean usage error, not silently treated as a manifest path
-            # (r9 review: '--release manifest.json' printed 'cannot load
-            # manifest --release' and ran with NO gating).
+        elif a.startswith("-") and a != "-":
+            # '--release emr-5' (space form), unknown '--foo', or a
+            # single-dash '-r' must be a clean usage error, not silently
+            # treated as a manifest path (r9 review: '--release
+            # manifest.json' printed 'cannot load manifest --release' and
+            # ran with NO gating; r9 advice widened this to single-dash).
+            # A bare '-' stays a path so stdin support remains possible.
             print(f"[ERROR] unknown option {a!r}", file=sys.stderr)
             print(usage, file=sys.stderr)
             return 2

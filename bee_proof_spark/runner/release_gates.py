@@ -14,6 +14,9 @@ release knowledge):
   ``UNION ALL`` -> emr-5 only under our pins.
 - scalar functions: initcap/add_months/last_day/greatest/least (1.1),
   months_between (1.2), md5/sha1/sha2/crc32 (1.3), bround (2.0), nullif (2.3).
+- statement constructs (r10): DROP/ALTER ... PURGE (HIVE-7100, 0.14),
+  CREATE TEMPORARY TABLE (HIVE-7090, 0.14), CURRENT_DATE/CURRENT_TIMESTAMP
+  keywords (HIVE-5472, 1.2).
 
 Detection runs on literal-and-comment-blanked statement text (the executor's
 scanner) so ``COMMENT 'use nullif here'`` or a ``-- TODO: INTERSECT``
@@ -87,11 +90,56 @@ _UNION_RE = re.compile(
 #: matched: it is ambiguous with a comma cross-join's derived table
 #: (``FROM a, (SELECT ...) b``) and gates err toward never rejecting
 #: legal old-pin SQL.
+#: ``SELECT DISTINCT (SELECT`` is as unambiguous as the plain head
+#: (r9 advice) and is folded into the SELECT alternative.
 _SCALAR_SUBQ_RE = re.compile(
     r"(?:=|<>|!=|<=|>=|<|>|\+|-|\*|/|%)\s*\(\s*SELECT\b"
-    r"|\b(?:SELECT|WHEN|THEN|ELSE)\s*\(\s*SELECT\b",
+    r"|\b(?:SELECT(?:\s+DISTINCT)?|WHEN|THEN|ELSE)\s*\(\s*SELECT\b",
     re.IGNORECASE,
 )
+
+#: Statement-level constructs -> minimum Hive version (r10 widening,
+#: public Hive JIRA facts). PURGE is only a construct as the TRAILING
+#: token of a DROP/ALTER statement (HIVE-7100: DROP TABLE ... PURGE,
+#: 0.14; the same trailing shape covers DROP PARTITION ... PURGE), so an
+#: identifier/table named ``purge`` never trips. CREATE TEMPORARY TABLE
+#: is HIVE-7090 (0.14) - the regex requires TABLE so the 0.13-legal
+#: CREATE TEMPORARY FUNCTION passes. CURRENT_DATE/CURRENT_TIMESTAMP are
+#: HIVE-5472 (1.2) no-paren keywords; the lookarounds skip qualified
+#: column refs (``t.current_date``) and longer identifiers. When a match
+#: has a capture group, the violation is addressed at the GROUP (the
+#: PURGE token), not the statement head.
+_STMT_GATES: list[tuple[re.Pattern, str, tuple[int, int, int]]] = [
+    (
+        # The token right before trailing PURGE must be the dropped name
+        # (or the partition-spec ``)``), NOT a grammar keyword - otherwise
+        # ``DROP TABLE purge`` / ``DROP TABLE IF EXISTS purge`` (a table
+        # literally named purge, legal 0.13) would false-positive.
+        re.compile(
+            r"^\s*(?:DROP|ALTER)\b[\s\S]*"
+            r"(?:\b(?!(?:TABLE|EXISTS|VIEW|DATABASE|SCHEMA)\s+PURGE\s*;?\s*$)"
+            r"[A-Za-z_]\w*|\))\s+(PURGE)\s*;?\s*$",
+            re.IGNORECASE,
+        ),
+        "PURGE",
+        (0, 14, 0),
+    ),
+    (
+        re.compile(r"\bCREATE\s+TEMPORARY\s+TABLE\b", re.IGNORECASE),
+        "CREATE TEMPORARY TABLE",
+        (0, 14, 0),
+    ),
+    (
+        re.compile(r"(?<![\w.])(CURRENT_DATE)\b(?!\s*\()", re.IGNORECASE),
+        "CURRENT_DATE",
+        (1, 2, 0),
+    ),
+    (
+        re.compile(r"(?<![\w.])(CURRENT_TIMESTAMP)\b(?!\s*\()", re.IGNORECASE),
+        "CURRENT_TIMESTAMP",
+        (1, 2, 0),
+    ),
+]
 
 _FN_CALL_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 
@@ -123,6 +171,10 @@ def violations(blanked_sql: str, release: str) -> list[tuple[str, str, int]]:
     if (2, 3, 0) > pin:
         for m in _SCALAR_SUBQ_RE.finditer(blanked_sql):
             found.append((m.start(), "scalar subquery", (2, 3, 0)))
+    for pat, name, need in _STMT_GATES:
+        if need > pin:
+            for m in pat.finditer(blanked_sql):
+                found.append((m.start(m.lastindex or 0), name, need))
     for m in _FN_CALL_RE.finditer(blanked_sql):
         need = _FN_GATES.get(m.group(1).lower())
         if need is not None and need > pin:

@@ -643,6 +643,60 @@ def test_release_gate_setop_keywords_need_query_start():
     assert violations("SELECT 1 UNION ALL SELECT 2", "emr-3") == []
 
 
+def test_release_gate_statement_constructs_r10():
+    """r10 widening (VERDICT r9 item 5): DROP/ALTER ... PURGE is HIVE-7100
+    (Hive 0.14), CREATE TEMPORARY TABLE is HIVE-7090 (0.14),
+    CURRENT_DATE/CURRENT_TIMESTAMP are HIVE-5472 (1.2) keywords. emr-3
+    (0.13.1) rejects all; emr-4 (1.0.0) accepts the 0.14 pair but still
+    gates the 1.2 keywords. Err-toward-accepting posture preserved:
+    identifiers named purge,
+    CREATE TEMPORARY FUNCTION, and qualified t.current_date never trip."""
+    from bee_proof_spark.runner.release_gates import violations
+
+    purge = "DROP TABLE IF EXISTS t PURGE"
+    part_purge = "ALTER TABLE t DROP PARTITION (ds='x') PURGE"
+    temp = "CREATE TEMPORARY TABLE tmp AS SELECT 1"
+    for bad, name in (
+        (purge, "PURGE"),
+        (part_purge, "PURGE"),
+        (temp, "CREATE TEMPORARY TABLE"),
+        ("SELECT CURRENT_DATE FROM t", "CURRENT_DATE"),
+        ("SELECT current_timestamp AS ts FROM t", "CURRENT_TIMESTAMP"),
+    ):
+        assert [v[0] for v in violations(bad, "emr-3")] == [name], bad
+        assert violations(bad, "emr-5") == [], bad
+    # emr-4 pins Hive 1.0.0: 0.14 constructs pass, 1.2 keywords still gate
+    assert violations(purge, "emr-4") == []
+    assert violations(temp, "emr-4") == []
+    assert [v[0] for v in violations("SELECT CURRENT_DATE", "emr-4")] == [
+        "CURRENT_DATE"
+    ]
+    for ok in (
+        "SELECT purge FROM t",                       # identifier named purge
+        "DROP TABLE purge",                          # table named purge
+        "CREATE TEMPORARY FUNCTION f AS 'X'",        # 0.13-legal since forever
+        "CREATE TABLE temporary_table (a INT)",      # identifier contains it
+        "SELECT t.current_date FROM t",              # qualified column ref
+        "SELECT a AS current_date_ish FROM t",       # longer identifier
+    ):
+        assert violations(ok, "emr-3") == [], ok
+    # line addressing: PURGE violation points at the PURGE token's line
+    v = violations("DROP TABLE IF EXISTS t\nPURGE", "emr-3")
+    assert v[0][0] == "PURGE" and v[0][2] == 1
+
+
+def test_release_gate_scalar_subquery_distinct_head_r10():
+    """ADVICE r9: SELECT DISTINCT (SELECT ...) head is as unambiguous as
+    the plain head and gates the same; the ambiguous ', (SELECT' comma
+    form stays excluded (err toward accepting)."""
+    from bee_proof_spark.runner.release_gates import violations
+
+    bad = "SELECT DISTINCT (SELECT max(a) FROM t) AS m FROM u"
+    assert [v[0] for v in violations(bad, "emr-3")] == ["scalar subquery"]
+    assert violations(bad, "emr-5") == []
+    assert violations("SELECT x FROM a, (SELECT b FROM w) d", "emr-3") == []
+
+
 # ------------------------------------------------- dry-run/execute property
 
 def test_dry_run_never_moves_data_property(spark, runner_out):

@@ -393,6 +393,36 @@ def test_rows_only_evidence_stale_clean_stamp_does_not_outrank(tmp_path, monkeyp
     assert json.loads((tmp_path / "ev.json").read_text()) == {target: "dirty-run-fp"}
 
 
+def test_rows_only_evidence_late_committed_ledger_keeps_clean_stamp(
+    tmp_path, monkeypatch
+):
+    """r10 (r9 ADVICE): the clean-stamp window is anchored to the NEWEST
+    stamp before the ledger (a run-time proxy), not the ledger's commit
+    timestamp. A ledger committed many hours after the driver run must
+    still attribute to the run's clean stamp - not fall back to a post-run
+    dirty stamp just because the commit was slow."""
+    import json
+    import time
+
+    roe = _load_roe(tmp_path, monkeypatch)
+    e = _reload()
+    target = next(q for q in e._REGISTRY if e._REGISTRY[q].oracle is None)
+    # ledger file mtime = now, simulating a commit ~8h after the run
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({target: {"spark_rows": 5, "err": "no_oracle"}})
+    )
+    now = time.time()
+    with open(tmp_path / "fp_log.jsonl", "w") as f:
+        # the driver run's clean stamp, 8h before the ledger landed
+        f.write(json.dumps({"ts": now - 8 * 3600, "clean": True,
+                            "fps": {target: "driver-ran-fp"}}) + "\n")
+        # a post-run dirty edit 90 min later - within 6h of the clean stamp
+        f.write(json.dumps({"ts": now - 6.5 * 3600, "clean": False,
+                            "fps": {target: "edited-fp"}}) + "\n")
+    assert roe.main(["--reconcile"]) == 0
+    assert json.loads((tmp_path / "ev.json").read_text()) == {target: "driver-ran-fp"}
+
+
 def test_stamp_dedupe_is_last_line_only():
     """r9 review: a wider dedupe window suppressed re-stamping after a
     revert to a recently-stamped state, silently attributing the next

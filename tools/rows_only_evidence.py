@@ -86,7 +86,12 @@ def _latest_ledger() -> tuple[int, dict, float]:
 #: stamp older than this window is from some PRIOR run and preferring it
 #: would over-claim - attribute the nearest stamp (even dirty) instead,
 #: which is honest: a dirty fps that doesn't match the committed builder
-#: simply re-arms the evidence slot (r9 review).
+#: simply re-arms the evidence slot (r9 review). The window is anchored to
+#: the NEWEST stamp at or before the ledger landed - a proxy for run time
+#: that, unlike the ledger's commit timestamp (r9 advice), does not decay:
+#: a ledger committed days after the run keeps its legitimate clean stamp,
+#: while a long-past clean stamp still loses to the dirty run that actually
+#: produced the ledger.
 _CLEAN_STAMP_WINDOW_S = 6 * 3600.0
 
 
@@ -103,7 +108,7 @@ def _stamp_before(mtime: float) -> dict | None:
     dirty run that actually produced the ledger. Pre-r9 stamps lack the
     flag and are used only when no clean stamp qualifies."""
     best_clean, best_any = None, None
-    best_clean_ts = 0.0
+    best_clean_ts, best_any_ts = 0.0, 0.0
     try:
         with open(FP_LOG_PATH) as f:
             for line in f:
@@ -112,12 +117,13 @@ def _stamp_before(mtime: float) -> dict | None:
                 entry = json.loads(line)
                 if entry.get("ts", 0) <= mtime + 1.0:
                     best_any = entry.get("fps")
+                    best_any_ts = entry.get("ts", 0)
                     if entry.get("clean"):
                         best_clean = entry.get("fps")
                         best_clean_ts = entry.get("ts", 0)
     except (OSError, ValueError):
         return None
-    if best_clean is not None and best_clean_ts >= mtime - _CLEAN_STAMP_WINDOW_S:
+    if best_clean is not None and best_clean_ts >= best_any_ts - _CLEAN_STAMP_WINDOW_S:
         return best_clean
     return best_any
 
