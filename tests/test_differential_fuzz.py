@@ -1804,3 +1804,188 @@ def test_substr_zero_start_divergence_pinned(engines):
     sql = "SELECT substr('abcdef', 0, 3) AS z"
     assert spark.sql(sql).collect()[0][0] == "abc"
     assert con.execute(sql).fetchone()[0] == "ab"
+
+
+# ------------------------------------------------- r10 surfaces 37-40
+
+
+def _pair_agree(engines, spark_sql: str, duck_sql: str) -> None:
+    """Same-AST, per-engine rendering. Used only where the operator exists
+    in Spark but duckdb 1.0 renders the equivalent differently (map element
+    access returns a LIST there; str_to_map does not exist at all), so the
+    literal-same-text discipline is impossible. Translation-artifact risk
+    is contained by machine-generating BOTH renderings from one tuple of
+    strategy draws - there is no hand-written per-example translation."""
+    spark, con = engines
+    sdf = spark.sql(spark_sql)
+    s_rows = _rowset(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+    res = con.execute(duck_sql)
+    o_cols = [d[0] for d in res.description]
+    o_rows = _rowset(o_cols, res.fetchall())
+    assert sorted(sdf.columns) == sorted(o_cols), (spark_sql, duck_sql)
+    assert s_rows == o_rows, (
+        f"{len(s_rows)} vs {len(o_rows)} rows for: {spark_sql} VS {duck_sql}"
+    )
+
+
+_null_setop_cols = st.sampled_from(
+    [
+        "n_flag, n_linenumber",
+        "n_orderkey, n_flag",
+        "n_flag, n_quantity",
+        "n_orderkey, n_partkey, n_flag",
+    ]
+)
+
+
+@given(cols=_null_setop_cols, op=_setop_op, pa=null_predicate, pb=null_predicate)
+@settings(
+    max_examples=40 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_setop_null_keys(null_engines, cols, op, pa, pb):
+    """Surface 37 (r9 verdict item 6): set-op bag semantics when the
+    compared columns CARRY NULLs. Set operators treat NULL = NULL as a
+    match (unlike WHERE's 3VL) in both engines, and INTERSECT ALL /
+    EXCEPT ALL multiplicity math (min / count-difference of duplicates)
+    must agree on NULL-keyed duplicate groups."""
+    _both_agree(
+        null_engines,
+        f"SELECT {cols} FROM fuzz_nullitem WHERE {pa} "
+        f"{op} SELECT {cols} FROM fuzz_nullitem WHERE {pb}",
+    )
+
+
+#: Integer-exact map values: no float math, so cells compare exactly.
+_MAP_VALS = ["l_linenumber", "l_suppkey % 10", "l_partkey % 100", "l_orderkey % 7"]
+
+
+@given(
+    pred=predicate,
+    nkeys=st.integers(1, 3),
+    vals=st.lists(st.sampled_from(_MAP_VALS), min_size=3, max_size=3),
+    lookup=st.sampled_from(["a", "b", "c", "z"]),
+    strmap_key=st.sampled_from(["a", "b", "z"]),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_map_element_access(engines, pred, nkeys, vals, lookup, strmap_key):
+    """Surface 38 (r9 verdict item 6): map construction + element access +
+    str_to_map. Paired rendering (_pair_agree): Spark's m[k] is a scalar
+    (NULL when missing, ANSI off) while duckdb 1.0's is a LIST - [k][1]
+    unwraps it, with empty-list -> NULL matching the missing-key case.
+    str_to_map is Spark-only, so the duck side renders the ground-truth
+    value expression the generated pair string was built from."""
+    keys = ["a", "b", "c"][:nkeys]
+    pairs_spark = ", ".join(f"'{k}', {v}" for k, v in zip(keys, vals))
+    duck_keys = ", ".join(f"'{k}'" for k in keys)
+    duck_vals = ", ".join(vals[:nkeys])
+    truth = {"a": "l_linenumber", "b": "l_suppkey"}.get(strmap_key)
+    sv_duck = f"CAST({truth} AS STRING)" if truth else "CAST(NULL AS STRING)"
+    spark_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"map({pairs_spark})['{lookup}'] AS mv, "
+        f"str_to_map(concat('a:', CAST(l_linenumber AS STRING), "
+        f"',b:', CAST(l_suppkey AS STRING)), ',', ':')['{strmap_key}'] AS sv "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    duck_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"map([{duck_keys}], [{duck_vals}])['{lookup}'][1] AS mv, "
+        f"{sv_duck} AS sv "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    _pair_agree(engines, spark_sql, duck_sql)
+
+
+@given(
+    pred=predicate,
+    sign=st.sampled_from(["+", "-"]),
+    n=st.integers(0, 36),
+    m=st.integers(1, 24),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_month_boundary_arith(engines, pred, sign, n, m):
+    """Surface 39 (r9 verdict item 6): month arithmetic end-of-month
+    clamping (Jan 31 + 1 month = Feb 29 on leap years) and last_day.
+    Identical SQL text; every date-typed output is CAST to DATE because
+    Spark keeps DATE + INTERVAL MONTH as DATE while duckdb widens it to
+    TIMESTAMP. The ld_m column force-feeds month-end anchor dates so the
+    clamping path is exercised on every row, not just data-dependent ones."""
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST(l_shipdate {sign} INTERVAL {n} MONTH AS DATE) AS m_arith, "
+        f"CAST(last_day(l_shipdate) AS DATE) AS ld, "
+        f"CAST(CAST(last_day(l_shipdate) AS DATE) + INTERVAL {m} MONTH AS DATE)"
+        f" AS ld_m "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
+
+
+#: split_part index 0 is excluded: Spark raises INVALID_INDEX_OF_ZERO
+#: (even ANSI-off) while duckdb returns '' - a grammar exclusion like
+#: the substr-0 pin. Nonzero indices (incl. negative = from the end)
+#: and out-of-range ('' in both) are in-grammar.
+_sp_index = st.sampled_from([-4, -3, -2, -1, 1, 2, 3, 4, 5])
+
+_nullfn_expr = st.sampled_from(
+    [
+        "greatest(n_orderkey, n_partkey) AS g1",
+        "least(n_orderkey, n_partkey, n_linenumber) AS l1",
+        "greatest(n_quantity, 25.0) AS g2",
+        "least(n_orderkey, 50) AS l2",
+    ]
+)
+
+
+@given(pred=null_predicate, exprs=st.lists(_nullfn_expr, min_size=1, max_size=3, unique=True), n=_sp_index)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_greatest_least_split_part_nulls(null_engines, pred, exprs, n):
+    """Surface 40 (r9 verdict item 6): greatest/least NULL-skipping (both
+    engines return the extremum of the non-NULL args, NULL only when ALL
+    are NULL) and split_part positive/negative/out-of-range indices -
+    identical SQL text over the NULL-rich view. concat arguments are
+    coalesced because of the pinned concat-NULL divergence (see
+    test_concat_null_divergence_pinned)."""
+    _both_agree(
+        null_engines,
+        f"SELECT n_linenumber, {', '.join(exprs)}, "
+        f"split_part(concat(coalesce(n_flag, '?'), ',', "
+        f"CAST(n_linenumber AS STRING)), ',', {n}) AS sp "
+        f"FROM fuzz_nullitem WHERE {pred}",
+    )
+
+
+def test_concat_null_divergence_pinned(engines):
+    """FIFTH pinned engine-level divergence (found writing surface 40,
+    r10): Spark's concat() is NULL-strict (any NULL argument -> NULL,
+    Hive/ANSI-string semantics) while duckdb 1.0's concat() skips NULL
+    arguments (PostgreSQL semantics): concat('a', NULL, 'b') = NULL vs
+    'ab'. Grammar rule: any fuzzed concat over nullable columns must
+    coalesce its arguments; oracle authors must do the same or use ||
+    (which is NULL-strict in BOTH engines) instead."""
+    spark, con = engines
+    sql = "SELECT concat('a', CAST(NULL AS STRING), 'b') AS c"
+    assert spark.sql(sql).collect()[0][0] is None
+    assert con.execute(sql).fetchone()[0] == "ab"
+    # the || operator agrees: NULL-strict in both
+    sql2 = "SELECT 'a' || CAST(NULL AS STRING) || 'b' AS c"
+    assert spark.sql(sql2).collect()[0][0] is None
+    assert con.execute(sql2).fetchone()[0] is None
