@@ -1989,3 +1989,50 @@ def test_concat_null_divergence_pinned(engines):
     sql2 = "SELECT 'a' || CAST(NULL AS STRING) || 'b' AS c"
     assert spark.sql(sql2).collect()[0][0] is None
     assert con.execute(sql2).fetchone()[0] is None
+
+
+@given(
+    pred=predicate,
+    col=st.sampled_from(DBL_COLS),
+    n=st.integers(0, 3),
+    fn=st.sampled_from(["floor", "ceil"]),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_rounding_family(engines, pred, col, n, fn):
+    """Surface 41 (r10): round(double, n) / floor / ceil - identical SQL
+    text. Both engines round doubles by DECIMAL-string value (HALF_UP on
+    the shortest decimal representation: round(2.675, 2) = 2.68 in both,
+    despite 2.675's binary value being 2.67499...), and floor/ceil are
+    IEEE-exact. Pre-validated exhaustively: 0 diffs over 960k cells of
+    the four sf0.01 lineitem double columns at n in 0..3. Two rendering
+    rules: floor/ceil output is CAST to BIGINT because the engines agree
+    on the VALUE but not the type (Spark floor(double) -> BIGINT, duckdb
+    -> DOUBLE; the cast is exact on an integral double). Double->INTEGER
+    CASTs of non-integral values are excluded from every grammar: Spark
+    truncates toward zero, duckdb rounds to nearest (pin below)."""
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, "
+        f"round(CAST({col} AS DOUBLE), {n}) AS r, "
+        f"CAST({fn}(CAST({col} AS DOUBLE)) AS BIGINT) AS f "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
+
+
+def test_double_to_int_cast_divergence_pinned(engines):
+    """SIXTH pinned engine-level divergence (found probing surface 41,
+    r10): casting DOUBLE to an integer type. Spark truncates toward zero
+    (Hive/Java semantics: (long) 2.7 = 2); duckdb rounds to nearest
+    (2.7 -> 3, halves to even-adjacent via rint: 3.5 -> 4). Grammar and
+    oracle rule: never CAST a double to an integer type - use floor()/
+    ceil()/round(), which agree exactly (surface 41)."""
+    spark, con = engines
+    for v, s_want, d_want in [("2.7", 2, 3), ("3.5", 3, 4), ("-2.7", -2, -3)]:
+        sql = f"SELECT CAST(CAST({v} AS DOUBLE) AS BIGINT) AS z"
+        assert spark.sql(sql).collect()[0][0] == s_want, v
+        assert con.execute(sql).fetchone()[0] == d_want, v

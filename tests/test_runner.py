@@ -683,6 +683,22 @@ def test_release_gate_statement_constructs_r10():
     # line addressing: PURGE violation points at the PURGE token's line
     v = violations("DROP TABLE IF EXISTS t\nPURGE", "emr-3")
     assert v[0][0] == "PURGE" and v[0][2] == 1
+    # adversarial comment/literal placement through the executor's real
+    # blanking pass: a trailing comment after PURGE must not unmatch the
+    # trailing-token anchor, and PURGE/CURRENT_DATE living ONLY inside a
+    # comment or string literal must never trip
+    from bee_proof_spark.runner.executor import _blank_literals_and_comments as bl
+
+    assert [v[0] for v in violations(bl("DROP TABLE t PURGE -- bye"), "emr-3")] == [
+        "PURGE"
+    ]
+    for ok in (
+        "DROP TABLE t -- then PURGE it",
+        "SELECT 'PURGE' AS s, 'CURRENT_DATE' AS d FROM t",
+        "SELECT a /* CURRENT_DATE */ FROM t",
+        "-- CREATE TEMPORARY TABLE tmp\nSELECT 1",
+    ):
+        assert violations(bl(ok), "emr-3") == [], ok
 
 
 def test_release_gate_scalar_subquery_distinct_head_r10():
