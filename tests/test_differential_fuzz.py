@@ -2036,3 +2036,71 @@ def test_double_to_int_cast_divergence_pinned(engines):
         sql = f"SELECT CAST(CAST({v} AS DOUBLE) AS BIGINT) AS z"
         assert spark.sql(sql).collect()[0][0] == s_want, v
         assert con.execute(sql).fetchone()[0] == d_want, v
+
+
+_tuple_in = st.lists(
+    st.tuples(st.sampled_from(STR_VALS), st.sampled_from(["F", "O"])),
+    min_size=1,
+    max_size=4,
+    unique=True,
+).map(
+    lambda ps: "(l_returnflag, l_linestatus) IN ("
+    + ", ".join(f"('{a}', '{b}')" for a, b in ps)
+    + ")"
+)
+
+#: ESCAPE-LIKE over a synthesized string CONTAINING a literal '%' so the
+#: escaped wildcard actually has something to match (the raw columns are
+#: %-free, which would make every escaped pattern trivially empty).
+_escape_like = st.sampled_from(["A!%F", "N!%O", "R!%F", "A!%Z", "!%!%"]).map(
+    lambda p: f"concat(l_returnflag, '%', l_linestatus) LIKE '{p}' ESCAPE '!'"
+)
+
+
+@given(
+    pred=predicate,
+    extra=st.one_of(_tuple_in, _escape_like),
+    keys=st.lists(
+        st.sampled_from(STR_COLS + ["l_linenumber"]), min_size=1, max_size=2, unique=True
+    ),
+    aggs=st.lists(agg_expr, min_size=1, max_size=2, unique=True),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_groupby_all_tuple_in(engines, pred, extra, keys, aggs):
+    """Surface 42 (r10): GROUP BY ALL key inference (both engines infer
+    the grouping set from the non-aggregate select items), tuple-valued
+    IN ((a,b) IN ((x,y), ...)), and LIKE ... ESCAPE - identical SQL
+    text. The three features compose in one query so inference runs
+    against a WHERE clause that itself uses row-value predicates."""
+    _both_agree(
+        engines,
+        f"SELECT {', '.join(keys)}, {', '.join(aggs)} FROM fuzz_lineitem "
+        f"WHERE {pred} AND {extra} GROUP BY ALL",
+    )
+
+
+def test_invalid_string_cast_divergence_pinned(engines):
+    """SEVENTH pinned engine-level divergence (r10): CAST of a malformed
+    string to a numeric type. Spark under the engine's ANSI-off profile
+    (session.py - Hive-compat silent-null casts) yields NULL; duckdb
+    RAISES a Conversion Error. Unlike pins 1-6 this one cannot produce a
+    silent hash mismatch - the oracle side fails loudly - but it is an
+    authoring rule all the same: guard fallible string casts with
+    TRY_CAST (supported by BOTH engines, NULL in both) in any oracle."""
+    spark, con = engines
+    sql = "SELECT CAST('abc' AS INT) AS z"
+    assert spark.sql(sql).collect()[0][0] is None
+    try:
+        con.execute(sql).fetchall()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    sql2 = "SELECT TRY_CAST('abc' AS INT) AS z"
+    assert spark.sql(sql2).collect()[0][0] is None
+    assert con.execute(sql2).fetchone()[0] is None
