@@ -2104,3 +2104,78 @@ def test_invalid_string_cast_divergence_pinned(engines):
     sql2 = "SELECT TRY_CAST('abc' AS INT) AS z"
     assert spark.sql(sql2).collect()[0][0] is None
     assert con.execute(sql2).fetchone()[0] is None
+
+
+_filter_agg = st.tuples(
+    st.sampled_from(
+        [
+            "count(*)",
+            "count(l_partkey)",
+            "sum(l_suppkey)",
+            "min(l_extendedprice)",
+            "max(l_extendedprice)",
+            "count(DISTINCT l_linenumber)",
+        ]
+    ),
+    leaf,
+).map(lambda t: f"{t[0]} FILTER (WHERE {t[1]})")
+
+
+@given(
+    pred=predicate,
+    keys=st.lists(
+        st.sampled_from(STR_COLS + ["l_linenumber"]), min_size=1, max_size=2, unique=True
+    ),
+    aggs=st.lists(_filter_agg, min_size=1, max_size=3),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_aggregate_filter_clause(engines, pred, keys, aggs):
+    """Surface 43 (r10): the SQL:2003 aggregate FILTER clause - each
+    aggregate sees its own independently-fuzzed predicate on top of the
+    WHERE, including DISTINCT-inside-FILTER. A FILTER that rejects every
+    row in a group must yield count 0 / sum NULL identically."""
+    named = [f"{a} AS a{i}" for i, a in enumerate(aggs)]
+    _both_agree(
+        engines,
+        f"SELECT {', '.join(keys)}, {', '.join(named)} FROM fuzz_lineitem "
+        f"WHERE {pred} GROUP BY {', '.join(keys)}",
+    )
+
+
+_values_rows = st.lists(
+    st.sampled_from(
+        [("A", "ret"), ("N", "open"), ("R", "ret2"), ("F", "fin"), ("O", "op"), ("Z", "never")]
+    ),
+    min_size=1,
+    max_size=4,
+    unique=True,
+)
+
+
+@given(pred=predicate, rows=_values_rows, agg=agg_expr)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_values_inline_table_rollup(engines, pred, rows, agg):
+    """Surface 44 (r10): VALUES inline table joined to the parquet scan,
+    rolled up with grouping() markers. The HAVING count(*) > 0 guard is
+    load-bearing: it sidesteps pinned divergence 1 (empty-input grouping
+    sets - Spark emits zero rows, duckdb a lone () super-row whose
+    count(*) is 0, which the HAVING drops in both) while keeping every
+    non-empty group, whose count is >= 1 by construction."""
+    vals = ", ".join(f"('{rf}', '{tag}')" for rf, tag in rows)
+    _both_agree(
+        engines,
+        f"SELECT v.tag AS tag, grouping(v.tag) AS g, count(*) AS c, {agg} "
+        f"FROM fuzz_lineitem l JOIN (VALUES {vals}) v(rf, tag) "
+        f"ON l.l_returnflag = v.rf WHERE {pred} "
+        f"GROUP BY ROLLUP(v.tag) HAVING count(*) > 0",
+    )
