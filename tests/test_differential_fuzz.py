@@ -2179,3 +2179,67 @@ def test_fuzz_values_inline_table_rollup(engines, pred, rows, agg):
         f"ON l.l_returnflag = v.rf WHERE {pred} "
         f"GROUP BY ROLLUP(v.tag) HAVING count(*) > 0",
     )
+
+
+#: Array items: string literals + the two non-null string columns, so
+#: array_sort never has to order NULLs (duckdb and Spark agree on values
+#: here; NULL placement inside sorted arrays is deliberately untested).
+_arr_items = st.lists(
+    st.sampled_from(["l_returnflag", "l_linestatus", "'X'", "'A'", "'F'"]),
+    min_size=2,
+    max_size=4,
+)
+
+
+@given(
+    pred=predicate,
+    items=_arr_items,
+    i=st.integers(0, 4),
+    v=st.sampled_from(STR_VALS + ["X"]),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_array_ops_paired(engines, pred, items, i, v):
+    """Surface 45 (r10): array construction, subscripting (incl.
+    out-of-range -> NULL in both), membership, and sorting. Paired
+    rendering: Spark's array(...) vs duckdb's [...] literal, and the
+    pinned subscript-base divergence (Spark [i] is 0-based, duckdb
+    1-based - see test_array_subscript_base_divergence_pinned) is
+    compensated by rendering [i] vs [i+1] from the same draw.
+    array_contains and array_sort are same-named and value-identical."""
+    it = ", ".join(items)
+    spark_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"array({it})[{i}] AS el, "
+        f"array_contains(array({it}), '{v}') AS has, "
+        f"array_sort(array({it})) AS srt "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    duck_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"[{it}][{i + 1}] AS el, "
+        f"array_contains([{it}], '{v}') AS has, "
+        f"array_sort([{it}]) AS srt "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    _pair_agree(engines, spark_sql, duck_sql)
+
+
+def test_array_subscript_base_divergence_pinned(engines):
+    """EIGHTH pinned engine-level divergence (r10): array subscripting.
+    Spark's arr[i] is 0-BASED (arr[1] = second element); duckdb's is
+    1-BASED (arr[1] = first). element_at (1-based, negative-from-end in
+    Spark) does not exist for LISTs in duckdb 1.0 (MAP_EXTRACT binder
+    error), so there is NO same-text accessor: any cross-engine array
+    access must be rendered per-engine ([i] vs [i+1], surface 45).
+    Out-of-range access is NULL in both (Spark ANSI-off)."""
+    spark, con = engines
+    assert spark.sql("SELECT array('a','b','c')[1] AS z").collect()[0][0] == "b"
+    assert con.execute("SELECT ['a','b','c'][1] AS z").fetchone()[0] == "a"
+    # out-of-range agrees through the base shift: NULL both sides
+    assert spark.sql("SELECT array('a','b')[5] AS z").collect()[0][0] is None
+    assert con.execute("SELECT ['a','b'][6] AS z").fetchone()[0] is None
