@@ -2243,3 +2243,98 @@ def test_array_subscript_base_divergence_pinned(engines):
     # out-of-range agrees through the base shift: NULL both sides
     assert spark.sql("SELECT array('a','b')[5] AS z").collect()[0][0] is None
     assert con.execute("SELECT ['a','b'][6] AS z").fetchone()[0] is None
+
+
+#: Dialect-safe regex pieces: character classes, literals, ., and */+
+#: quantifiers behave identically in Java regex (Spark) and RE2 (duckdb).
+#: Lookaround, backreferences, lazy quantifiers, and \d-style escapes are
+#: deliberately OUT of grammar - the dialects differ there.
+_re_piece = st.tuples(
+    st.sampled_from(["[A-Z]", "[0-9]", "[AF]", "[NRO]", "A", "F", "1", "."]),
+    st.sampled_from(["", "+", "*"]),
+).map(lambda t: t[0] + t[1])
+
+#: A pattern whose every piece is *-quantified can match the EMPTY
+#: string, and Java vs RE2 disagree on empty-match iteration in a global
+#: replace (found by this surface's own first run: regexp_replace of
+#: '([A-Z]*)' over 'A3F' gives '__3__' in Spark, '_3_' in duckdb) - so
+#: the first piece is forced non-emptyable.
+def _force_nonempty(ps: list) -> list:
+    if all(p.endswith("*") for p in ps):
+        ps = [ps[0][:-1] + "+"] + ps[1:]
+    return ps
+
+
+#: (pattern, valid_group_index): the index is drawn within the pattern's
+#: group count because Spark RAISES on an out-of-range group index while
+#: duckdb returns '' - a grammar exclusion, not a fuzzable surface.
+_re_draw = (
+    st.lists(_re_piece, min_size=1, max_size=2)
+    .map(_force_nonempty)
+    .flatmap(
+        lambda ps: st.tuples(
+            st.just("".join(f"({p})" for p in ps)), st.integers(0, len(ps))
+        )
+    )
+)
+
+
+@given(
+    pred=predicate,
+    draw=_re_draw,
+    padn=st.integers(-1, 8),
+    repn=st.integers(-1, 3),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_string_regexp_pad(engines, pred, draw, padn, repn):
+    """Surface 46 (r10): regexp_extract over a dialect-safe pattern
+    grammar, lpad/rpad (incl. zero/negative widths -> ''), repeat (incl.
+    non-positive counts -> ''), translate - identical SQL text; and
+    regexp_replace through paired rendering: Spark's default replaces ALL
+    matches while duckdb's replaces the FIRST unless given the 'g' flag
+    (pin 9 below), so the duck side appends 'g'. The replacement string
+    stays literal: backreference syntax also differs ($1 vs \\1)."""
+    pat, grp = draw
+    s = "concat(l_returnflag, CAST(l_linenumber AS STRING), l_linestatus)"
+    common = (
+        f"regexp_extract({s}, '{pat}', {grp}) AS rex, "
+        f"lpad({s}, {padn}, '*') AS lp, rpad({s}, {padn}, 'xy') AS rp, "
+        f"repeat(l_returnflag, {repn}) AS rep, "
+        f"translate({s}, 'AF1', 'xy0') AS tr "
+    )
+    spark_sql = (
+        f"SELECT l_orderkey, l_linenumber, {common}, "
+        f"regexp_replace({s}, '{pat}', '_') AS rr "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    duck_sql = (
+        f"SELECT l_orderkey, l_linenumber, {common}, "
+        f"regexp_replace({s}, '{pat}', '_', 'g') AS rr "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    _pair_agree(engines, spark_sql, duck_sql)
+
+
+def test_regexp_replace_scope_divergence_pinned(engines):
+    """NINTH pinned engine-level divergence (r10): regexp_replace's
+    default scope. Spark (Hive/Java semantics) replaces EVERY match;
+    duckdb replaces only the FIRST unless the 'g' option is passed.
+    regexp_replace('AF123', '[0-9]', 'x') = 'AFxxx' vs 'AFx23'. Rule:
+    any cross-engine regexp_replace must add 'g' on the duckdb side
+    (paired rendering, surface 46) - same-text is never safe. Related
+    exclusions: backreferences ($1 vs \\1), out-of-range regexp_extract
+    group indices (Spark raises, duckdb ''), and EMPTY-MATCHABLE patterns
+    in a global replace (Java and RE2 disagree on empty-match iteration:
+    '([A-Z]*)' over 'A3F' -> '__3__' vs '_3_')."""
+    spark, con = engines
+    sql = "SELECT regexp_replace('AF123', '[0-9]', 'x') AS z"
+    assert spark.sql(sql).collect()[0][0] == "AFxxx"
+    assert con.execute(sql).fetchone()[0] == "AFx23"
+    assert con.execute(
+        "SELECT regexp_replace('AF123', '[0-9]', 'x', 'g') AS z"
+    ).fetchone()[0] == "AFxxx"
