@@ -2338,3 +2338,77 @@ def test_regexp_replace_scope_divergence_pinned(engines):
     assert con.execute(
         "SELECT regexp_replace('AF123', '[0-9]', 'x', 'g') AS z"
     ).fetchone()[0] == "AFxxx"
+
+
+#: IS [NOT] DISTINCT FROM leaves - numeric-only operands (the construct
+#: is same-text in BOTH engines, unlike Spark's <=> alias).
+_ind_leaf = st.tuples(
+    st.sampled_from(["n_orderkey", "n_partkey", "n_quantity"]),
+    st.sampled_from(["IS DISTINCT FROM", "IS NOT DISTINCT FROM"]),
+    st.sampled_from(["n_orderkey", "n_partkey", "NULL"]),
+).map(lambda t: f"{t[0]} {t[1]} {t[2]}")
+
+
+@given(
+    pred=null_predicate,
+    ind=_ind_leaf,
+    fn=st.sampled_from(["first_value", "last_value"]),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_distinct_from_ignore_nulls(null_engines, pred, ind, fn):
+    """Surface 47 (r10): IS [NOT] DISTINCT FROM (same-text null-safe
+    comparison - Spark's <=> alias is engine-private, the standard
+    spelling works in both) fuzzed as projection AND predicate, plus
+    first_value/last_value IGNORE NULLS through paired rendering (pin 10:
+    Spark puts IGNORE NULLS outside the call parens, duckdb inside; each
+    engine REJECTS the other's form). The window orders by the windowed
+    VALUE with NULLS LAST over the full frame, so the ignore-nulls result
+    is the partition's min/max non-null - deterministic under sort ties."""
+    win = (
+        "(PARTITION BY n_flag ORDER BY n_quantity NULLS LAST "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+    body = (
+        f"FROM fuzz_nullitem WHERE ({pred}) AND (({ind}) OR n_linenumber > 0)"
+    )
+    spark_sql = (
+        f"SELECT n_linenumber, ({ind}) AS ind, "
+        f"{fn}(n_quantity) IGNORE NULLS OVER {win} AS wv {body}"
+    )
+    duck_sql = (
+        f"SELECT n_linenumber, ({ind}) AS ind, "
+        f"{fn}(n_quantity IGNORE NULLS) OVER {win} AS wv {body}"
+    )
+    _pair_agree(null_engines, spark_sql, duck_sql)
+
+
+def test_ignore_nulls_syntax_divergence_pinned(engines):
+    """TENTH pinned engine-level divergence (r10): IGNORE NULLS placement
+    in window calls. Spark parses ``first_value(x) IGNORE NULLS OVER ...``
+    (and the Hive-style ``first_value(x, true)``); duckdb parses
+    ``first_value(x IGNORE NULLS) OVER ...``. Each engine raises a parse/
+    analysis error on the other's form - there is NO same-text spelling;
+    cross-engine ignore-nulls windows must be rendered per-engine
+    (surface 47)."""
+    spark, con = engines
+    s_form = (
+        "SELECT first_value(x) IGNORE NULLS OVER (ORDER BY i) AS f "
+        "FROM (VALUES (1, CAST(NULL AS INT)), (2, 5)) t(i, x)"
+    )
+    d_form = (
+        "SELECT first_value(x IGNORE NULLS) OVER (ORDER BY i) AS f "
+        "FROM (VALUES (1, CAST(NULL AS INT)), (2, 5)) t(i, x)"
+    )
+    assert [r[0] for r in spark.sql(s_form).collect()] == [None, 5]
+    assert [r[0] for r in con.execute(d_form).fetchall()] == [None, 5]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.sql(d_form).collect()
+    with _pytest.raises(Exception):
+        con.execute(s_form).fetchall()
