@@ -2412,3 +2412,87 @@ def test_ignore_nulls_syntax_divergence_pinned(engines):
         spark.sql(d_form).collect()
     with _pytest.raises(Exception):
         con.execute(s_form).fetchall()
+
+
+#: Branch columns for union-coercion: mixing the three type families
+#: exercises each engine's least-common-type rules. Decimal literals are
+#: deliberately absent (pin 3: decimal rescale rounding differs).
+_union_col = st.sampled_from(
+    ["l_linenumber", "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+)
+
+
+@given(
+    ca=_union_col,
+    cb=_union_col,
+    op=st.sampled_from(["UNION", "UNION ALL"]),
+    pa=predicate,
+    pb=predicate,
+    n=st.integers(1, 40),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_union_type_coercion(engines, ca, cb, op, pa, pb, n):
+    """Surface 48 (r10): UNION branch type coercion (int vs double vs
+    string branches -> both engines pick the same least common type and
+    render int-in-string identically at these magnitudes), positional
+    ORDER BY (ORDER BY 2 DESC, 1), and HAVING on the grouped result -
+    identical SQL text. The (count DESC, value) order is total, so LIMIT
+    is deterministic."""
+    _both_agree(
+        engines,
+        f"SELECT v, count(*) AS c FROM ("
+        f"SELECT {ca} AS v FROM fuzz_lineitem WHERE {pa} "
+        f"{op} SELECT {cb} FROM fuzz_lineitem WHERE {pb}"
+        f") t GROUP BY v HAVING count(*) >= 1 ORDER BY 2 DESC, 1 LIMIT {n}",
+    )
+
+
+#: Abstract datetime fields -> (Spark date_format token, duckdb strftime
+#: token). Zero-padded numeric fields only: text month/day names are
+#: locale-dependent in Java and deliberately excluded.
+_DT_TOKENS = [
+    ("yyyy", "%Y"),
+    ("MM", "%m"),
+    ("dd", "%d"),
+    ("HH", "%H"),
+    ("mm", "%M"),
+    ("ss", "%S"),
+]
+
+
+@given(
+    pred=predicate,
+    fields=st.lists(st.sampled_from(_DT_TOKENS), min_size=1, max_size=4, unique=True),
+    sep=st.sampled_from(["-", "/", " ", ":"]),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_date_format_paired(engines, pred, fields, sep):
+    """Surface 49 (r10): timestamp formatting - Spark's date_format
+    (Java DateTimeFormatter tokens) vs duckdb's strftime (C tokens) via
+    paired rendering from one abstract field draw. Zero-padded numeric
+    fields only; the format string is built from the same fields in the
+    same order with the same separator, so any disagreement is a real
+    formatting divergence, not a token-translation artifact."""
+    spark_fmt = sep.join(t[0] for t in fields)
+    duck_fmt = sep.join(t[1] for t in fields)
+    spark_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"date_format(l_shipdate, '{spark_fmt}') AS fmt "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    duck_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"strftime(l_shipdate, '{duck_fmt}') AS fmt "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    _pair_agree(engines, spark_sql, duck_sql)
