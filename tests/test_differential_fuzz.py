@@ -2496,3 +2496,56 @@ def test_fuzz_date_format_paired(engines, pred, fields, sep):
         f"FROM fuzz_lineitem WHERE {pred}"
     )
     _pair_agree(engines, spark_sql, duck_sql)
+
+
+#: Exact-valued "modern aggregate" expressions: integer bit-reductions,
+#: boolean reductions over fuzzed leaves, count_if, and median (exact:
+#: the middle element, or the mean of two values - a single IEEE op, no
+#: accumulation-order freedom). All same-named and same-text in both
+#: engines.
+_modern_agg = st.one_of(
+    st.sampled_from(
+        [
+            "bit_and(l_suppkey) AS ba",
+            "bit_or(l_suppkey) AS bo",
+            "bit_xor(l_orderkey) AS bx",
+            "median(l_linenumber) AS medl",
+            "median(CAST(l_quantity AS DOUBLE)) AS medq",
+        ]
+    ),
+    leaf.map(lambda p: f"bool_and({p}) AS band"),
+    leaf.map(lambda p: f"bool_or({p}) AS bor"),
+    leaf.map(lambda p: f"count_if({p}) AS ci"),
+)
+
+
+@given(
+    pred=predicate,
+    keys=st.lists(
+        st.sampled_from(STR_COLS + ["l_linenumber"]), min_size=1, max_size=2, unique=True
+    ),
+    aggs=st.lists(_modern_agg, min_size=1, max_size=3),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_modern_aggregates(engines, pred, keys, aggs):
+    """Surface 50 (r10): bit_and/bit_or/bit_xor, bool_and/bool_or over
+    fuzzed predicates, count_if, and median - identical SQL text. These
+    are the SQL:2023-era aggregate names both engines share; each is
+    exact-valued (no float accumulation), so cells compare bit-for-bit."""
+    # de-dup aliases: two draws of the same alias would collide
+    seen, uniq = set(), []
+    for a in aggs:
+        al = a.rsplit(" AS ", 1)[1]
+        if al not in seen:
+            seen.add(al)
+            uniq.append(a)
+    _both_agree(
+        engines,
+        f"SELECT {', '.join(keys)}, {', '.join(uniq)} FROM fuzz_lineitem "
+        f"WHERE {pred} GROUP BY {', '.join(keys)}",
+    )
