@@ -2549,3 +2549,39 @@ def test_fuzz_modern_aggregates(engines, pred, keys, aggs):
         f"SELECT {', '.join(keys)}, {', '.join(uniq)} FROM fuzz_lineitem "
         f"WHERE {pred} GROUP BY {', '.join(keys)}",
     )
+
+
+@given(
+    pred=predicate,
+    k=st.integers(0, 7),
+    num=st.sampled_from(INT_COLS),
+    dbl=st.sampled_from(DBL_COLS),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_division_modulo(engines, pred, k, num, dbl):
+    """Surface 51 (r10): division and modulo, including ZERO denominators
+    (the (l_linenumber - k) denominator hits 0 on real rows): int/int '/'
+    produces DOUBLE in both engines (Spark ANSI-off matches duckdb),
+    x/0, x%0 are NULL in both, '%' sign follows the dividend, and double
+    fmod is a single IEEE op (exact). Integer division is value-identical
+    (truncation toward zero) but spelled differently - Spark 'div' vs
+    duckdb '//' - so it rides the paired rendering."""
+    den = f"(l_linenumber - {k})"
+    common = (
+        f"{num} / {den} AS q, {num} % {den} AS m, "
+        f"CAST({dbl} AS DOUBLE) % 2 AS dm"
+    )
+    spark_sql = (
+        f"SELECT l_orderkey, l_linenumber, {common}, "
+        f"{num} div {den} AS idiv FROM fuzz_lineitem WHERE {pred}"
+    )
+    duck_sql = (
+        f"SELECT l_orderkey, l_linenumber, {common}, "
+        f"{num} // {den} AS idiv FROM fuzz_lineitem WHERE {pred}"
+    )
+    _pair_agree(engines, spark_sql, duck_sql)
