@@ -2585,3 +2585,32 @@ def test_fuzz_division_modulo(engines, pred, k, num, dbl):
         f"{num} // {den} AS idiv FROM fuzz_lineitem WHERE {pred}"
     )
     _pair_agree(engines, spark_sql, duck_sql)
+
+
+@given(
+    pred=predicate,
+    n=st.integers(1, 30),
+    off=st.integers(0, 50),
+    direction=st.sampled_from(["ASC", "DESC"]),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_limit_offset_pagination(engines, pred, n, off, direction):
+    """Surface 52 (r10): LIMIT ... OFFSET pagination - identical SQL
+    text (Spark gained OFFSET in 3.4). The ORDER BY must be TOTAL for the
+    page to be deterministic - and in THIS fixture (l_orderkey,
+    l_linenumber) is NOT unique (the synthetic lineitem repeats line
+    numbers; this surface's own first run caught it as a flapping page);
+    (l_orderkey, l_linenumber, l_partkey, l_suppkey) is verified unique
+    at sf0.01. Offsets past the filtered row count must yield the same
+    (possibly empty) tail."""
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, l_returnflag FROM fuzz_lineitem "
+        f"WHERE {pred} ORDER BY l_orderkey {direction}, l_linenumber, "
+        f"l_partkey, l_suppkey LIMIT {n} OFFSET {off}",
+    )
