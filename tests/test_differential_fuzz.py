@@ -2602,15 +2602,96 @@ def test_fuzz_division_modulo(engines, pred, k, num, dbl):
 def test_fuzz_limit_offset_pagination(engines, pred, n, off, direction):
     """Surface 52 (r10): LIMIT ... OFFSET pagination - identical SQL
     text (Spark gained OFFSET in 3.4). The ORDER BY must be TOTAL for the
-    page to be deterministic - and in THIS fixture (l_orderkey,
-    l_linenumber) is NOT unique (the synthetic lineitem repeats line
-    numbers; this surface's own first run caught it as a flapping page);
-    (l_orderkey, l_linenumber, l_partkey, l_suppkey) is verified unique
-    at sf0.01. Offsets past the filtered row count must yield the same
-    (possibly empty) tail."""
+    page to be deterministic - and in the synthetic lineitem NEITHER
+    (l_orderkey, l_linenumber) NOR the 4-col extension is unique (this
+    surface and surface 53 each caught a tie on their first soaks:
+    even (1294, 4, 123, 0) repeats at sf0.001); the 6-col _TOTAL_ORDER
+    below is verified unique at both sf0.001 and sf0.01. Offsets past
+    the filtered row count must yield the same (possibly empty) tail."""
     _both_agree(
         engines,
         f"SELECT l_orderkey, l_linenumber, l_returnflag FROM fuzz_lineitem "
         f"WHERE {pred} ORDER BY l_orderkey {direction}, l_linenumber, "
-        f"l_partkey, l_suppkey LIMIT {n} OFFSET {off}",
+        f"l_partkey, l_suppkey, l_quantity, l_extendedprice "
+        f"LIMIT {n} OFFSET {off}",
+    )
+
+
+#: The verified-unique ordering key: makes POSITIONAL window functions
+#: (row_number, lag/lead, nth_value) deterministic, which the earlier
+#: window surfaces avoided by construction. Six columns: the synthetic
+#: fixture duplicates even (orderkey, linenumber, partkey, suppkey)
+#: tuples (surface 53's 12x soak caught one at sf0.001 - lag/row_number
+#: flapped on the tie); adding quantity + extendedprice is verified
+#: unique at sf0.001 (6000/6000) and sf0.01 (60000/60000).
+_TOTAL_ORDER = (
+    "l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+    "l_quantity, l_extendedprice"
+)
+
+
+@given(
+    pred=predicate,
+    pk=st.sampled_from(STR_COLS + ["l_linenumber"]),
+    k=st.integers(1, 3),
+    dflt=st.sampled_from(["-1.0", "0.0", "999999.0"]),
+    n=st.integers(1, 5),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_positional_window_functions(engines, pred, pk, k, dflt, n):
+    """Surface 53 (r10): row-POSITIONAL window functions - row_number,
+    lag/lead with explicit defaults, nth_value over an explicit ROWS
+    frame - identical SQL text, ordered by the verified-unique key so
+    every position is deterministic (ties would make these engine-chosen;
+    see surface 52's fixture note)."""
+    win = f"(PARTITION BY {pk} ORDER BY {_TOTAL_ORDER})"
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+        f"row_number() OVER {win} AS rn, "
+        f"lag(l_quantity, {k}, {dflt}) OVER {win} AS lg, "
+        f"lead(l_returnflag, {k}, '?') OVER {win} AS ld, "
+        f"nth_value(l_extendedprice, {n}) OVER (PARTITION BY {pk} "
+        f"ORDER BY {_TOTAL_ORDER} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        f"CURRENT ROW) AS nv "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
+
+
+@given(
+    pred=predicate,
+    sets=st.sampled_from(
+        [
+            "((l_returnflag, l_linestatus), (l_returnflag), ())",
+            "((l_returnflag), (l_linestatus))",
+            "((l_returnflag, l_linestatus), ())",
+            "((l_returnflag), (l_returnflag, l_linestatus), (l_linestatus), ())",
+        ]
+    ),
+    aggs=st.lists(agg_expr, min_size=1, max_size=2, unique=True),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_grouping_sets_grouping_id(engines, pred, sets, aggs):
+    """Surface 54 (r10): explicit GROUPING SETS with grouping_id and
+    grouping markers - identical SQL text; the bit order of grouping_id
+    agrees across engines (leftmost key = most significant bit, verified
+    by probe and fuzzed here). HAVING count(*) > 0 sidesteps pinned
+    divergence 1 exactly as in surface 44."""
+    _both_agree(
+        engines,
+        f"SELECT l_returnflag, l_linestatus, "
+        f"grouping_id(l_returnflag, l_linestatus) AS gid, "
+        f"grouping(l_returnflag) AS g1, {', '.join(aggs)} "
+        f"FROM fuzz_lineitem WHERE {pred} "
+        f"GROUP BY GROUPING SETS {sets} HAVING count(*) > 0",
     )
