@@ -2695,3 +2695,53 @@ def test_fuzz_grouping_sets_grouping_id(engines, pred, sets, aggs):
         f"FROM fuzz_lineitem WHERE {pred} "
         f"GROUP BY GROUPING SETS {sets} HAVING count(*) > 0",
     )
+
+
+@given(
+    pred=predicate,
+    mode=st.sampled_from([("BOTH", "trim"), ("LEADING", "ltrim"), ("TRAILING", "rtrim")]),
+    chars=st.sampled_from(["A", "F", "AF", "NR", "O1"]),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_trim_charset_paired(engines, pred, mode, chars):
+    """Surface 55 (r10): character-set trimming. The VALUES agree
+    (trim the set of chars from the end(s)) but the spellings don't:
+    Spark's standard form is trim(BOTH/LEADING/TRAILING chars FROM s),
+    duckdb's is trim/ltrim/rtrim(s, chars) - and the seemingly-common
+    two-arg ltrim/rtrim IS valid in both engines with SILENTLY SWAPPED
+    argument order (pin 11), the worst kind of same-text trap, hence
+    paired rendering here."""
+    kw, fn = mode
+    s = "concat(l_returnflag, CAST(l_linenumber AS STRING), l_linestatus)"
+    spark_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"trim({kw} '{chars}' FROM {s}) AS t "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    duck_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"{fn}({s}, '{chars}') AS t "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    _pair_agree(engines, spark_sql, duck_sql)
+
+
+def test_ltrim_arg_order_divergence_pinned(engines):
+    """ELEVENTH pinned engine-level divergence (r10, found probing
+    surface 55): the two-arg ltrim/rtrim PARSES IN BOTH ENGINES but with
+    swapped argument order - Spark keeps Hive's legacy
+    ltrim(trimStr, srcStr) while duckdb uses ltrim(srcStr, trimChars).
+    ltrim('xxaxx', 'x') = '' in Spark (trim {'x','a'} from 'x') vs 'axx'
+    in duckdb. No error, no type mismatch - a pure silent value
+    divergence. Rule: never use two-arg ltrim/rtrim cross-engine; spell
+    Spark-side trims as trim(LEADING/TRAILING ... FROM ...) and render
+    per-engine (surface 55)."""
+    spark, con = engines
+    sql = "SELECT ltrim('xxaxx', 'x') AS z"
+    assert spark.sql(sql).collect()[0][0] == ""
+    assert con.execute(sql).fetchone()[0] == "axx"
