@@ -111,14 +111,20 @@ _SCALAR_SUBQ_RE = re.compile(
 #: PURGE token), not the statement head.
 _STMT_GATES: list[tuple[re.Pattern, str, tuple[int, int, int]]] = [
     (
-        # The token right before trailing PURGE must be the dropped name
-        # (or the partition-spec ``)``), NOT a grammar keyword - otherwise
-        # ``DROP TABLE purge`` / ``DROP TABLE IF EXISTS purge`` (a table
-        # literally named purge, legal 0.13) would false-positive.
+        # Match ONLY the two statement shapes HIVE-7100/HIVE-9086 define:
+        # ``DROP TABLE [IF EXISTS] <name> PURGE`` and ``ALTER TABLE ...
+        # DROP ... PARTITION (...) [IGNORE PROTECTION] PURGE`` (r10 ADVICE:
+        # the previous keyword-lookahead approach false-positived on
+        # 0.13-legal statements whose last token is an identifier named
+        # purge after OTHER keywords - DROP FUNCTION purge, ALTER TABLE t
+        # RENAME TO purge, ... AFTER purge). Shape-anchoring errs toward
+        # accepting: a quoted ``drop table `odd name` purge`` slips
+        # through, which is the stated posture.
         re.compile(
-            r"^\s*(?:DROP|ALTER)\b[\s\S]*"
-            r"(?:\b(?!(?:TABLE|EXISTS|VIEW|DATABASE|SCHEMA)\s+PURGE\s*;?\s*$)"
-            r"[A-Za-z_]\w*|\))\s+(PURGE)\s*;?\s*$",
+            r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?[`\"\w.]+\s+(PURGE)"
+            r"\s*;?\s*$"
+            r"|^\s*ALTER\s+TABLE\b[\s\S]*\bDROP\b[\s\S]*\bPARTITION\s*"
+            r"\([\s\S]*\)\s+(?:IGNORE\s+PROTECTION\s+)?(PURGE)\s*;?\s*$",
             re.IGNORECASE,
         ),
         "PURGE",

@@ -35,9 +35,13 @@ Methodology (self-adjudicating, round-3):
   after adjudication, emitted as ``pass_calibration`` bracket pairs plus
   per-query ``query_calibration_ratio`` (floor / calibration floor) in the
   runs line - a stall inside one pass is attributable to that pass from
-  the artifact alone. The result line's ``calibration`` floor normalizes
-  round-over-round totals: host drift (r6 measured x1.4 across a session)
-  divides out.
+  the artifact alone. Each bracket point is itself a MIN-OF-5 (r10
+  verdict #3: a single-sample yardstick swung -13.5% between rounds on
+  identical code, the same noise band the interleaved A/B protocol
+  measures, 0.49-0.62 on one host in minutes). The result line carries
+  the full ``calibration_bracket`` plus ``value_normalized`` (raw total /
+  calibration floor) so round-over-round comparison is mechanical: host
+  drift (r6 measured x1.4 across a session) divides out.
 - One-time family-checkpoint staging cost is a NAMED map (``staging``:
   pass-0 minus warm floor for every STAGING_QUERIES member - the queries
   whose first pass builds a family stage) instead of hiding inside
@@ -155,6 +159,17 @@ def calibration_pass(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def calibration_bracket_sample(spark, raw_sink: list[list[float]]) -> float:
+    """min-of-5 calibration at one bracket point (r10 verdict #3): a single
+    sample swung 0.561->0.485 between rounds on identical code, making the
+    normalized headline un-adjudicable; the same-host A/B protocol already
+    uses min-of-5 floors, so the yardstick must too. Raw samples are
+    appended to ``raw_sink`` for the runs artifact."""
+    samples = [calibration_pass(spark) for _ in range(5)]
+    raw_sink.append(samples)
+    return min(samples)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
@@ -181,6 +196,7 @@ def main() -> None:
     # case) then shows up in that pass's own bracket pair and is
     # machine-attributable from the artifact, no judge microbench needed.
     calib: list[float] = []
+    calib_samples: list[list[float]] = []
     calibration_pass(spark)  # codegen/JIT warmup for the calibration shape
 
     def one_pass(name: str) -> None:
@@ -192,20 +208,20 @@ def main() -> None:
     # the second pass after the full sweep (rather than back-to-back per
     # query) so both passes see comparable JVM/page-cache state and a
     # transient stall can't inflate both samples of one query.
-    calib.append(calibration_pass(spark))
+    calib.append(calibration_bracket_sample(spark, calib_samples))
     for name in stable + tail:
         one_pass(name)
-    calib.append(calibration_pass(spark))
+    calib.append(calibration_bracket_sample(spark, calib_samples))
     for name in stable + tail:
         one_pass(name)
-    calib.append(calibration_pass(spark))
+    calib.append(calibration_bracket_sample(spark, calib_samples))
     # Self-tuning third pass: two samples >3x apart means one of them was
     # cold/noisy - a cheap extra sample settles which (min-of-three).
     for name in stable + tail:
         ts = runs[name]
         if max(ts) > 3 * min(ts):
             one_pass(name)
-    calib.append(calibration_pass(spark))
+    calib.append(calibration_bracket_sample(spark, calib_samples))
 
     per_query = {name: min(ts) for name, ts in runs.items()}
     calib_floor = min(calib)
@@ -217,6 +233,12 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration": calib_floor,
+        # min-of-5 floors at each bracket point (before pass 1 / between
+        # passes / after pass 2 / after adjudication) — r10 verdict #3.
+        # value_normalized = raw total divided by the calibration floor
+        # (host-speed units); compare THIS across rounds, not raw seconds.
+        "calibration_bracket": calib,
+        "value_normalized": round(sum(per_query.values()) / calib_floor, 2),
         # One-time family-checkpoint staging, tracked as named numbers
         # (r7 verdict #5) instead of hiding inside min-of-passes: pass-0
         # minus the warm floor for every benched query that builds a
@@ -240,6 +262,7 @@ def main() -> None:
         {
             "bench_runs": runs,
             "calibration_runs": calib,
+            "calibration_samples": calib_samples,
             "pass_calibration": {
                 "pass1": calib[0:2],
                 "pass2": calib[1:3],
