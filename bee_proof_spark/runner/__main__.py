@@ -25,8 +25,17 @@ def main(argv: list[str]) -> int:
     )
     release = None
     args = []
+    opts_ended = False
     for a in argv:
-        if a.startswith("--release="):
+        if opts_ended:
+            args.append(a)
+        elif a == "--":
+            # Conventional end-of-options marker: everything after is a
+            # path, so a manifest whose relative path starts with '-' is
+            # still reachable (r10 ADVICE: the single-dash guard had made
+            # such paths unpassable).
+            opts_ended = True
+        elif a.startswith("--release="):
             release = a.split("=", 1)[1]
         elif a.startswith("-") and a != "-":
             # '--release emr-5' (space form), unknown '--foo', or a

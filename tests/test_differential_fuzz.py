@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from bee_proof_spark.testing import _rowset
@@ -2442,7 +2442,17 @@ def test_fuzz_union_type_coercion(engines, ca, cb, op, pa, pb, n):
     render int-in-string identically at these magnitudes), positional
     ORDER BY (ORDER BY 2 DESC, 1), and HAVING on the grouped result -
     identical SQL text. The (count DESC, value) order is total, so LIMIT
-    is deterministic."""
+    is deterministic. A double branch unioned with the STRING branch is
+    excluded (r10 ADVICE): that coercion renders doubles as VARCHAR, the
+    formatting surface the grammar notes already rule out; only
+    int-in-string coercion is a validated rendering."""
+    _DOUBLE_COLS = {"l_quantity", "l_extendedprice"}
+    assume(
+        not (
+            (ca in _DOUBLE_COLS and cb == "l_returnflag")
+            or (cb in _DOUBLE_COLS and ca == "l_returnflag")
+        )
+    )
     _both_agree(
         engines,
         f"SELECT v, count(*) AS c FROM ("

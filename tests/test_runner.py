@@ -817,6 +817,24 @@ def test_cli_rejects_unknown_and_space_form_options(capsys):
     assert "unknown option '--dry-run'" in capsys.readouterr().err
 
 
+def test_cli_double_dash_ends_options(tmp_path, capsys):
+    """r10 ADVICE: '--' ends option parsing so a manifest path that starts
+    with '-' is passable at all. After '--' nothing is an option (exit 1 =
+    reached the manifest loader; exit 2 = argv error)."""
+    from bee_proof_spark.runner.__main__ import main
+
+    assert main(["--", "-starts-with-dash.json"]) == 1
+    assert "cannot load manifest" in capsys.readouterr().err
+    # '--' consumes nothing else: a normal path still works after it,
+    # and an option BEFORE the '--' still parses (bad release -> 2)
+    assert main(["--", str(tmp_path / "nope.json")]) == 1
+    capsys.readouterr()
+    assert main(["--release=bogus", "--", "m.json"]) == 2
+    assert "unknown release" in capsys.readouterr().err
+    # options after '--' are paths -> two positional args is a usage error
+    assert main(["--", "--release=emr-5", "m.json"]) == 2
+
+
 def test_known_releases_derived_from_gate_table():
     """r9 review: the Verification release list and the gate table must be
     the same object-level source - a release accepted by one but absent

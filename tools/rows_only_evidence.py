@@ -115,12 +115,19 @@ def _stamp_before(mtime: float) -> dict | None:
                 if not line.strip():
                     continue
                 entry = json.loads(line)
-                if entry.get("ts", 0) <= mtime + 1.0:
-                    best_any = entry.get("fps")
-                    best_any_ts = entry.get("ts", 0)
-                    if entry.get("clean"):
+                ts = entry.get("ts", 0)
+                if ts <= mtime + 1.0:
+                    # Select by ts, not file order: the append-only log can
+                    # carry out-of-order stamps (clock step, merged logs),
+                    # and the clean-stamp window must anchor to the NEWEST
+                    # qualifying ts or a stale clean stamp outranks the
+                    # dirty run that produced the ledger (r10 ADVICE).
+                    if ts >= best_any_ts:
+                        best_any = entry.get("fps")
+                        best_any_ts = ts
+                    if entry.get("clean") and ts >= best_clean_ts:
                         best_clean = entry.get("fps")
-                        best_clean_ts = entry.get("ts", 0)
+                        best_clean_ts = ts
     except (OSError, ValueError):
         return None
     if best_clean is not None and best_clean_ts >= best_any_ts - _CLEAN_STAMP_WINDOW_S:
