@@ -2755,3 +2755,160 @@ def test_ltrim_arg_order_divergence_pinned(engines):
     sql = "SELECT ltrim('xxaxx', 'x') AS z"
     assert spark.sql(sql).collect()[0][0] == ""
     assert con.execute(sql).fetchone()[0] == "axx"
+
+
+#: One interval term in a mixed-arithmetic chain: (sign, magnitude, unit).
+#: Magnitudes bounded so a full 3-term chain stays ~5 years around the
+#: fixture's 1992-1998 dates (no year-overflow edge in either engine).
+_ival_term = st.tuples(
+    st.sampled_from(["+", "-"]),
+    st.integers(0, 36),
+    st.sampled_from(["DAY", "MONTH", "YEAR"]),
+).map(lambda t: f"{t[0]} INTERVAL {min(t[1], 2) if t[2] == 'YEAR' else t[1]} {t[2]}")
+
+
+@given(
+    pred=predicate,
+    base=st.sampled_from(["l_shipdate", "last_day(l_shipdate)"]),
+    terms=st.lists(_ival_term, min_size=1, max_size=3),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_interval_mixed_chain(engines, pred, base, terms):
+    """Surface 56 (r10 verdict item 6): MIXED month/day/year interval
+    chains applied left-to-right - the widening rules differ per step
+    (Spark keeps DATE/TIMESTAMP arithmetic in the date domain while
+    duckdb widens every DATE + INTERVAL to TIMESTAMP and carries the
+    chain there), and end-of-month clamping fires mid-chain, so term
+    ORDER matters ((d + 1 MONTH) + 10 DAY != (d + 10 DAY) + 1 MONTH).
+    Identical SQL text; single outer CAST to DATE per the surface-39
+    discipline (midnight-aligned fixture dates make the TIMESTAMP
+    detour lossless). The last_day base force-feeds month-end anchors
+    so clamping is exercised on every row."""
+    chain = " ".join(terms)
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST({base} {chain} AS DATE) AS d "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
+
+
+#: RANGE frame shapes over a date ORDER BY key: (lo, hi) bound renderers
+#: fed with the two fuzzed magnitudes. Both-PRECEDING/both-FOLLOWING
+#: shapes order the bounds (max/min) so lo <= hi always holds.
+_range_frame = st.sampled_from(
+    [
+        lambda n, m, u: (f"INTERVAL {n} {u} PRECEDING", "CURRENT ROW"),
+        lambda n, m, u: ("CURRENT ROW", f"INTERVAL {m} {u} FOLLOWING"),
+        lambda n, m, u: (f"INTERVAL {n} {u} PRECEDING", f"INTERVAL {m} {u} FOLLOWING"),
+        lambda n, m, u: (
+            f"INTERVAL {max(n, m)} {u} PRECEDING",
+            f"INTERVAL {min(n, m)} {u} PRECEDING",
+        ),
+        lambda n, m, u: (
+            f"INTERVAL {min(n, m)} {u} FOLLOWING",
+            f"INTERVAL {max(n, m)} {u} FOLLOWING",
+        ),
+    ]
+)
+
+#: Exact-valued window aggregates only: integer sums/counts and date
+#: min/max are accumulation-order-free, so any mismatch is frame
+#: semantics, not IEEE noise (double sums are excluded by the same rule
+#: the modern-aggregate surface documents).
+_range_agg = st.sampled_from(
+    [
+        "SUM(l_linenumber)",
+        "SUM(l_suppkey)",
+        "COUNT(*)",
+        "COUNT(l_suppkey)",
+        "MIN(CAST(l_shipdate AS DATE))",
+        "MAX(CAST(l_shipdate AS DATE))",
+    ]
+)
+
+
+@given(
+    pred=predicate,
+    agg=_range_agg,
+    frame=_range_frame,
+    n=st.integers(1, 45),
+    m=st.integers(1, 45),
+    unit=st.sampled_from(["DAY", "MONTH"]),
+    part=st.sampled_from(["", "PARTITION BY l_returnflag "]),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_range_frame_date_key(engines, pred, agg, frame, n, m, unit, part):
+    """Surface 57 (r10 verdict item 6): windowed RANGE frames over a DATE
+    ORDER BY key with calendar-interval bounds (DAY and variable-width
+    MONTH), all five bound shapes incl. both-PRECEDING / both-FOLLOWING
+    bands and empty frames (NULL aggregate in both engines). Identical
+    SQL text; ties on the date key form peer groups so the result is
+    deterministic without a total order; aggregates are exact-valued
+    (integer / date extrema) so frames, not float accumulation, are
+    what's compared. Zero-magnitude interval bounds are EXCLUDED from
+    the grammar: this surface's own 12x soak found pin 12 (duckdb
+    anchors INTERVAL 0 ... PRECEDING/FOLLOWING at the current ROW
+    POSITION instead of the standard's value-range peer group -
+    test_zero_interval_range_bound_divergence_pinned); zero-width
+    frames are covered cross-engine only via their CURRENT ROW
+    spelling, which agrees."""
+    lo, hi = frame(n, m, unit)
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, "
+        f"{agg} OVER ({part}ORDER BY CAST(l_shipdate AS DATE) "
+        f"RANGE BETWEEN {lo} AND {hi}) AS w "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
+
+
+def test_zero_interval_range_bound_divergence_pinned(engines):
+    """TWELFTH pinned engine-level divergence (r11, found by surface 57's
+    own 12x soak): a ZERO-magnitude calendar-interval RANGE bound. The
+    standard (and Spark) treat RANGE bounds as VALUE offsets, so
+    INTERVAL 0 DAY PRECEDING == CURRENT ROW == the whole peer group of
+    tied order-key values; duckdb 1.x instead anchors the zero-offset
+    bound at the current ROW POSITION, splitting peer groups (and making
+    0-PRECEDING-to-0-PRECEDING frames empty for every first-in-peer-group
+    row). No error - a pure silent value divergence under ties. Rule:
+    never render a zero interval magnitude in a cross-engine RANGE
+    bound; spell zero-width as CURRENT ROW (which agrees)."""
+    spark, con = engines
+    base = (
+        "SELECT i, SUM(i) OVER (ORDER BY d RANGE BETWEEN {lo} AND {hi}) AS w "
+        "FROM (VALUES (1, DATE '2020-01-01'), (2, DATE '2020-01-01'), "
+        "(4, DATE '2020-01-02')) t(i, d) ORDER BY d, i"
+    )
+    zero_p = base.format(
+        lo="INTERVAL 0 DAY PRECEDING", hi="INTERVAL 0 DAY PRECEDING"
+    )
+    # Spark: peer-group (value) semantics - both tied rows see 1+2
+    assert [r[1] for r in spark.sql(zero_p).collect()] == [3, 3, 4]
+    # duckdb: positional anchoring - the 0P..0P frame is "rows strictly
+    # before the current POSITION whose key ties the current value", so
+    # every first-in-peer-group row (incl. a group of one) gets an EMPTY
+    # frame, not even itself
+    assert [r[1] for r in con.execute(zero_p).fetchall()] == [None, 1, None]
+    zero_f = base.format(
+        lo="INTERVAL 0 DAY FOLLOWING", hi="INTERVAL 0 DAY FOLLOWING"
+    )
+    assert [r[1] for r in spark.sql(zero_f).collect()] == [3, 3, 4]
+    assert [r[1] for r in con.execute(zero_f).fetchall()] == [3, 2, 4]
+    # the CURRENT ROW spelling of the same zero-width frame AGREES
+    cr = base.format(lo="CURRENT ROW", hi="CURRENT ROW")
+    assert (
+        [r[1] for r in spark.sql(cr).collect()]
+        == [r[1] for r in con.execute(cr).fetchall()]
+        == [3, 3, 4]
+    )
