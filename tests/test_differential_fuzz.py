@@ -2912,3 +2912,106 @@ def test_zero_interval_range_bound_divergence_pinned(engines):
         == [r[1] for r in con.execute(cr).fetchall()]
         == [3, 3, 4]
     )
+
+
+def test_day_numbering_divergence_pinned(engines):
+    """THIRTEENTH pinned engine-level divergence (r11, found probing the
+    date-part family for surface 58): the day-of-week NUMBERING family
+    parses same-text in both engines and silently disagrees by one -
+    Spark's dayofweek()/extract(DOW) are 1-based Sunday (Sun=1..Sat=7,
+    Hive convention), duckdb's are 0-based Sunday (Sun=0..Sat=6); and
+    weekday() shifts differently (Spark 0-based MONDAY, duckdb treats it
+    as an alias of its 0-based-Sunday dayofweek, so Monday reads 0 vs 1).
+    dayname()/monthname() also parse in both but render different texts
+    ('Sun'/'Jan' vs 'Sunday'/'January'). Rules: render DOW per-engine as
+    Spark dayofweek(d) == duckdb dayofweek(d)+1 (surface 58); never use
+    weekday()/dayname()/monthname() cross-engine. Week NUMBERS are safe:
+    weekofyear/extract(WEEK) are ISO in both, verified on week-53 and
+    week-52 year boundaries."""
+    spark, con = engines
+    # 2020-01-05 is a Sunday, 2020-01-06 a Monday
+    for fn, sun_spark, sun_duck, mon_spark, mon_duck in [
+        ("dayofweek", 1, 0, 2, 1),
+        ("weekday", 6, 0, 0, 1),
+    ]:
+        for dt, s_want, d_want in [
+            ("2020-01-05", sun_spark, sun_duck),
+            ("2020-01-06", mon_spark, mon_duck),
+        ]:
+            sql = f"SELECT {fn}(DATE '{dt}') AS x"
+            assert spark.sql(sql).collect()[0][0] == s_want, (fn, dt)
+            assert con.execute(sql).fetchone()[0] == d_want, (fn, dt)
+    sql = "SELECT extract(DOW FROM DATE '2020-01-05') AS x"
+    assert spark.sql(sql).collect()[0][0] == 1
+    assert con.execute(sql).fetchone()[0] == 0
+    sql = "SELECT dayname(DATE '2020-01-05') AS d, monthname(DATE '2020-01-05') AS m"
+    assert tuple(spark.sql(sql).collect()[0]) == ("Sun", "Jan")
+    assert con.execute(sql).fetchone() == ("Sunday", "January")
+    # ISO week agreement incl. year-boundary weeks (53 and 52)
+    for dt, wk in [("2021-01-01", 53), ("1994-01-01", 52), ("2015-12-28", 53)]:
+        sql = f"SELECT weekofyear(DATE '{dt}') AS x"
+        assert (
+            spark.sql(sql).collect()[0][0]
+            == con.execute(sql).fetchone()[0]
+            == wk
+        )
+
+
+#: Date-part columns for surface 58: (spark_expr, duck_expr) templates over
+#: a date-typed column {d}. Most are identical text (verified same-valued,
+#: ISO weeks included); DOW and datediff need per-engine rendering (pin 13
+#: / duckdb's 3-arg datediff). extract(SECOND) is cast to BIGINT (Spark
+#: returns DECIMAL(8,6)); date_trunc output is cast to DATE (Spark returns
+#: TIMESTAMP where duckdb keeps DATE). yearofweek()/extract(DAYOFYEAR) are
+#: one-engine-only spellings and excluded (loud errors, not traps).
+_datepart_cols = st.sampled_from(
+    [
+        ("extract(YEAR FROM {d})", "extract(YEAR FROM {d})"),
+        ("extract(QUARTER FROM {d})", "extract(QUARTER FROM {d})"),
+        ("extract(MONTH FROM {d})", "extract(MONTH FROM {d})"),
+        ("extract(DAY FROM {d})", "extract(DAY FROM {d})"),
+        ("CAST(extract(SECOND FROM {d}) AS BIGINT)", "CAST(extract(SECOND FROM {d}) AS BIGINT)"),
+        ("weekofyear({d})", "weekofyear({d})"),
+        ("dayofyear({d})", "dayofyear({d})"),
+        ("quarter({d})", "quarter({d})"),
+        ("CAST(last_day({d}) AS DATE)", "CAST(last_day({d}) AS DATE)"),
+        ("CAST(date_trunc('week', {d}) AS DATE)", "CAST(date_trunc('week', {d}) AS DATE)"),
+        ("CAST(date_trunc('month', {d}) AS DATE)", "CAST(date_trunc('month', {d}) AS DATE)"),
+        ("CAST(date_trunc('quarter', {d}) AS DATE)", "CAST(date_trunc('quarter', {d}) AS DATE)"),
+        ("CAST(date_trunc('year', {d}) AS DATE)", "CAST(date_trunc('year', {d}) AS DATE)"),
+        ("dayofweek({d})", "dayofweek({d}) + 1"),
+        ("datediff({d}, DATE '1995-06-15')", "datediff('day', DATE '1995-06-15', {d})"),
+    ]
+)
+
+
+@given(
+    pred=predicate,
+    cols=st.lists(_datepart_cols, min_size=1, max_size=4, unique=True),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_datepart_extraction(engines, pred, cols):
+    """Surface 58 (r11): the date-part extraction family over the fixture
+    date column - extract fields, week/day-of-year numbering (ISO week
+    agreement verified through year-boundary weeks by pin 13's probes),
+    last_day, date_trunc at week/month/quarter/year grain (CAST to DATE:
+    Spark widens date_trunc to TIMESTAMP), plus the two members that need
+    per-engine rendering: day-of-week numbering (pin 13: duckdb is
+    0-based-Sunday, rendered as dayofweek(d)+1) and datediff (duckdb only
+    has the 3-arg part-form). Both renderings are machine-generated from
+    one draw tuple (_pair_agree discipline)."""
+    d = "CAST(l_shipdate AS DATE)"
+    s_cols = ", ".join(f"{s.format(d=d)} AS c{i}" for i, (s, _) in enumerate(cols))
+    d_cols = ", ".join(f"{o.format(d=d)} AS c{i}" for i, (_, o) in enumerate(cols))
+    _pair_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {s_cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+        f"SELECT l_orderkey, l_linenumber, {d_cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
