@@ -3015,3 +3015,86 @@ def test_fuzz_datepart_extraction(engines, pred, cols):
         f"SELECT l_orderkey, l_linenumber, {d_cols} "
         f"FROM fuzz_lineitem WHERE {pred}",
     )
+
+
+def test_one_arg_log_divergence_pinned(engines):
+    """FOURTEENTH pinned engine-level divergence (r11, found probing the
+    math family for surface 59): one-arg log() parses in BOTH engines
+    and silently computes DIFFERENT LOGARITHMS - Spark keeps Hive's
+    log() == natural log (ln), duckdb's log() == log10. log(100.0) is
+    4.605 vs 2.0: no error, no type mismatch, a silent value divergence
+    of the ltrim class (pin 11). Rule: never one-arg log cross-engine;
+    ln/log10/log2 and two-arg log(base, x) name the base explicitly and
+    agree semantically (though see the surface-59 docstring: several
+    transcendentals differ in the last ulp between JVM Math and libm, so
+    only the fixture-validated 0-diff subset is fuzzed same-text)."""
+    spark, con = engines
+    sql = "SELECT log(100.0) AS x"
+    s = spark.sql(sql).collect()[0][0]
+    d = con.execute(sql).fetchone()[0]
+    import math
+    assert abs(s - math.log(100.0)) < 1e-12      # Spark: ln
+    assert d == 2.0                              # duckdb: log10
+    # the explicit spellings agree
+    for ok in ("SELECT log10(100.0) AS x", "SELECT log2(8.0) AS x",
+               "SELECT log(2.0, 8.0) AS x"):
+        assert spark.sql(ok).collect()[0][0] == con.execute(ok).fetchone()[0], ok
+
+
+#: Math expressions validated BIT-EXACT over every row of the sf0.001 AND
+#: sf0.01 lineitem fixtures (91k cells total, 0 diffs - r11 authoring
+#: probe). The excluded transcendentals are NOT traps, just last-ulp
+#: JVM-Math-vs-libm noise measured on the same probe: ln 482/45832 cells
+#; off, log2 11095, two-arg log 20197, atan2 2396, tan 2856, acos 8681,
+#: cbrt 22701 - never fuzz those same-text over doubles.
+_math_expr = st.sampled_from(
+    [
+        "sqrt(l_extendedprice)",
+        "power(l_quantity, 0.5)",
+        "power(l_discount, 3)",
+        "exp(l_discount)",
+        "exp(-l_tax)",
+        "sin(l_quantity)",
+        "cos(l_discount)",
+        "asin(l_discount)",
+        "degrees(l_discount)",
+        "radians(l_quantity)",
+        "abs(l_quantity - 25.0)",
+        "CAST(floor(l_extendedprice / 100) AS BIGINT)",
+        "CAST(ceil(l_extendedprice / 100) AS BIGINT)",
+        "l_orderkey % 97",
+        "(l_suppkey << 3) | l_linenumber",
+        "(l_orderkey >> 2) & 255",
+        "factorial(l_linenumber)",
+        "CAST(sign(l_quantity - 25.0) AS BIGINT)",
+    ]
+)
+
+
+@given(
+    pred=predicate,
+    exprs=st.lists(_math_expr, min_size=1, max_size=4, unique=True),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_math_family(engines, pred, exprs):
+    """Surface 59 (r11): the math-function family over fixture columns -
+    identical SQL text, restricted to the subset pre-validated bit-exact
+    across engines on EVERY fixture row (see _math_expr note; the same
+    authoring probe found pin 14, the one-arg-log ln-vs-log10 silent
+    divergence). Integer %, shifts, masks, and factorial are exact by
+    construction; floor/ceil and sign follow the surface-41 rendering
+    rule (CAST to BIGINT: Spark's floor/ceil return BIGINT where duckdb
+    keeps DOUBLE, and duckdb's sign returns INTEGER where Spark keeps
+    DOUBLE; the row canonicalization compares 560 != 560.0 - both
+    re-confirmed by this surface's own falsifying examples)."""
+    cols = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
