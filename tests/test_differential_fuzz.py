@@ -3098,3 +3098,99 @@ def test_fuzz_math_family(engines, pred, exprs):
         f"SELECT l_orderkey, l_linenumber, {cols} "
         f"FROM fuzz_lineitem WHERE {pred}",
     )
+
+
+def test_negative_left_right_divergence_pinned(engines):
+    """FIFTEENTH pinned engine-level divergence (r11, found probing the
+    string family for surface 60): left()/right() with a NEGATIVE length
+    parse in both engines and silently disagree - Spark returns '' (Hive
+    convention), duckdb interprets -n as "drop n chars from the OTHER
+    end" (left('abcdef', -2) = '' vs 'abcd'). Same class as pins 11/14:
+    no error, pure value divergence. Also recorded here: upper()/lower()
+    on non-ASCII disagree on full case folding (Spark upper('straße') =
+    'STRASSE' via Java full folding, duckdb 'STRAẞE' via capital sharp
+    s) - the fixture is ASCII so surface 60 fuzzes casing safely, but
+    never hash-compare cased non-ASCII text cross-engine. Rules:
+    negative left/right lengths are excluded from cross-engine SQL
+    (positive and over-length agree); non-ASCII casing is
+    engine-specific."""
+    spark, con = engines
+    for fn, duck_want in [("left", "abcd"), ("right", "cdef")]:
+        sql = f"SELECT {fn}('abcdef', -2) AS x"
+        assert spark.sql(sql).collect()[0][0] == ""
+        assert con.execute(sql).fetchone()[0] == duck_want
+        # positive and over-length agree
+        for n in (2, 10):
+            ok = f"SELECT {fn}('abcdef', {n}) AS x"
+            assert spark.sql(ok).collect()[0][0] == con.execute(ok).fetchone()[0]
+    sql = "SELECT upper('straße') AS x"
+    assert spark.sql(sql).collect()[0][0] == "STRASSE"
+    assert con.execute(sql).fetchone()[0] == "STRAẞE"
+
+
+#: String expressions validated same-text same-valued by the r11
+#: authoring probe, over {s} (an ASCII fixture-derived string) and small
+#: fuzzed ints. Excluded as ENGINE-PRIVATE spellings (loud errors, not
+#: traps): strpos/locate, 2-arg rpad, initcap, overlay, space,
+#: startswith/endswith, format_string, octet_length, sha2, elt,
+#: find_in_set. Excluded as SILENT traps: negative left/right (pin 15),
+#: two-arg ltrim/rtrim (pin 11), one-arg trim variants over non-ASCII
+#: (pin 15 casing note).
+_string_expr = [
+    lambda n, m: "instr({s}, 'A')",
+    lambda n, m: "position('N' IN {s})",
+    lambda n, m: f"lpad({{s}}, {n}, 'xy')",
+    lambda n, m: f"rpad({{s}}, {n}, '.')",
+    lambda n, m: f"repeat({{s}}, {m})",
+    lambda n, m: "reverse({s})",
+    lambda n, m: "translate({s}, 'ANR', 'xy')",
+    lambda n, m: f"left({{s}}, {n})",
+    lambda n, m: f"right({{s}}, {n})",
+    lambda n, m: "replace({s}, 'A', 'zz')",
+    lambda n, m: "levenshtein({s}, 'AF1O')",
+    lambda n, m: "contains({s}, 'F')",
+    lambda n, m: "upper({s})",
+    lambda n, m: "lower({s})",
+    lambda n, m: "length({s})",
+    lambda n, m: "bit_length({s})",
+    lambda n, m: f"substring({{s}} FROM {m} FOR {n})",
+    lambda n, m: "md5({s})",
+    lambda n, m: "concat_ws('-', {s}, NULL, l_linestatus)",
+    lambda n, m: "printf('%s#%s', {s}, l_linestatus)",
+    lambda n, m: "ascii({s})",
+    lambda n, m: f"chr(65 + ({m} % 26))",
+]
+
+
+@given(
+    pred=predicate,
+    idxs=st.lists(
+        st.integers(0, len(_string_expr) - 1), min_size=1, max_size=4, unique=True
+    ),
+    n=st.integers(0, 12),
+    m=st.integers(1, 6),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_string_family(engines, pred, idxs, n, m):
+    """Surface 60 (r11): the string-function family same-text over an
+    ASCII fixture-derived string (returnflag + linenumber + linestatus,
+    the surface-55 composite) - pad/trim-to-width incl. truncation,
+    repeat, translate (incl. the short-'to' char-dropping form), search
+    (instr/position/contains), casing, lengths, hashing, concat_ws NULL
+    skipping, printf. Negative left/right lengths and every
+    engine-private spelling are excluded per pin 15 / the authoring
+    probe's loud-error census."""
+    s = "concat(l_returnflag, CAST(l_linenumber AS STRING), l_linestatus)"
+    cols = ", ".join(
+        f"{_string_expr[i](n, m).format(s=s)} AS c{k}" for k, i in enumerate(idxs)
+    )
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
