@@ -3194,3 +3194,50 @@ def test_fuzz_string_family(engines, pred, idxs, n, m):
         f"SELECT l_orderkey, l_linenumber, {cols} "
         f"FROM fuzz_lineitem WHERE {pred}",
     )
+
+
+@given(
+    pred=predicate,
+    date_fields=st.permutations([("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d")]),
+    time_fields=st.lists(
+        st.sampled_from([("HH", "%H"), ("mm", "%M"), ("ss", "%S")]),
+        max_size=3,
+        unique=True,
+    ),
+    sep=st.sampled_from(["-", "/", " ", ":"]),
+    epoch=st.booleans(),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_date_parse_roundtrip(engines, pred, date_fields, time_fields, sep, epoch):
+    """Surface 61 (r11): date PARSING - the inverse of surface 49's
+    formatting. One abstract draw (a permutation of the y/M/d tokens,
+    optional H/m/s tokens, one separator) machine-generates BOTH
+    renderings of a format-then-parse roundtrip: Spark
+    to_date(date_format(d, fmt), fmt) vs duckdb
+    CAST(strptime(strftime(d, fmt), fmt) AS DATE), plus the epoch form
+    (to_unix_timestamp vs epoch(strptime(...))). The y/M/d tokens are
+    always all present so the parse is total (no default-fill ambiguity);
+    the authoring probe verified invalid inputs fail LOUD in both engines
+    (CANNOT_PARSE vs Invalid Input - not a silent trap) and the try_
+    forms agree on NULL."""
+    fields = list(date_fields) + list(time_fields)
+    spark_fmt = sep.join(t[0] for t in fields)
+    duck_fmt = sep.join(t[1] for t in fields)
+    if epoch:
+        s_expr = f"to_unix_timestamp(date_format(l_shipdate, '{spark_fmt}'), '{spark_fmt}')"
+        d_expr = f"CAST(epoch(strptime(strftime(l_shipdate, '{duck_fmt}'), '{duck_fmt}')) AS BIGINT)"
+    else:
+        s_expr = f"to_date(date_format(l_shipdate, '{spark_fmt}'), '{spark_fmt}')"
+        d_expr = f"CAST(strptime(strftime(l_shipdate, '{duck_fmt}'), '{duck_fmt}') AS DATE)"
+    _pair_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {s_expr} AS p "
+        f"FROM fuzz_lineitem WHERE {pred}",
+        f"SELECT l_orderkey, l_linenumber, {d_expr} AS p "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
