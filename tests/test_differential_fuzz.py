@@ -3241,3 +3241,102 @@ def test_fuzz_date_parse_roundtrip(engines, pred, date_fields, time_fields, sep,
         f"SELECT l_orderkey, l_linenumber, {d_expr} AS p "
         f"FROM fuzz_lineitem WHERE {pred}",
     )
+
+
+#: Array-family templates: (spark_render, duck_render) from ONE draw, over
+#: {a} = the 3-int fixture array and fuzzed scalars v (probe value),
+#: i (subscript), b/l (slice), s/e/st (sequence). Constructors are
+#: engine-private (Spark array(...) vs duckdb [...]), subscripting is
+#: pin 8 (0- vs 1-based), and SET-OP OUTPUT ORDER differs (Spark
+#: array_distinct/intersect keep first-occurrence order, duckdb doesn't)
+#: - so every array-valued output is sorted THEN CSV-joined; scalar
+#: outputs compare raw. Spark sequence(s,e,st) == duckdb range(s,e+1,st)
+#: for positive steps (inclusive vs exclusive end). One more rendering
+#: fact from this surface's first falsifying example: duckdb
+#: array_to_string of an EMPTY list is NULL where Spark array_join is
+#: '' - the one possibly-empty rendering (filter) coalesces duck-side.
+_SPARK_ARR = "array(l_linenumber, l_suppkey % 10, l_orderkey % 10)"
+_DUCK_ARR = "[l_linenumber, l_suppkey % 10, l_orderkey % 10]"
+_array_tmpl = [
+    lambda p: ("size({a})", "len({a})"),
+    lambda p: (f"array_contains({{a}}, {p['v']})", f"list_contains({{a}}, {p['v']})"),
+    lambda p: (f"array_position({{a}}, {p['v']})", f"list_position({{a}}, {p['v']})"),
+    lambda p: ("array_min({a})", "list_min({a})"),
+    lambda p: ("array_max({a})", "list_max({a})"),
+    lambda p: (
+        "array_join(CAST(sort_array({a}) AS ARRAY<STRING>), ',')",
+        "array_to_string(list_sort({a}), ',')",
+    ),
+    lambda p: (
+        "array_join(CAST(sort_array(array_distinct({a})) AS ARRAY<STRING>), ',')",
+        "array_to_string(list_sort(list_distinct({a})), ',')",
+    ),
+    lambda p: (f"{{a}}[{p['i']}]", f"({{a}})[{p['i'] + 1}]"),
+    lambda p: (
+        f"array_join(CAST(slice({{a}}, {p['b']}, {p['l']}) AS ARRAY<STRING>), ',')",
+        f"array_to_string(({{a}})[{p['b']}:{p['b'] + p['l'] - 1}], ',')",
+    ),
+    lambda p: (
+        "aggregate({a}, CAST(0 AS BIGINT), (acc, x) -> acc + x)",
+        "CAST(list_aggregate({a}, 'sum') AS BIGINT)",
+    ),
+    lambda p: (
+        "array_join(CAST(filter({a}, x -> x % 2 = 0) AS ARRAY<STRING>), ',')",
+        "COALESCE(array_to_string(list_filter({a}, x -> x % 2 = 0), ','), '')",
+    ),
+    lambda p: (
+        f"array_join(CAST(transform({{a}}, x -> x * 2 + {p['v']}) AS ARRAY<STRING>), ',')",
+        f"array_to_string(list_transform({{a}}, x -> x * 2 + {p['v']}), ',')",
+    ),
+    lambda p: (f"exists({{a}}, x -> x > {p['v']})", f"len(list_filter({{a}}, x -> x > {p['v']})) > 0"),
+    lambda p: (
+        f"array_join(CAST(sequence({p['s']}, {p['s'] + p['e']}, {p['st']}) AS ARRAY<STRING>), ',')",
+        f"array_to_string(range({p['s']}, {p['s'] + p['e'] + 1}, {p['st']}), ',')",
+    ),
+]
+
+
+@given(
+    pred=predicate,
+    idxs=st.lists(
+        st.integers(0, len(_array_tmpl) - 1), min_size=1, max_size=4, unique=True
+    ),
+    v=st.integers(0, 9),
+    i=st.integers(0, 2),
+    b=st.integers(1, 3),
+    l=st.integers(1, 3),
+    s=st.integers(0, 5),
+    e=st.integers(0, 10),
+    stp=st.integers(1, 4),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_array_family(engines, pred, idxs, v, i, b, l, s, e, stp):
+    """Surface 62 (r11): the array/higher-order family - size, membership,
+    position, extrema, sort/distinct, subscripting (pin 8 offset), slice,
+    fold, filter/transform lambdas, exists, and integer sequences -
+    every rendering machine-generated per-engine from one draw
+    (_array_tmpl note: constructors, 1-based slices, inclusive-vs-
+    exclusive sequence ends, and set-op output order all differ by
+    design; array outputs are sorted then CSV-joined so iteration order
+    never reaches the comparison)."""
+    p = {"v": v, "i": i, "b": b, "l": l, "s": s, "e": e, "st": stp}
+    s_cols = ", ".join(
+        _array_tmpl[k](p)[0].format(a=_SPARK_ARR) + f" AS c{n}"
+        for n, k in enumerate(idxs)
+    )
+    d_cols = ", ".join(
+        _array_tmpl[k](p)[1].format(a=_DUCK_ARR) + f" AS c{n}"
+        for n, k in enumerate(idxs)
+    )
+    _pair_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {s_cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+        f"SELECT l_orderkey, l_linenumber, {d_cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
