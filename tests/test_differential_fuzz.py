@@ -3340,3 +3340,54 @@ def test_fuzz_array_family(engines, pred, idxs, v, i, b, l, s, e, stp):
         f"SELECT l_orderkey, l_linenumber, {d_cols} "
         f"FROM fuzz_lineitem WHERE {pred}",
     )
+
+
+def test_skew_kurtosis_definition_divergence_pinned(engines):
+    """SIXTEENTH pinned engine-level divergence (r11, found probing the
+    statistical aggregates): skewness() and kurtosis() parse same-text in
+    both engines and compute DIFFERENT ESTIMATORS - Spark returns the
+    POPULATION moments (g1; excess g2, Hive convention), duckdb the
+    SAMPLE-ADJUSTED ones (G1 = g1*sqrt(n(n-1))/(n-2); G2), so values
+    diverge by up to 50%+ at small n with no error. duckdb's
+    kurtosis_pop matches Spark's kurtosis only to the last ulp
+    (streaming-merge vs naive accumulation; Spark has no *_pop/_samp
+    spellings at all). Related census, same probe: variance/covar_samp
+    agree in DEFINITION but differ in final-ulp accumulation; avg() and
+    regr_avgx() over DECIMAL input return DECIMAL in Spark vs DOUBLE in
+    duckdb (pin-3 discipline: cast to DOUBLE); bare mode(x) is
+    tie-arbitrary per engine (the WITHIN GROUP ordered-set form is
+    deterministic and agrees). Rules: never compare native
+    skewness/kurtosis cross-engine; the repo's oracle discipline for ALL
+    high moments is exact decimal power sums + round (agg_stats,
+    aggregates.py)."""
+    import math
+
+    spark, con = engines
+    v = "(VALUES (1.0),(2.0),(4.0),(8.0),(9.0)) t(x)"
+    xs = [1.0, 2.0, 4.0, 8.0, 9.0]
+    n = len(xs)
+    mean = sum(xs) / n
+    m2 = sum((x - mean) ** 2 for x in xs) / n
+    m3 = sum((x - mean) ** 3 for x in xs) / n
+    m4 = sum((x - mean) ** 4 for x in xs) / n
+    g1 = m3 / m2**1.5
+    G1 = g1 * math.sqrt(n * (n - 1)) / (n - 2)
+    g2 = m4 / m2**2 - 3
+    G2 = (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6)
+    s_skew = spark.sql(f"SELECT skewness(x) AS a FROM {v}").collect()[0][0]
+    d_skew = con.execute(f"SELECT skewness(x) AS a FROM {v}").fetchone()[0]
+    assert abs(s_skew - g1) < 1e-12 and abs(d_skew - G1) < 1e-12
+    s_kurt = spark.sql(f"SELECT kurtosis(x) AS a FROM {v}").collect()[0][0]
+    d_kurt = con.execute(f"SELECT kurtosis(x) AS a FROM {v}").fetchone()[0]
+    d_kpop = con.execute(f"SELECT kurtosis_pop(x) AS a FROM {v}").fetchone()[0]
+    assert abs(s_kurt - g2) < 1e-12 and abs(d_kurt - G2) < 1e-12
+    # kurtosis_pop matches Spark's kurtosis in DEFINITION but only to the
+    # last ulp in value - never hash-comparable raw
+    assert s_kurt != d_kurt and round(s_kurt, 9) == round(d_kpop, 9)
+    # deterministic agreements from the same probe: a UNIQUE mode agrees
+    # in both spellings; the ordered-set form is the cross-engine one
+    mv = "(VALUES (1.0),(2.0),(2.0),(9.0)) t(x)"
+    for form in ("mode(x)", "mode() WITHIN GROUP (ORDER BY x)"):
+        sql = f"SELECT {form} AS a FROM {mv}"
+        assert float(spark.sql(sql).collect()[0][0]) == 2.0
+        assert float(con.execute(sql).fetchone()[0]) == 2.0
