@@ -3391,3 +3391,64 @@ def test_skew_kurtosis_definition_divergence_pinned(engines):
         sql = f"SELECT {form} AS a FROM {mv}"
         assert float(spark.sql(sql).collect()[0][0]) == 2.0
         assert float(con.execute(sql).fetchone()[0]) == 2.0
+
+
+#: Fuzzed JSON-path draws for surface 63 over a same-text synthesized
+#: document (printf over integer/flag fixture columns - the fixture's own
+#: events.props is flat {"k": int}, too shallow to exercise nested and
+#: array paths). get_json_object <-> json_extract_string agree on scalar,
+#: nested, array-indexed, whole-object (whitespace-normalized!), JSON-null
+#: and missing paths (authoring probe); schema_of_json/json_structure are
+#: engine-private renderings and excluded.
+_JSON_DOC = (
+    "printf('{\"a\": %d, \"b\": \"%s\", \"c\": [%d, %d], \"o\": {\"d\": %d}}', "
+    "l_orderkey, l_returnflag, l_linenumber, l_suppkey, l_suppkey % 7)"
+)
+_json_path = st.sampled_from(
+    ["$.a", "$.b", "$.c", "$.c[0]", "$.c[1]", "$.c[5]",
+     "$.o", "$.o.d", "$.o.missing", "$.missing"]
+)
+
+
+@given(
+    pred=predicate,
+    paths=st.lists(_json_path, min_size=1, max_size=4, unique=True),
+    typed=st.booleans(),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_json_path_extraction(engines, pred, paths, typed):
+    """Surface 63 (r11): JSON path extraction - Spark get_json_object vs
+    duckdb json_extract_string over one same-text synthesized document,
+    fuzzed scalar/nested/array-indexed/out-of-range/missing paths, plus
+    the typed-extract form (CAST of the $.a string to INT, NULL-safe via
+    TRY_CAST in both) and the paired json_array_length. Both renderings
+    machine-generated from one draw (_pair_agree)."""
+    s_cols = ", ".join(
+        f"get_json_object({_JSON_DOC}, '{p}') AS c{i}" for i, p in enumerate(paths)
+    )
+    d_cols = ", ".join(
+        f"json_extract_string({_JSON_DOC}, '{p}') AS c{i}" for i, p in enumerate(paths)
+    )
+    extra_s = (
+        f", TRY_CAST(get_json_object({_JSON_DOC}, '$.a') AS INT) AS ta"
+        f", json_array_length(get_json_object({_JSON_DOC}, '$.c')) AS al"
+    )
+    extra_d = (
+        f", TRY_CAST(json_extract_string({_JSON_DOC}, '$.a') AS INT) AS ta"
+        f", json_array_length({_JSON_DOC}, '$.c') AS al"
+    )
+    if typed:
+        s_cols += extra_s
+        d_cols += extra_d
+    _pair_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {s_cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+        f"SELECT l_orderkey, l_linenumber, {d_cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
