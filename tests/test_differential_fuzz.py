@@ -3452,3 +3452,25 @@ def test_fuzz_json_path_extraction(engines, pred, paths, typed):
         f"SELECT l_orderkey, l_linenumber, {d_cols} "
         f"FROM fuzz_lineitem WHERE {pred}",
     )
+
+
+def test_caret_operator_divergence_pinned(engines):
+    """SEVENTEENTH pinned engine-level divergence (r11): the `^` operator
+    parses in both engines as DIFFERENT OPERATIONS - bitwise XOR in Spark
+    (Hive) vs EXPONENTIATION in duckdb (PostgreSQL): 3 ^ 2 = 1 vs 9.0,
+    different value AND different type, no error. Rendering rule: XOR
+    cross-engine is Spark `a ^ b` <-> duckdb `xor(a, b)`; exponentiation
+    is same-text `power(a, b)` (surface 59). Census from the same probe:
+    `~`, `&`, `|`, `bit_count` agree same-text; `**`, postfix-`!`
+    factorial, `#`, and `getbit` are engine-private (loud)."""
+    spark, con = engines
+    probe = [(3, 2), (0, 0), (255, 129), (7, 56), (1023, 512)]
+    for a, b in probe:
+        s = spark.sql(f"SELECT {a} ^ {b} AS x").collect()[0][0]
+        d_xor = con.execute(f"SELECT xor({a}, {b}) AS x").fetchone()[0]
+        assert s == (a ^ b) == d_xor, (a, b)
+    # duckdb's caret is pow (small exponents: exactly representable)
+    for a, b in [(3, 2), (2, 10), (5, 3)]:
+        d_caret = con.execute(f"SELECT {a} ^ {b} AS x").fetchone()[0]
+        assert d_caret == float(a**b), (a, b)
+        assert spark.sql(f"SELECT {a} ^ {b} AS x").collect()[0][0] == a ^ b
