@@ -3474,3 +3474,37 @@ def test_caret_operator_divergence_pinned(engines):
         d_caret = con.execute(f"SELECT {a} ^ {b} AS x").fetchone()[0]
         assert d_caret == float(a**b), (a, b)
         assert spark.sql(f"SELECT {a} ^ {b} AS x").collect()[0][0] == a ^ b
+
+
+def test_split_and_extract_default_divergence_pinned(engines):
+    """EIGHTEENTH pinned engine-level divergence (r11): two regex-family
+    same-text traps beyond pin 9. (a) split(s, sep): Spark treats sep as
+    a REGEX (Hive), duckdb as a LITERAL - split('a.b.c', '.') is six
+    empty strings vs ['a','b','c'], and split('a1b22c', '[0-9]+') splits
+    in Spark but passes through whole in duckdb. Rendering rule: regex
+    split is Spark split(s, p) <-> duckdb string_split_regex(s, p);
+    metachar-free separators agree same-text (split(',')), and
+    split_part is LITERAL in both (safe, surface 40). (b) regexp_extract
+    WITHOUT a group argument defaults to group 1 in Spark but group 0
+    (the whole match) in duckdb - regexp_extract('a1b22',
+    '([a-z])([0-9]+)') = 'a' vs 'a1'; same for regexp_extract_all.
+    Rule: ALWAYS pass the group index explicitly (explicit groups agree,
+    probe + pin 9's fuzzed surfaces)."""
+    spark, con = engines
+    sql = "SELECT split('a.b.c', '.') AS x"
+    assert [list(r[0]) for r in spark.sql(sql).collect()] == [[""] * 6]
+    assert con.execute(sql).fetchone()[0] == ["a", "b", "c"]
+    sql = "SELECT split('a1b22c', '[0-9]+') AS x"
+    assert spark.sql(sql).collect()[0][0] == ["a", "b", "c"]
+    assert con.execute(sql).fetchone()[0] == ["a1b22c"]
+    # the paired regex-split rendering agrees
+    s = spark.sql("SELECT split('a1b22c', '[0-9]+') AS x").collect()[0][0]
+    d = con.execute("SELECT string_split_regex('a1b22c', '[0-9]+') AS x").fetchone()[0]
+    assert list(s) == d == ["a", "b", "c"]
+    # (b) extract default group: 1 (Spark) vs 0 (duckdb)
+    sql = "SELECT regexp_extract('a1b22', '([a-z])([0-9]+)') AS x"
+    assert spark.sql(sql).collect()[0][0] == "a"
+    assert con.execute(sql).fetchone()[0] == "a1"
+    # explicit group agrees
+    sql = "SELECT regexp_extract('a1b22', '([a-z])([0-9]+)', 2) AS x"
+    assert spark.sql(sql).collect()[0][0] == con.execute(sql).fetchone()[0] == "1"
