@@ -3508,3 +3508,39 @@ def test_split_and_extract_default_divergence_pinned(engines):
     # explicit group agrees
     sql = "SELECT regexp_extract('a1b22', '([a-z])([0-9]+)', 2) AS x"
     assert spark.sql(sql).collect()[0][0] == con.execute(sql).fetchone()[0] == "1"
+
+
+def test_default_null_ordering_divergence_pinned(engines):
+    """NINETEENTH pinned engine-level divergence (r11): default NULL
+    placement under ORDER BY ... ASC - Spark puts NULLS FIRST (Hive),
+    duckdb NULLS LAST, silently: ORDER BY x LIMIT 1 returns NULL vs 1.
+    DESC agrees (both NULLS LAST), and explicit NULLS FIRST/LAST agrees
+    everywhere (the fixture queries' discipline -
+    order_by_nulls_placement). The repo's row-set comparator sorts rows,
+    so this bites ONLY queries whose RESULT depends on order: LIMIT /
+    top-k / window frames over a nullable key - always spell the NULLS
+    placement there. Same probe, AGREEMENTS worth recording: both
+    engines group NaN as equal to itself, sort NaN ABOVE Infinity, and
+    treat NaN = NaN as TRUE (Hive/total-order semantics in both)."""
+    spark, con = engines
+    v = "(VALUES (1), (NULL), (3)) t(x)"
+    sql = f"SELECT x FROM {v} ORDER BY x ASC LIMIT 1"
+    assert spark.sql(sql).collect()[0][0] is None
+    assert con.execute(sql).fetchone()[0] == 1
+    # DESC and explicit placements agree
+    for ok, want in [
+        (f"SELECT x FROM {v} ORDER BY x DESC LIMIT 1", 3),
+        (f"SELECT x FROM {v} ORDER BY x ASC NULLS LAST LIMIT 1", 1),
+        (f"SELECT x FROM {v} ORDER BY x ASC NULLS FIRST LIMIT 1", None),
+        (f"SELECT x FROM {v} ORDER BY x DESC NULLS FIRST LIMIT 1", None),
+    ]:
+        s = spark.sql(ok).collect()[0][0]
+        d = con.execute(ok).fetchone()[0]
+        assert s == d == want or (s is None and d is None and want is None), ok
+    # NaN total-order agreements
+    for ok in (
+        "SELECT CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS eq",
+        "SELECT CAST('NaN' AS DOUBLE) > CAST('Infinity' AS DOUBLE) AS gt",
+    ):
+        assert spark.sql(ok).collect()[0][0] is True
+        assert con.execute(ok).fetchone()[0] is True
