@@ -3544,3 +3544,76 @@ def test_default_null_ordering_divergence_pinned(engines):
     ):
         assert spark.sql(ok).collect()[0][0] is True
         assert con.execute(ok).fetchone()[0] is True
+
+
+#: Explode-family shapes for surface 64: (spark_render, duck_render) over
+#: {a} = the fixture int array. Spark LATERAL VIEW explode/posexplode
+#: (Hive) pairs with duckdb UNNEST / generate_subscripts (PostgreSQL);
+#: LATERAL VIEW OUTER (empty array -> one NULL row) pairs with a
+#: CASE-to-[NULL] guard. Spark positions are 0-based, duckdb subscripts
+#: 1-based (pin-8 offset applies to generators too).
+_explode_shape = st.sampled_from(
+    [
+        (
+            "SELECT l_orderkey, l_linenumber, v "
+            "FROM fuzz_lineitem LATERAL VIEW explode({a}) t AS v WHERE {pred}",
+            "SELECT l_orderkey, l_linenumber, UNNEST({a}) AS v "
+            "FROM fuzz_lineitem WHERE {pred}",
+        ),
+        (
+            "SELECT l_orderkey, p, v FROM fuzz_lineitem "
+            "LATERAL VIEW posexplode({a}) t AS p, v WHERE {pred}",
+            "SELECT l_orderkey, generate_subscripts({a}, 1) - 1 AS p, "
+            "UNNEST({a}) AS v FROM fuzz_lineitem WHERE {pred}",
+        ),
+        (
+            "SELECT v, count(*) AS c, sum(l_linenumber) AS s FROM fuzz_lineitem "
+            "LATERAL VIEW explode({a}) t AS v WHERE {pred} GROUP BY v",
+            "SELECT v, count(*) AS c, sum(l_linenumber) AS s FROM (SELECT "
+            "l_linenumber, UNNEST({a}) AS v FROM fuzz_lineitem WHERE {pred}) u "
+            "GROUP BY v",
+        ),
+        (
+            "SELECT l_orderkey, l_linenumber, v FROM fuzz_lineitem LATERAL VIEW "
+            "OUTER explode(filter({a}, x -> x > {gate})) t AS v WHERE {pred}",
+            "SELECT l_orderkey, l_linenumber, UNNEST(CASE WHEN "
+            "len(list_filter({a}, x -> x > {gate})) = 0 THEN [NULL] ELSE "
+            "list_filter({a}, x -> x > {gate}) END) AS v "
+            "FROM fuzz_lineitem WHERE {pred}",
+        ),
+    ]
+)
+
+
+@given(
+    pred=predicate,
+    shape=_explode_shape,
+    gate=st.integers(0, 9),
+    arr=st.sampled_from(
+        [
+            "array(l_linenumber, l_suppkey % 5)",
+            "array(l_linenumber, l_linenumber, l_orderkey % 3)",
+            "array(l_suppkey % 7)",
+        ]
+    ),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_explode_unnest(engines, pred, shape, gate, arr):
+    """Surface 64 (r11): row generators - Spark LATERAL VIEW explode /
+    posexplode / OUTER explode (Hive) paired with duckdb UNNEST /
+    generate_subscripts / CASE-[NULL] (PostgreSQL), incl. duplicate
+    elements (multiplicity preserved), downstream aggregation over the
+    exploded rows, 0-vs-1-based position offset, and the empty-array
+    OUTER row. Both renderings machine-generated from one draw."""
+    duck_arr = "[" + arr[len("array("):-1] + "]"
+    s_sql, d_sql = shape
+    _pair_agree(
+        engines,
+        s_sql.format(a=arr, pred=pred, gate=gate),
+        d_sql.format(a=duck_arr, pred=pred, gate=gate),
+    )
