@@ -3617,3 +3617,27 @@ def test_fuzz_explode_unnest(engines, pred, shape, gate, arr):
         s_sql.format(a=arr, pred=pred, gate=gate),
         d_sql.format(a=duck_arr, pred=pred, gate=gate),
     )
+
+
+def test_hash_function_divergence_pinned(engines):
+    """TWENTIETH pinned engine-level divergence (r11): hash() parses
+    same-text in both engines and computes DIFFERENT hash functions -
+    Spark's Murmur3 32-bit (hash(42) = 29417773, INT range) vs duckdb's
+    64-bit hash (7199933130570745587). Every digest-keyed cross-engine
+    comparison (dedup keys, bucket assignment, sampling cutoffs) must
+    use a STANDARD digest: md5 agrees byte-for-byte on both engines (the
+    repo's sampling/dedup oracles already key on md5 - sampling.py,
+    extensions.py); sha-family spellings are engine-private (Spark
+    sha2(x, 256) vs duckdb sha256(x) - loud). xxhash64 is Spark-only
+    (loud). Census from the same probe: CAST('yes' AS BOOLEAN) accepts
+    in Spark, raises in duckdb (loud); implicit 1 + '1' coerces in
+    Spark, raises in duckdb (loud); multi-arg count(DISTINCT a, b) is
+    Spark-only (loud)."""
+    spark, con = engines
+    s = spark.sql("SELECT hash(42) AS x").collect()[0][0]
+    d = con.execute("SELECT hash(42) AS x").fetchone()[0]
+    assert s == 29417773 and d != s  # 32-bit Murmur3 vs 64-bit engine hash
+    assert -(2**31) <= s < 2**31 and d >= 2**31
+    # md5 is the cross-engine digest: byte-identical on both
+    sql = "SELECT md5('bee-proof') AS x"
+    assert spark.sql(sql).collect()[0][0] == con.execute(sql).fetchone()[0]
