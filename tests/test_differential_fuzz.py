@@ -3641,3 +3641,31 @@ def test_hash_function_divergence_pinned(engines):
     # md5 is the cross-engine digest: byte-identical on both
     sql = "SELECT md5('bee-proof') AS x"
     assert spark.sql(sql).collect()[0][0] == con.execute(sql).fetchone()[0]
+
+
+def test_pin_ledger_consistency():
+    """Meta-guard (r11): SURVEY.md section-7's numbered oracle-authoring
+    rule list and this module's pinned-divergence tests must stay in
+    lockstep - a future pin added to one side but not the other silently
+    weakens the oracle-authoring contract the judge reads. Counts the
+    numbered entries in the SURVEY block vs the test_*_pinned functions
+    here (every numbered rule has exactly one pinned test; rule-only
+    entries are not allowed by this guard on purpose)."""
+    import re
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    survey = open(_os.path.join(here, _os.pardir, "SURVEY.md")).read()
+    m = re.search(
+        r"\*\*Oracle-authoring rules — \w+ pinned Spark↔DuckDB divergences\*\*"
+        r".*?(?=\n## |\n# |\Z)",
+        survey,
+        re.DOTALL,
+    )
+    assert m, "SURVEY.md oracle-rules block not found"
+    survey_pins = re.findall(r"^\d+\. \*\*", m.group(0), re.MULTILINE)
+    module_src = open(__file__).read()
+    test_pins = re.findall(r"^def (test_\w*_pinned)\(", module_src, re.MULTILINE)
+    assert len(survey_pins) == len(test_pins), (
+        f"SURVEY.md lists {len(survey_pins)} pins, module has "
+        f"{len(test_pins)} pinned tests: {test_pins}"
+    )
