@@ -3669,3 +3669,91 @@ def test_pin_ledger_consistency():
         f"SURVEY.md lists {len(survey_pins)} pins, module has "
         f"{len(test_pins)} pinned tests: {test_pins}"
     )
+
+
+#: Map-family templates: (spark_render, duck_render) over {m} = a
+#: 3-entry fixture map with guaranteed-unique keys (returnflag in
+#: {A,N,R} / 'q' / 'k<lineno>'). Spark map(k1,v1,...) pairs with duckdb
+#: MAP([keys],[vals]); access/element_at need the [1]-unwrap (duckdb map
+#: access returns a LIST, surface 38); map_entries preserves INSERTION
+#: order in BOTH engines (authoring probe) so entry keys compare
+#: unsorted; keys()/values() iteration order is engine-owned - sorted
+#: before joining.
+_SPARK_MAP = (
+    "map(l_returnflag, l_linenumber, 'q', l_suppkey % 9, "
+    "concat('k', CAST(l_linenumber AS STRING)), l_orderkey % 7)"
+)
+_DUCK_MAP = (
+    "MAP([l_returnflag, 'q', concat('k', CAST(l_linenumber AS STRING))], "
+    "[l_linenumber, l_suppkey % 9, l_orderkey % 7])"
+)
+_map_tmpl = [
+    lambda p: (
+        "array_join(sort_array(map_keys({m})), ',')",
+        "array_to_string(list_sort(map_keys({m})), ',')",
+    ),
+    lambda p: (
+        "array_join(CAST(sort_array(map_values({m})) AS ARRAY<STRING>), ',')",
+        "array_to_string(list_sort(map_values({m})), ',')",
+    ),
+    lambda p: ("size({m})", "cardinality({m})"),
+    lambda p: (f"{{m}}['{p['k']}']", f"({{m}})['{p['k']}'][1]"),
+    lambda p: (f"element_at({{m}}, '{p['k']}')", f"element_at({{m}}, '{p['k']}')[1]"),
+    lambda p: (
+        f"map_contains_key({{m}}, '{p['k']}')",
+        f"list_contains(map_keys({{m}}), '{p['k']}')",
+    ),
+    lambda p: (
+        "array_join(map_entries({m}).key, ',')",
+        "array_to_string(list_transform(map_entries({m}), e -> e.key), ',')",
+    ),
+    lambda p: (
+        f"cardinality(map_filter({{m}}, (k, v) -> v >= {p['v']}))",
+        f"cardinality(map_from_entries(list_filter(map_entries({{m}}), "
+        f"e -> e.value >= {p['v']})))",
+    ),
+    lambda p: (
+        "array_join(sort_array(map_keys(map_concat(map('zz', 99), {m}))), ',')",
+        "array_to_string(list_sort(map_keys(map_concat("
+        "MAP(['zz'], [CAST(99 AS BIGINT)]), {m}))), ',')",
+    ),
+]
+
+
+@given(
+    pred=predicate,
+    idxs=st.lists(
+        st.integers(0, len(_map_tmpl) - 1), min_size=1, max_size=4, unique=True
+    ),
+    k=st.sampled_from(["q", "A", "N", "k1", "zz"]),
+    v=st.integers(0, 9),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_map_family(engines, pred, idxs, k, v):
+    """Surface 65 (r11): the map-function family beyond surface 38's
+    element access - keys/values (engine-owned iteration order: sorted),
+    entries (insertion order: preserved in both), size/cardinality,
+    hit/miss/dynamic key access, map_contains_key, map_filter lambda,
+    map_concat - per-engine renderings machine-generated from one draw
+    over a fixture map with guaranteed-unique keys."""
+    p = {"k": k, "v": v}
+    s_cols = ", ".join(
+        _map_tmpl[i](p)[0].format(m=_SPARK_MAP) + f" AS c{n}"
+        for n, i in enumerate(idxs)
+    )
+    d_cols = ", ".join(
+        _map_tmpl[i](p)[1].format(m=_DUCK_MAP) + f" AS c{n}"
+        for n, i in enumerate(idxs)
+    )
+    _pair_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {s_cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+        f"SELECT l_orderkey, l_linenumber, {d_cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
