@@ -3757,3 +3757,81 @@ def test_fuzz_map_family(engines, pred, idxs, k, v):
         f"SELECT l_orderkey, l_linenumber, {d_cols} "
         f"FROM fuzz_lineitem WHERE {pred}",
     )
+
+
+#: Struct-family templates: (spark_render, duck_render) over a 2-field
+#: fixture struct (int + string) and a nested variant. Spark
+#: named_struct('f', x, ...) pairs with duckdb {'f': x, ...}; field
+#: access, struct equality/lexicographic comparison, and GROUP BY a
+#: struct key all agree (authoring probe) - outputs are scalar fields,
+#: never whole structs (the row comparator hashes cells).
+_SPARK_ST = "named_struct('n', l_linenumber, 's', l_returnflag)"
+_DUCK_ST = "{'n': l_linenumber, 's': l_returnflag}"
+_SPARK_NEST = f"named_struct('inner', {_SPARK_ST}, 'k', l_suppkey % 5)"
+_DUCK_NEST = f"{{'inner': {_DUCK_ST}, 'k': l_suppkey % 5}}"
+_struct_tmpl = [
+    lambda p: ("{st}.n", "({st}).n"),
+    lambda p: ("{st}.s", "struct_extract({st}, 's')"),
+    lambda p: ("{nest}.inner.n", "({nest}).inner.n"),
+    lambda p: ("{nest}.k", "({nest}).k"),
+    lambda p: (
+        f"{{st}} = named_struct('n', {p['v']}, 's', 'N')",
+        f"{{st}} = {{{{'n': {p['v']}, 's': 'N'}}}}",
+    ),
+    lambda p: (
+        f"{{st}} > named_struct('n', {p['v']}, 's', 'N')",
+        f"{{st}} > {{{{'n': {p['v']}, 's': 'N'}}}}",
+    ),
+]
+
+
+@given(
+    pred=predicate,
+    idxs=st.lists(
+        st.integers(0, len(_struct_tmpl) - 1), min_size=1, max_size=4, unique=True
+    ),
+    v=st.integers(0, 7),
+    grouped=st.booleans(),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_struct_family(engines, pred, idxs, v, grouped):
+    """Surface 66 (r11): the struct family - construction (Spark
+    named_struct <-> duckdb struct literal), flat and nested field
+    access, struct equality and lexicographic comparison against a
+    fuzzed literal struct, and (grouped=True) GROUP BY a struct key with
+    the count projected through the key's FIELDS. Completes the
+    collection-type coverage: arrays (62), maps (38/65), JSON (63),
+    structs here."""
+    p = {"v": v}
+    if grouped:
+        s_sql = (
+            f"SELECT {_SPARK_ST}.n AS kn, {_SPARK_ST}.s AS ks, count(*) AS c "
+            f"FROM fuzz_lineitem WHERE {pred} GROUP BY {_SPARK_ST}"
+        )
+        d_sql = (
+            f"SELECT ({_DUCK_ST}).n AS kn, ({_DUCK_ST}).s AS ks, count(*) AS c "
+            f"FROM fuzz_lineitem WHERE {pred} GROUP BY {_DUCK_ST}"
+        )
+    else:
+        s_cols = ", ".join(
+            _struct_tmpl[i](p)[0].format(st=_SPARK_ST, nest=_SPARK_NEST) + f" AS c{n}"
+            for n, i in enumerate(idxs)
+        )
+        d_cols = ", ".join(
+            _struct_tmpl[i](p)[1].format(st=_DUCK_ST, nest=_DUCK_NEST) + f" AS c{n}"
+            for n, i in enumerate(idxs)
+        )
+        s_sql = (
+            f"SELECT l_orderkey, l_linenumber, {s_cols} "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+        d_sql = (
+            f"SELECT l_orderkey, l_linenumber, {d_cols} "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+    _pair_agree(engines, s_sql, d_sql)
