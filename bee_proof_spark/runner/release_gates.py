@@ -117,11 +117,14 @@ _STMT_GATES: list[tuple[re.Pattern, str, tuple[int, int, int]]] = [
         # the previous keyword-lookahead approach false-positived on
         # 0.13-legal statements whose last token is an identifier named
         # purge after OTHER keywords - DROP FUNCTION purge, ALTER TABLE t
-        # RENAME TO purge, ... AFTER purge). Shape-anchoring errs toward
-        # accepting: a quoted ``drop table `odd name` purge`` slips
-        # through, which is the stated posture.
+        # RENAME TO purge, ... AFTER purge). The name atom alternates full
+        # quoted spans with bare identifier runs (r11 ADVICE: the flat
+        # char class couldn't cross the space in ``drop table `odd name`
+        # purge``, false-negating Hive-0.14 purges on quoted names), so
+        # both `odd name`.part and plain db.t shapes anchor correctly.
         re.compile(
-            r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?[`\"\w.]+\s+(PURGE)"
+            r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
+            r"(?:`[^`]*`|\"[^\"]*\"|[\w.]+)+\s+(PURGE)"
             r"\s*;?\s*$"
             r"|^\s*ALTER\s+TABLE\b[\s\S]*\bDROP\b[\s\S]*\bPARTITION\s*"
             r"\([\s\S]*\)\s+(?:IGNORE\s+PROTECTION\s+)?(PURGE)\s*;?\s*$",

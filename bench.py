@@ -164,7 +164,20 @@ def calibration_bracket_sample(spark, raw_sink: list[list[float]]) -> float:
     sample swung 0.561->0.485 between rounds on identical code, making the
     normalized headline un-adjudicable; the same-host A/B protocol already
     uses min-of-5 floors, so the yardstick must too. Raw samples are
-    appended to ``raw_sink`` for the runs artifact."""
+    appended to ``raw_sink`` for the runs artifact.
+
+    Discarded priming first (r11 verdict #3): the driver's r11 bracket read
+    [0.967, 0.454, 0.448, 0.523] even though min-of-5 and a single warmup
+    pass were in effect, so JIT/page-cache warmup outlasts 6 passes at
+    point 1. Prime until two consecutive discarded passes agree within 20%
+    (max 4) — self-terminating after one pass once the shape is warm, so
+    later bracket points pay ~one extra sample."""
+    prev = calibration_pass(spark)
+    for _ in range(3):
+        cur = calibration_pass(spark)
+        if cur <= prev * 1.2 and prev <= cur * 1.2:
+            break
+        prev = cur
     samples = [calibration_pass(spark) for _ in range(5)]
     raw_sink.append(samples)
     return min(samples)
@@ -224,7 +237,11 @@ def main() -> None:
     calib.append(calibration_bracket_sample(spark, calib_samples))
 
     per_query = {name: min(ts) for name, ts in runs.items()}
-    calib_floor = min(calib)
+    # calibration_pass rounds to 3 decimals, so a sub-0.5ms pass would floor
+    # to 0.0 and crash every ratio below after all passes completed (r11
+    # ADVICE). Clamp to one rounding unit; a host that fast makes the
+    # normalized numbers meaningless-but-finite rather than a lost run.
+    calib_floor = max(min(calib), 1e-3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "bench_total_wall_clock",

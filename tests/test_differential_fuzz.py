@@ -2416,10 +2416,18 @@ def test_ignore_nulls_syntax_divergence_pinned(engines):
 
 #: Branch columns for union-coercion: mixing the three type families
 #: exercises each engine's least-common-type rules. Decimal literals are
-#: deliberately absent (pin 3: decimal rescale rounding differs).
-_union_col = st.sampled_from(
-    ["l_linenumber", "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag"]
-)
+#: deliberately absent (pin 3: decimal rescale rounding differs). The
+#: family map is the single source for BOTH the strategy and the
+#: double-vs-string exclusion below (r11 ADVICE: a separately-hardcoded
+#: exclusion would silently lapse if a column is added here).
+_UNION_COL_FAMILY = {
+    "l_linenumber": "int",
+    "l_suppkey": "int",
+    "l_quantity": "double",
+    "l_extendedprice": "double",
+    "l_returnflag": "string",
+}
+_union_col = st.sampled_from(sorted(_UNION_COL_FAMILY))
 
 
 @given(
@@ -2442,17 +2450,14 @@ def test_fuzz_union_type_coercion(engines, ca, cb, op, pa, pb, n):
     render int-in-string identically at these magnitudes), positional
     ORDER BY (ORDER BY 2 DESC, 1), and HAVING on the grouped result -
     identical SQL text. The (count DESC, value) order is total, so LIMIT
-    is deterministic. A double branch unioned with the STRING branch is
+    is deterministic. A double branch unioned with a STRING branch is
     excluded (r10 ADVICE): that coercion renders doubles as VARCHAR, the
     formatting surface the grammar notes already rule out; only
-    int-in-string coercion is a validated rendering."""
-    _DOUBLE_COLS = {"l_quantity", "l_extendedprice"}
-    assume(
-        not (
-            (ca in _DOUBLE_COLS and cb == "l_returnflag")
-            or (cb in _DOUBLE_COLS and ca == "l_returnflag")
-        )
-    )
+    int-in-string coercion is a validated rendering. The exclusion is
+    derived from _UNION_COL_FAMILY so any column added to the strategy
+    inherits it by type family, not by name (r11 ADVICE)."""
+    fams = {_UNION_COL_FAMILY[ca], _UNION_COL_FAMILY[cb]}
+    assume(fams != {"double", "string"})
     _both_agree(
         engines,
         f"SELECT v, count(*) AS c FROM ("

@@ -671,9 +671,19 @@ def test_release_gate_statement_constructs_r10():
     assert [v[0] for v in violations("SELECT CURRENT_DATE", "emr-4")] == [
         "CURRENT_DATE"
     ]
+    # r11 ADVICE: the name atom spans full quoted identifiers, so a
+    # quoted table name containing spaces still anchors the PURGE shape
+    for quoted in (
+        "DROP TABLE `odd name` PURGE",
+        'DROP TABLE "odd name" PURGE;',
+        "DROP TABLE IF EXISTS `db`.`odd name` PURGE",
+    ):
+        assert [v[0] for v in violations(quoted, "emr-3")] == ["PURGE"], quoted
+        assert violations(quoted, "emr-4") == [], quoted
     for ok in (
         "SELECT purge FROM t",                       # identifier named purge
         "DROP TABLE purge",                          # table named purge
+        "DROP TABLE `purge`",                        # quoted table named purge
         "CREATE TEMPORARY FUNCTION f AS 'X'",        # 0.13-legal since forever
         "CREATE TABLE temporary_table (a INT)",      # identifier contains it
         "SELECT t.current_date FROM t",              # qualified column ref
