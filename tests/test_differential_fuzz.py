@@ -3661,7 +3661,7 @@ def test_pin_ledger_consistency():
     here = _os.path.dirname(_os.path.abspath(__file__))
     survey = open(_os.path.join(here, _os.pardir, "SURVEY.md")).read()
     m = re.search(
-        r"\*\*Oracle-authoring rules — \w+ pinned Spark↔DuckDB divergences\*\*"
+        r"\*\*Oracle-authoring rules — [\w-]+ pinned Spark↔DuckDB divergences\*\*"
         r".*?(?=\n## |\n# |\Z)",
         survey,
         re.DOTALL,
@@ -3840,3 +3840,248 @@ def test_fuzz_struct_family(engines, pred, idxs, v, grouped):
             f"FROM fuzz_lineitem WHERE {pred}"
         )
     _pair_agree(engines, s_sql, d_sql)
+
+
+# ------------------------------------------------- r12 surfaces 67-68
+
+#: Binary/byte-string templates: (spark_render, duck_render) over {s}
+#: (the surface-55/60 ASCII fixture composite) plus small fuzzed ints.
+#: Validated by the r12 authoring probe: md5/hex (string AND integer)/
+#: unhex/bit_length/BIGINT bit_count/binary-|| agree SAME-TEXT (incl.
+#: the odd-length-unhex lone-nibble parse, b'\x04\x14$7' both engines);
+#: paired renderings for charset arity (Spark encode(s,'utf-8') <->
+#: duckdb encode(s)), BLOB-typed arguments (duckdb octet_length/base64
+#: want a BLOB where Spark implicit-casts STRING), digest spellings
+#: (sha2(s,256) <-> sha256(s)), base64 decode names (unbase64 <->
+#: from_base64), and bit access (getbit <-> shift-mask). Excluded as
+#: ENGINE-PRIVATE louds: sha1, crc32, xxhash64, to_binary (Spark-only);
+#: md5(BLOB), length(BLOB), substr(BLOB), get_bit (duckdb-only
+#: or -typed). Excluded as SILENT traps, each pinned below: base64
+#: MIME wrapping past 57 input bytes (pin 21), bit_count integer-width
+#: promotion on negatives (pin 22), concat() BLOB stringification
+#: (pin 23). unhex of a non-hex char is semi-loud (Spark NULL vs duckdb
+#: Invalid Input error) - the grammar only feeds unhex machine-generated
+#: hex() output.
+_binary_tmpl = [
+    lambda p: ("md5({s})", "md5({s})"),
+    lambda p: ("hex({s})", "hex({s})"),
+    lambda p: (
+        f"hex(l_orderkey + {p['n']})",
+        f"hex(l_orderkey + {p['n']})",
+    ),
+    lambda p: ("hex(unhex(hex({s})))", "hex(unhex(hex({s})))"),
+    lambda p: ("bit_length({s})", "bit_length({s})"),
+    lambda p: (
+        "bit_count(CAST(l_orderkey AS BIGINT))",
+        "bit_count(CAST(l_orderkey AS BIGINT))",
+    ),
+    lambda p: ("octet_length({s})", "octet_length(encode({s}))"),
+    lambda p: ("base64({s})", "base64(encode({s}))"),
+    lambda p: (
+        f"CAST(unbase64(base64(repeat({{s}}, {p['m']}))) AS STRING)",
+        f"decode(from_base64(base64(encode(repeat({{s}}, {p['m']})))))",
+    ),
+    lambda p: ("decode(encode({s}, 'utf-8'), 'utf-8')", "decode(encode({s}))"),
+    lambda p: ("sha2({s}, 256)", "sha256({s})"),
+    lambda p: (
+        f"CAST(getbit(l_orderkey, {p['b']}) AS INT)",
+        f"CAST((l_orderkey >> {p['b']}) & 1 AS INT)",
+    ),
+    lambda p: ("hex(encode({s}, 'utf-8'))", "hex(encode({s}))"),
+    lambda p: ("CAST(unhex(hex({s})) AS STRING)", "decode(unhex(hex({s})))"),
+    lambda p: (
+        "hex(unhex('00ff') || unhex('10aa'))",
+        "hex(unhex('00ff') || unhex('10aa'))",
+    ),
+]
+
+
+@given(
+    pred=predicate,
+    idxs=st.lists(
+        st.integers(0, len(_binary_tmpl) - 1), min_size=1, max_size=4, unique=True
+    ),
+    n=st.integers(0, 1000),
+    m=st.integers(1, 30),
+    b=st.integers(0, 12),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_binary_family(engines, pred, idxs, n, m, b):
+    """Surface 67 (r12): the binary/byte-string family - digests, hex/
+    base64 encode-decode roundtrips (the base64 roundtrip deliberately
+    crosses the 57-byte MIME wrap boundary at m >= 20: each engine
+    decodes its OWN rendering, which pin 21 shows is the only safe way
+    to compare long base64), byte lengths, BIGINT bit_count, bit access,
+    binary || concatenation. Two renderings machine-generated from one
+    draw tuple (_pair_agree discipline); binary outputs are always
+    re-wrapped in hex()/CAST-to-string so the compared cells are plain
+    strings/ints."""
+    s = "concat(l_returnflag, CAST(l_linenumber AS STRING), l_linestatus)"
+    p = {"n": n, "m": m, "b": b}
+    s_cols = ", ".join(
+        _binary_tmpl[i](p)[0].format(s=s) + f" AS c{k}" for k, i in enumerate(idxs)
+    )
+    d_cols = ", ".join(
+        _binary_tmpl[i](p)[1].format(s=s) + f" AS c{k}" for k, i in enumerate(idxs)
+    )
+    _pair_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {s_cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+        f"SELECT l_orderkey, l_linenumber, {d_cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
+
+
+def test_base64_mime_wrap_divergence_pinned(engines):
+    """TWENTY-FIRST pinned divergence (r12, found by the surface-67
+    authoring probe): base64() output formatting. Spark renders via
+    commons-codec MIME chunking - a CRLF every 76 output chars, i.e. for
+    any input past 57 bytes - while duckdb never wraps. Same semantics,
+    silently different strings (and different lengths/hashes). Rules:
+    compare base64 TEXT cross-engine only for payloads <= 57 bytes;
+    for longer payloads compare the DECODED roundtrip (each engine
+    tolerates its own wrapping - surface 67 fuzzes that to 150 bytes).
+    unbase64/from_base64 both accept unwrapped input; Spark's also
+    accepts wrapped."""
+    spark, con = engines
+    ok = "base64(repeat('ab', 28))"  # 56 bytes -> 76 output chars, no wrap
+    sql = f"SELECT {ok} AS x"
+    d_sql = f"SELECT base64(encode(repeat('ab', 28))) AS x"
+    assert spark.sql(sql).collect()[0][0] == con.execute(d_sql).fetchone()[0]
+    s_wrap = spark.sql("SELECT base64(repeat('ab', 29)) AS x").collect()[0][0]
+    d_wrap = con.execute(
+        "SELECT base64(encode(repeat('ab', 29))) AS x"
+    ).fetchone()[0]
+    assert "\r\n" in s_wrap and "\r\n" not in d_wrap
+    assert s_wrap.replace("\r\n", "") == d_wrap
+
+
+def test_bit_count_width_divergence_pinned(engines):
+    """TWENTY-SECOND pinned divergence (r12): bit_count() computes at
+    different integer widths - Spark always promotes to 64 bits
+    (bit_count(-1) = 64), duckdb counts at the argument's declared width
+    (INT32 literal -1 -> 32, TINYINT -1 -> 8). Silent on any negative or
+    sign-extended value; non-negative values agree at every width. Rule:
+    cross-engine bit_count only over non-negative values or after
+    CAST(... AS BIGINT) on both sides (then -1 -> 64, -7 -> 62 in
+    both)."""
+    spark, con = engines
+    sql = "SELECT bit_count(-1) AS x"
+    assert spark.sql(sql).collect()[0][0] == 64
+    assert con.execute(sql).fetchone()[0] == 32
+    for v in (-1, -7, 0, 11):
+        sql = f"SELECT bit_count(CAST({v} AS BIGINT)) AS x"
+        assert spark.sql(sql).collect()[0][0] == con.execute(sql).fetchone()[0]
+
+
+def test_blob_concat_divergence_pinned(engines):
+    """TWENTY-THIRD pinned divergence (r12): concat() over binary
+    arguments. Spark concatenates the BYTES (binary in, binary out);
+    duckdb's concat() coerces BLOBs through their VARCHAR escape
+    rendering ('\\x00\\xFF...') and returns that TEXT - hex(concat(a, b))
+    silently yields the hex of the escape string. The || operator stays
+    binary in BOTH engines and is the only cross-engine binary
+    concatenation (fuzzed, surface 67)."""
+    spark, con = engines
+    sql = "SELECT hex(concat(unhex('00ff'), unhex('10'))) AS x"
+    assert spark.sql(sql).collect()[0][0] == "00FF10"
+    assert con.execute(sql).fetchone()[0] != "00FF10"  # hex of '\x00\xFF\x10'
+    sql = "SELECT hex(unhex('00ff') || unhex('10')) AS x"
+    assert spark.sql(sql).collect()[0][0] == "00FF10"
+    assert con.execute(sql).fetchone()[0] == "00FF10"
+
+
+@given(
+    pct=st.integers(5, 50),
+    seed=st.integers(0, 2**31 - 1),
+    nrows=st.integers(1, 200),
+)
+@settings(
+    max_examples=10 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_tablesample_repeatable(engines, pct, seed, nrows):
+    """Surface 68 (r12): TABLESAMPLE REPEATABLE determinism. Seeded
+    samples are NEVER cross-engine value-comparable (different RNGs -
+    the repo's sampling queries are rows-only with evidence for exactly
+    this reason), so the property fuzzed here is per-engine: (a) the
+    same seed re-executed returns the IDENTICAL rowset in each engine,
+    (b) ROWS-count sampling is exact in both (Spark n ROWS; duckdb
+    reservoir(n ROWS) REPEATABLE), (c) the PERCENT sample size lands
+    within 8 binomial sigma of p*N in both. Layout-dependence of
+    Spark's seeds is pin 24."""
+    spark, con = engines
+    s_sql = (
+        f"SELECT l_orderkey, l_linenumber FROM fuzz_lineitem "
+        f"TABLESAMPLE ({pct} PERCENT) REPEATABLE ({seed})"
+    )
+    a = sorted(tuple(r) for r in spark.sql(s_sql).collect())
+    assert a == sorted(tuple(r) for r in spark.sql(s_sql).collect())
+    d_sql = (
+        f"SELECT l_orderkey, l_linenumber FROM fuzz_lineitem "
+        f"USING SAMPLE {pct} PERCENT (bernoulli, {seed})"
+    )
+    da = sorted(con.execute(d_sql).fetchall())
+    assert da == sorted(con.execute(d_sql).fetchall())
+    total = spark.table("fuzz_lineitem").count()
+    import math
+
+    mean, sigma = total * pct / 100.0, math.sqrt(total * (pct / 100.0) * (1 - pct / 100.0))
+    for got in (len(a), len(da)):
+        assert abs(got - mean) <= 8 * sigma + 1, (got, mean, sigma)
+    s_rows = spark.sql(
+        f"SELECT l_orderkey FROM fuzz_lineitem "
+        f"TABLESAMPLE ({nrows} ROWS) REPEATABLE ({seed})"
+    ).collect()
+    assert len(s_rows) == min(nrows, total)
+    d_rows = con.execute(
+        f"SELECT l_orderkey FROM fuzz_lineitem "
+        f"TABLESAMPLE reservoir({nrows} ROWS) REPEATABLE ({seed})"
+    ).fetchall()
+    assert len(d_rows) == min(nrows, total)
+
+
+def test_tablesample_layout_divergence_pinned(engines):
+    """TWENTY-FOURTH pinned divergence (r12): what REPEATABLE promises.
+    duckdb's seeded bernoulli sample is a function of (data, seed) - the
+    single-threaded scan replays identically. Spark's REPEATABLE seed is
+    a function of (data, seed, PARTITION LAYOUT): sampling seeds by
+    partition index, so the same seed over the same rows yields a
+    DIFFERENT sample after repartition(13) - pinned here at fixture
+    scale. At cluster scale this means a seeded sample is reproducible
+    only while file splits are stable (same input files, same
+    maxPartitionBytes, AQE coalescing off for that scan); any pipeline
+    that needs a durable sample must persist the sampled KEYS (the
+    rows-only evidence discipline of tablesample_rows /
+    ext_sample_stratified), never re-derive them from the seed."""
+    spark, con = engines
+    q = (
+        "SELECT l_orderkey, l_linenumber FROM {v} "
+        "TABLESAMPLE (10 PERCENT) REPEATABLE (42)"
+    )
+    a = sorted(tuple(r) for r in spark.sql(q.format(v="fuzz_lineitem")).collect())
+    spark.read.parquet(LINEITEM).repartition(13).createOrReplaceTempView(
+        "fuzz_lineitem_13p"
+    )
+    try:
+        c = sorted(
+            tuple(r) for r in spark.sql(q.format(v="fuzz_lineitem_13p")).collect()
+        )
+        assert a != c  # same data, same seed, different layout
+    finally:
+        spark.catalog.dropTempView("fuzz_lineitem_13p")
+    d_sql = (
+        "SELECT l_orderkey, l_linenumber FROM fuzz_lineitem "
+        "USING SAMPLE 10 PERCENT (bernoulli, 42)"
+    )
+    assert sorted(con.execute(d_sql).fetchall()) == sorted(
+        con.execute(d_sql).fetchall()
+    )
