@@ -4085,3 +4085,197 @@ def test_tablesample_layout_divergence_pinned(engines):
     assert sorted(con.execute(d_sql).fetchall()) == sorted(
         con.execute(d_sql).fetchall()
     )
+
+
+# ------------------------------------------------- r12 surfaces 69-70
+
+#: Sequence-generation templates: (spark, duck) over fuzzed integer
+#: bounds/steps and a fixture-derived base. Spark sequence() pairs with
+#: duckdb generate_series() (both END-INCLUSIVE, both stop below an
+#: off-grid end, both accept explicit negative steps for descending
+#: runs - authoring probe). duckdb's range() is end-EXCLUSIVE and
+#: engine-private here; date-typed generate_series returns TIMESTAMPs
+#: (rendered back via CAST AS DATE). Excluded as SILENT traps, pinned
+#: below: descending WITHOUT an explicit step (pin 25 - Spark infers
+#: -1, duckdb returns []), month/year interval steps (pin 26 - anchored
+#: vs iterative month arithmetic). Wrong-sign steps are semi-loud
+#: (Spark raises, duckdb silently []) - excluded by construction.
+_seq_tmpl = [
+    lambda p: (
+        f"size(sequence({p['lo']}, {p['lo']} + {p['w']}))",
+        f"len(generate_series({p['lo']}, {p['lo']} + {p['w']}))",
+    ),
+    lambda p: (
+        f"array_join(transform(sequence({p['lo']}, {p['lo']} + {p['w']}, {p['st']}), "
+        f"x -> CAST(x AS STRING)), ',')",
+        f"array_to_string(generate_series({p['lo']}, {p['lo']} + {p['w']}, {p['st']}), ',')",
+    ),
+    lambda p: (
+        f"array_join(transform(sequence({p['lo']} + {p['w']}, {p['lo']}, -{p['st']}), "
+        f"x -> CAST(x AS STRING)), ',')",
+        f"array_to_string(generate_series({p['lo']} + {p['w']}, {p['lo']}, -{p['st']}), ',')",
+    ),
+    lambda p: (
+        f"array_join(transform(sequence(DATE'2020-02-25', DATE'2020-03-0{p['d']}', "
+        f"INTERVAL {p['st']} DAY), x -> CAST(x AS STRING)), ',')",
+        f"array_to_string(list_transform(generate_series(DATE'2020-02-25', "
+        f"DATE'2020-03-0{p['d']}', INTERVAL {p['st']} DAY), "
+        f"x -> CAST(CAST(x AS DATE) AS VARCHAR)), ',')",
+    ),
+]
+
+
+@given(
+    pred=predicate,
+    idxs=st.lists(
+        st.integers(0, len(_seq_tmpl) - 1), min_size=1, max_size=3, unique=True
+    ),
+    lo=st.integers(0, 5),
+    w=st.integers(0, 9),
+    stp=st.integers(1, 4),
+    d=st.integers(1, 9),
+    exploded=st.booleans(),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_sequence_family(engines, pred, idxs, lo, w, stp, d, exploded):
+    """Surface 69 (r12): sequence generation - sequence() <->
+    generate_series() paired over fuzzed bounds (ascending with/without
+    step, descending with explicit negative step, leap-window DAY-grain
+    date runs), rendered through size/len and a stringified join; plus
+    the lateral form (explode(sequence(...)) <-> unnest on a
+    fixture-derived per-row base, surface-64 idiom). Month-grain steps
+    and step-less descents are pins 26/25."""
+    p = {"lo": lo, "w": w, "st": stp, "d": d}
+    if exploded:
+        s_sql = (
+            f"SELECT l_orderkey, l_linenumber, "
+            f"explode(sequence(l_linenumber, l_linenumber + {w}, {stp})) AS x "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+        d_sql = (
+            f"SELECT l_orderkey, l_linenumber, "
+            f"unnest(generate_series(l_linenumber, l_linenumber + {w}, {stp})) AS x "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+    else:
+        s_cols = ", ".join(
+            _seq_tmpl[i](p)[0] + f" AS c{k}" for k, i in enumerate(idxs)
+        )
+        d_cols = ", ".join(
+            _seq_tmpl[i](p)[1] + f" AS c{k}" for k, i in enumerate(idxs)
+        )
+        s_sql = (
+            f"SELECT l_orderkey, l_linenumber, {s_cols} "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+        d_sql = (
+            f"SELECT l_orderkey, l_linenumber, {d_cols} "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+    _pair_agree(engines, s_sql, d_sql)
+
+
+def test_sequence_desc_nostep_divergence_pinned(engines):
+    """TWENTY-FIFTH pinned divergence (r12, found by the surface-69
+    authoring probe): a descending range WITHOUT an explicit step.
+    Spark sequence(3, 1) INFERS step -1 and returns [3, 2, 1]; duckdb
+    generate_series(3, 1) keeps the default step +1 and silently
+    returns []. Also recorded: a WRONG-SIGN explicit step is semi-loud
+    (Spark raises 'Illegal sequence boundaries', duckdb silently []) -
+    a duckdb-side oracle would emit empty arrays where the Spark query
+    dies. Rule: always pass an explicit, correctly-signed step;
+    descending runs agree only in that form (fuzzed, surface 69)."""
+    spark, con = engines
+    assert spark.sql("SELECT sequence(3, 1) AS x").collect()[0][0] == [3, 2, 1]
+    assert con.execute("SELECT generate_series(3, 1) AS x").fetchone()[0] == []
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.sql("SELECT sequence(1, 5, -1) AS x").collect()
+    assert con.execute("SELECT generate_series(1, 5, -1) AS x").fetchone()[0] == []
+
+
+def test_sequence_month_anchor_divergence_pinned(engines):
+    """TWENTY-SIXTH pinned divergence (r12): month-interval sequence
+    arithmetic. Spark anchors every element at start + n*INTERVAL, so a
+    month-end start stays clamped to each month's end (2020-01-31 ->
+    02-29 -> 03-31 -> 04-30); duckdb iterates last + INTERVAL, so the
+    February clamp STICKS (-> 03-29 -> 04-29). Same AST, silent value
+    divergence from the third element on. DAY-grain steps agree
+    (surface 69 fuzzes them across the leap window); month/year-grain
+    sequences are not cross-engine comparable - materialize the Spark
+    semantics (add_months(start, n)) if an oracle needs them."""
+    spark, con = engines
+    s = spark.sql(
+        "SELECT transform(sequence(DATE'2020-01-31', DATE'2020-04-30', "
+        "INTERVAL 1 MONTH), x -> CAST(x AS STRING)) AS x"
+    ).collect()[0][0]
+    d = con.execute(
+        "SELECT list_transform(generate_series(DATE'2020-01-31', "
+        "DATE'2020-04-30', INTERVAL 1 MONTH), "
+        "x -> CAST(CAST(x AS DATE) AS VARCHAR)) AS x"
+    ).fetchone()[0]
+    assert s == ["2020-01-31", "2020-02-29", "2020-03-31", "2020-04-30"]
+    assert d == ["2020-01-31", "2020-02-29", "2020-03-29", "2020-04-29"]
+
+
+#: Ordered string aggregation: Spark listagg(v, sep) WITHIN GROUP
+#: (ORDER BY ...) pairs with duckdb string_agg(v, sep ORDER BY ...).
+#: The ORDER BY key is always the aggregated VALUE itself, so duplicate
+#: values make ties output-invariant (any tie order yields the same
+#: string). NULL values are SKIPPED by both; an all-NULL/empty group
+#: returns NULL in both (authoring probe). Loud spellings excluded:
+#: duckdb has no ordered-aggregate listagg and rejects DISTINCT WITHIN
+#: GROUP; Spark rejects string_agg's inline ORDER BY.
+_LISTAGG_SEPS = [",", "|", "", "-", "::"]
+
+
+@given(
+    pred=predicate,
+    sep=st.sampled_from(_LISTAGG_SEPS),
+    desc=st.booleans(),
+    grouped=st.booleans(),
+    nullable=st.booleans(),
+    val=st.sampled_from(
+        [
+            "concat(l_returnflag, l_linestatus)",
+            "CAST(l_linenumber AS STRING)",
+            "CAST(l_orderkey % 97 AS STRING)",
+        ]
+    ),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_listagg_family(engines, pred, sep, desc, grouped, nullable, val):
+    """Surface 70 (r12): ordered string aggregation - one draw renders
+    Spark listagg ... WITHIN GROUP vs duckdb string_agg ... ORDER BY
+    over the same value expression, separator, direction, optional
+    grouping, and optional NULL-injected values (both engines skip
+    NULLs; empty/all-NULL groups return NULL in both). Value-keyed
+    ordering keeps ties output-invariant."""
+    v = f"nullif({val}, 'NO')" if nullable else val
+    direction = "DESC" if desc else "ASC"
+    s_agg = f"listagg({v}, '{sep}') WITHIN GROUP (ORDER BY {v} {direction})"
+    d_agg = f"string_agg({v}, '{sep}' ORDER BY {v} {direction})"
+    if grouped:
+        s_sql = (
+            f"SELECT l_returnflag, count(*) AS c, {s_agg} AS x "
+            f"FROM fuzz_lineitem WHERE {pred} GROUP BY l_returnflag"
+        )
+        d_sql = (
+            f"SELECT l_returnflag, count(*) AS c, {d_agg} AS x "
+            f"FROM fuzz_lineitem WHERE {pred} GROUP BY l_returnflag"
+        )
+    else:
+        s_sql = f"SELECT {s_agg} AS x FROM fuzz_lineitem WHERE {pred}"
+        d_sql = f"SELECT {d_agg} AS x FROM fuzz_lineitem WHERE {pred}"
+    _pair_agree(engines, s_sql, d_sql)
