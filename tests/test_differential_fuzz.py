@@ -4279,3 +4279,234 @@ def test_fuzz_listagg_family(engines, pred, sep, desc, grouped, nullable, val):
         s_sql = f"SELECT {s_agg} AS x FROM fuzz_lineitem WHERE {pred}"
         d_sql = f"SELECT {d_agg} AS x FROM fuzz_lineitem WHERE {pred}"
     _pair_agree(engines, s_sql, d_sql)
+
+
+# ------------------------------------------------- r12 surfaces 71-73
+
+#: Ordered-set aggregate fractions: eighths only, so percentile_cont's
+#: linear interpolation over INTEGER-valued expressions is exact binary
+#: arithmetic in both engines (authoring probe: all eighths bit-equal;
+#: arbitrary fractions/double inputs risk formula-order ulp drift and
+#: stay excluded, the surface-59 transcendental discipline).
+_PCT_FRACTIONS = ["0", "0.125", "0.25", "0.375", "0.5", "0.625", "0.75", "0.875", "1"]
+_PCT_VALS = ["l_linenumber", "l_orderkey % 97", "l_suppkey", "l_partkey % 53"]
+
+
+@given(
+    pred=predicate,
+    f=st.sampled_from(_PCT_FRACTIONS),
+    val=st.sampled_from(_PCT_VALS),
+    disc=st.booleans(),
+    desc=st.booleans(),
+    grouped=st.booleans(),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_ordered_set_aggregates(engines, pred, f, val, disc, desc, grouped):
+    """Surface 71 (r12): ordered-set aggregates SAME-TEXT -
+    percentile_disc/percentile_cont WITHIN GROUP over eighth fractions
+    and integer-valued expressions (exact interpolation), both ORDER
+    directions, optional grouping, alongside median. percentile_disc is
+    CAST to DOUBLE on both sides (duckdb returns the input type, Spark
+    always DOUBLE). NULL ordering keys are skipped by both (probe).
+    mode() is EXCLUDED - its tie-breaking silently diverges (pin 27,
+    found by this surface's own first run: a two-row tie {3,5} under a
+    tight predicate returned 3 vs 5), and so is the single combination
+    fraction-0-under-DESC (pin 29, found by this surface's own 12x
+    soak: duckdb special-cases f=0 to the global minimum regardless of
+    direction). Engine-private louds: width_bucket, every (Spark-only);
+    approx/reservoir quantiles differ by construction."""
+    assume(not (f == "0" and desc))
+    fn = "percentile_disc" if disc else "percentile_cont"
+    direction = "DESC" if desc else "ASC"
+    agg = (
+        f"CAST({fn}({f}) WITHIN GROUP (ORDER BY {val} {direction}) AS DOUBLE)"
+    )
+    med = "CAST(median(l_linenumber) AS DOUBLE)"
+    if grouped:
+        sql = (
+            f"SELECT l_returnflag, count(*) AS c, {agg} AS p, {med} AS med "
+            f"FROM fuzz_lineitem WHERE {pred} GROUP BY l_returnflag"
+        )
+    else:
+        sql = (
+            f"SELECT count(*) AS c, {agg} AS p, {med} AS med "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+    _both_agree(engines, sql)
+
+
+def test_mode_tie_divergence_pinned(engines):
+    """TWENTY-SEVENTH pinned divergence (r12, found by surface 71's
+    first run): mode() tie-breaking. Same text parses in both engines;
+    on a frequency tie duckdb returns the FIRST-SEEN value (input-order
+    dependent: VALUES (3),(5) -> 3 but (5),(3) -> 5) while Spark picks
+    by an internal hash-aggregation artifact ((5),(3) -> 3, yet
+    ('b'),('a') -> 'b') - neither "smallest" nor "first" contractually.
+    Rule: mode() is cross-engine comparable ONLY where the mode is
+    provably unique; never let an oracle's correctness ride on a tie."""
+    spark, con = engines
+    sql = "SELECT mode(i) AS x FROM (VALUES (5),(3)) t(i)"
+    assert spark.sql(sql).collect()[0][0] == 3
+    assert con.execute(sql).fetchone()[0] == 5
+    uniq = "SELECT mode(i) AS x FROM (VALUES (5),(3),(5)) t(i)"
+    assert spark.sql(uniq).collect()[0][0] == 5
+    assert con.execute(uniq).fetchone()[0] == 5
+
+
+@given(
+    start=st.integers(0, 5),
+    step=st.integers(1, 4),
+    bound=st.integers(10, 90),
+    shape=st.sampled_from(["agg", "rows", "fib"]),
+)
+@settings(
+    max_examples=20 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_recursive_cte(engines, start, step, bound, shape):
+    """Surface 72 (r12): WITH RECURSIVE same-text - UNION ALL recursion
+    with a WHERE bound, consumed as raw rows, as an aggregate over the
+    recursion, and as a two-column linear recurrence (Fibonacci-style,
+    bounded so depth stays far under Spark's recursion-level limit).
+    Loud census from the authoring probe (exclusions, not traps): Spark
+    rejects UNION-distinct recursion (UNION_NOT_SUPPORTED_IN_RECURSIVE_
+    CTE) and errors past ~100 levels (RECURSION_LEVEL_LIMIT_EXCEEDED)
+    where duckdb keeps going - bounds here guarantee < 95 levels."""
+    if shape == "fib":
+        sql = (
+            f"WITH RECURSIVE f(a, b) AS (SELECT {start}, {start} + 1 "
+            f"UNION ALL SELECT b, a + b FROM f WHERE b < {bound * 100}) "
+            f"SELECT count(*) AS c, sum(a) AS s, max(b) AS m FROM f"
+        )
+    elif shape == "agg":
+        sql = (
+            f"WITH RECURSIVE r(n) AS (SELECT {start} "
+            f"UNION ALL SELECT n + {step} FROM r WHERE n < {bound}) "
+            f"SELECT count(*) AS c, sum(n) AS s, min(n) AS lo, max(n) AS hi FROM r"
+        )
+    else:
+        sql = (
+            f"WITH RECURSIVE r(n) AS (SELECT {start} "
+            f"UNION ALL SELECT n + {step} FROM r WHERE n < {bound}) "
+            f"SELECT n, n * n AS sq FROM r ORDER BY n"
+        )
+    _both_agree(engines, sql)
+
+
+#: PIVOT: same logical operation, divergent statement syntax - Spark's
+#: relation-suffix PIVOT (FROM (...) PIVOT (agg FOR k IN (...))) pairs
+#: with duckdb's statement-form PIVOT ... ON k IN (...) USING agg GROUP
+#: BY g. Unaliased IN-list values become identical column names in both
+#: (probe: ['g','A','B'] each side; Spark lowercases user ALIASES, so
+#: aliases are excluded); absent (group, key) cells are NULL in both.
+#: count() is EXCLUDED: Spark fills an absent (group, key) cell with
+#: NULL regardless of the aggregate, duckdb computes the aggregate over
+#: the empty subset (count -> 0) - pin 28. sum/min/max are NULL-on-empty
+#: in both, so their holes agree.
+_PIVOT_AGGS = [
+    ("sum(v)", "sum(v)"),
+    ("min(v)", "min(v)"),
+    ("max(v)", "max(v)"),
+]
+
+
+@given(
+    pred=predicate,
+    agg_i=st.integers(0, len(_PIVOT_AGGS) - 1),
+    grp=st.sampled_from(["l_linestatus", "l_linenumber", "l_suppkey % 7"]),
+    val=st.sampled_from(["l_orderkey % 1000", "l_linenumber * 10", "l_partkey % 31"]),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_pivot_paired(engines, pred, agg_i, grp, val):
+    """Surface 73 (r12): PIVOT - one draw renders Spark's
+    relation-suffix form vs duckdb's statement form over the same
+    source subquery (fixture-filtered, projected to (g, k, v)), the
+    same full IN-list ('A','N','R' - l_returnflag's complete domain),
+    and the same aggregate. Row and column sets, including NULL holes
+    for absent (group, key) pairs, must match exactly (count holes are
+    pin 28 and excluded from the grammar)."""
+    s_agg, d_agg = _PIVOT_AGGS[agg_i]
+    src = (
+        f"SELECT {grp} AS g, l_returnflag AS k, {val} AS v "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    s_sql = (
+        f"SELECT * FROM ({src}) PIVOT ({s_agg} FOR k IN ('A', 'N', 'R'))"
+    )
+    d_sql = (
+        f"PIVOT ({src}) ON k IN ('A', 'N', 'R') USING {d_agg} GROUP BY g"
+    )
+    _pair_agree(engines, s_sql, d_sql)
+
+
+def test_pivot_count_hole_divergence_pinned(engines):
+    """TWENTY-EIGHTH pinned divergence (r12, found by surface 73's
+    first run): PIVOT cells for ABSENT (group, key) combinations under
+    count(). Spark's relation-suffix PIVOT fills every absent cell with
+    NULL regardless of the aggregate; duckdb's statement-form PIVOT
+    computes the aggregate over the empty subset, so count() yields 0.
+    sum/min/max agree (NULL-on-empty in both - fuzzed, surface 73).
+    Rule: no count() inside a cross-engine PIVOT; spell it as
+    sum(CASE WHEN ...) or coalesce the duckdb side."""
+    spark, con = engines
+    s = spark.sql(
+        "SELECT * FROM (SELECT 1 AS g, 'A' AS k, 9 AS v) "
+        "PIVOT (count(v) FOR k IN ('A', 'B'))"
+    ).collect()[0]
+    d = con.execute(
+        "PIVOT (SELECT 1 AS g, 'A' AS k, 9 AS v) "
+        "ON k IN ('A', 'B') USING count(v) GROUP BY g"
+    ).fetchone()
+    assert tuple(s) == (1, 1, None)
+    assert tuple(d) == (1, 1, 0)
+    s2 = spark.sql(
+        "SELECT * FROM (SELECT 1 AS g, 'A' AS k, 9 AS v) "
+        "PIVOT (sum(v) FOR k IN ('A', 'B'))"
+    ).collect()[0]
+    d2 = con.execute(
+        "PIVOT (SELECT 1 AS g, 'A' AS k, 9 AS v) "
+        "ON k IN ('A', 'B') USING sum(v) GROUP BY g"
+    ).fetchone()
+    assert tuple(s2) == (1, 9, None) and tuple(d2) == (1, 9, None)
+
+
+def test_percentile_zero_desc_divergence_pinned(engines):
+    """TWENTY-NINTH pinned divergence (r12, found by surface 71's 12x
+    soak): percentile fraction 0 under a DESC ordering. Spark returns
+    the first element of the DESCENDING order (the maximum); duckdb
+    special-cases fraction 0 to the GLOBAL MINIMUM regardless of
+    direction (both percentile_cont and percentile_disc). Every other
+    combination agrees: interior fractions honor DESC identically in
+    both (0.999 DESC -> 1.004 interpolated, both), and fraction 1
+    mirrors cleanly (ASC max / DESC min, both). Rule: never pair
+    fraction 0 with DESC - spell the intent as max()/min() or as
+    fraction 1 of the opposite direction."""
+    spark, con = engines
+    V = "(VALUES (1),(2),(3),(4),(10)) t(i)"
+    for fn in ("percentile_cont", "percentile_disc"):
+        bad = (
+            f"SELECT CAST({fn}(0) WITHIN GROUP (ORDER BY i DESC) AS DOUBLE) "
+            f"AS x FROM {V}"
+        )
+        assert spark.sql(bad).collect()[0][0] == 10.0
+        assert con.execute(bad).fetchone()[0] == 1.0
+        for f, want_asc, want_desc in (("1", 10.0, 1.0), ("0.25", 2.0, 4.0)):
+            for direction, want in (("ASC", want_asc), ("DESC", want_desc)):
+                ok = (
+                    f"SELECT CAST({fn}({f}) WITHIN GROUP "
+                    f"(ORDER BY i {direction}) AS DOUBLE) AS x FROM {V}"
+                )
+                assert spark.sql(ok).collect()[0][0] == want, (fn, f, direction)
+                assert con.execute(ok).fetchone()[0] == want, (fn, f, direction)
