@@ -4510,3 +4510,135 @@ def test_percentile_zero_desc_divergence_pinned(engines):
                 )
                 assert spark.sql(ok).collect()[0][0] == want, (fn, f, direction)
                 assert con.execute(ok).fetchone()[0] == want, (fn, f, direction)
+
+
+# ------------------------------------------------- r12 surfaces 74-75
+
+@given(
+    pred=predicate,
+    cols=st.lists(
+        st.sampled_from(["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]),
+        min_size=2,
+        max_size=4,
+        unique=True,
+    ),
+    nullable=st.booleans(),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_unpivot_paired(engines, pred, cols, nullable):
+    """Surface 74 (r12): UNPIVOT - the complement of surface 73. Spark's
+    relation-suffix UNPIVOT (val FOR col IN (...)) pairs with duckdb's
+    statement form (UNPIVOT ... ON ... INTO NAME col VALUE val); both
+    DROP NULL cells by default (authoring probe), exercised by
+    optionally NULL-injecting one measure column. Name/value output
+    columns and the melted row set must match exactly."""
+    measures = list(cols)
+    if nullable:
+        inject = measures[0]
+        sel = ", ".join(
+            f"nullif({c}, 3) AS {c.replace('l_', 'm_')}" if c == inject
+            else f"{c} AS {c.replace('l_', 'm_')}"
+            for c in measures
+        )
+    else:
+        sel = ", ".join(f"{c} AS {c.replace('l_', 'm_')}" for c in measures)
+    names = [c.replace("l_", "m_") for c in measures]
+    src = (
+        f"SELECT l_orderkey AS id, l_linenumber AS ln, {sel} "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    s_sql = (
+        f"SELECT * FROM ({src}) UNPIVOT (val FOR col IN ({', '.join(names)}))"
+    )
+    d_sql = (
+        f"UNPIVOT ({src}) ON {', '.join(names)} INTO NAME col VALUE val"
+    )
+    _pair_agree(engines, s_sql, d_sql)
+
+
+#: try_cast inputs validated SAME by the r12 authoring probe, by target:
+#: plain optionally-signed optionally-space-padded integer strings; and
+#: decimal/scientific strings to DOUBLE; valid/invalid calendar dates;
+#: the boolean lexicon both engines share; INT overflow -> NULL both.
+#: The DIVERGING acceptance grammars are pin 30 and excluded here:
+#: decimal/scientific/hex strings to INT (duckdb parses-and-rounds,
+#: Spark NULLs), 'yes'/'no' to BOOLEAN (Spark accepts, duckdb NULLs).
+_TRY_CAST_DRAWS = [
+    lambda n, pad: (f"'{' ' * pad}{n}{' ' * pad}'", "INT"),
+    lambda n, pad: (f"'{' ' * pad}-{n}{' ' * pad}'", "INT"),
+    lambda n, pad: (f"'{n}.{n % 100:02d}'", "DOUBLE"),
+    lambda n, pad: (f"'{n}e{n % 3}'", "DOUBLE"),
+    lambda n, pad: (f"'{n}.{n % 100:02d}'", "DECIMAL(18,2)"),
+    lambda n, pad: (f"'99999999999999999999{n}'", "INT"),
+    lambda n, pad: (f"'2020-{(n % 14):02d}-{(n % 35):02d}'", "DATE"),
+    lambda n, pad: (f"'{['true','false','t','f','1','0','TRUE','F'][n % 8]}'", "BOOLEAN"),
+    lambda n, pad: ("'garbage'", "INT"),
+    lambda n, pad: ("''", "DOUBLE"),
+]
+
+
+@given(
+    pred=predicate,
+    idxs=st.lists(
+        st.integers(0, len(_TRY_CAST_DRAWS) - 1), min_size=1, max_size=4, unique=True
+    ),
+    n=st.integers(0, 9999),
+    pad=st.integers(0, 3),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_try_cast_family(engines, pred, idxs, n, pad):
+    """Surface 75 (r12): try_cast same-text over the probe-validated
+    acceptance subset - signed/space-padded integers, decimal and
+    scientific doubles, DECIMAL(18,2), valid AND invalid calendar
+    dates (try_cast -> NULL agrees), the shared boolean lexicon, INT
+    overflow, and garbage (NULL both). A fixture column ride-along
+    keeps the scan real. DATE results cast to STRING (surface-39
+    discipline); the diverging grammars are pin 30."""
+    draws = [_TRY_CAST_DRAWS[i](n, pad) for i in idxs]
+    cols = ", ".join(
+        f"CAST(try_cast({lit} AS {tgt}) AS STRING) AS c{k}"
+        if tgt == "DATE"
+        else f"try_cast({lit} AS {tgt}) AS c{k}"
+        for k, (lit, tgt) in enumerate(draws)
+    )
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
+
+
+def test_try_cast_grammar_divergence_pinned(engines):
+    """THIRTIETH pinned divergence (r12, found by the surface-75
+    authoring probe): try_cast STRING acceptance grammars. To INT,
+    duckdb parses-and-ROUNDS decimal strings ('12.7' -> 13), accepts
+    scientific notation ('1e3' -> 1000) and hex literals ('0x1A' ->
+    26) - Spark returns NULL for all three (strict integer grammar).
+    To BOOLEAN, Spark accepts the Hive lexicon 'yes'/'no' - duckdb
+    returns NULL. Both directions are silent NULL-vs-value flips under
+    try_cast (and loud-vs-value under plain CAST with ANSI on). Rule:
+    cross-engine string casts only over the shared grammar (surface
+    75); normalize with round()/explicit parsing before casting
+    fractional text to INT."""
+    spark, con = engines
+    for lit, s_want, d_want in (
+        ("'12.7'", None, 13),
+        ("'1e3'", None, 1000),
+        ("'0x1A'", None, 26),
+    ):
+        sql = f"SELECT try_cast({lit} AS INT) AS x"
+        assert spark.sql(sql).collect()[0][0] == s_want, lit
+        assert con.execute(sql).fetchone()[0] == d_want, lit
+    sql = "SELECT try_cast('YES' AS BOOLEAN) AS x"
+    assert spark.sql(sql).collect()[0][0] is True
+    assert con.execute(sql).fetchone()[0] is None
