@@ -4356,6 +4356,11 @@ def test_mode_tie_divergence_pinned(engines):
     uniq = "SELECT mode(i) AS x FROM (VALUES (5),(3),(5)) t(i)"
     assert spark.sql(uniq).collect()[0][0] == 5
     assert con.execute(uniq).fetchone()[0] == 5
+    # same rule, same class (r12 surface-76 probe): max_by/min_by pick
+    # arbitrarily and differently on ORDERING-KEY ties
+    tie = "SELECT max_by(v, k) AS x FROM (VALUES (5,'a'),(5,'b')) t(k,v)"
+    assert spark.sql(tie).collect()[0][0] == "b"
+    assert con.execute(tie).fetchone()[0] == "a"
 
 
 @given(
@@ -4642,3 +4647,70 @@ def test_try_cast_grammar_divergence_pinned(engines):
     sql = "SELECT try_cast('YES' AS BOOLEAN) AS x"
     assert spark.sql(sql).collect()[0][0] is True
     assert con.execute(sql).fetchone()[0] is None
+
+
+# ------------------------------------------------- r12 surface 76
+
+#: Extra aggregate spellings validated same-text by the r12 probe:
+#: bit_and/bit_or/bit_xor (empty group -> NULL in both), max_by/min_by
+#: (duckdb aliases arg_max/arg_min to the same function). The ordering
+#: key below must be UNIQUE per fixture row because value-pick ties are
+#: engine-arbitrary (the pin-27 rule, whose pinned test also asserts
+#: the max_by tie divergence) - and the fixture is TPC-H-ISH, not
+#: TPC-H: (l_orderkey, l_linenumber) has 1,401 duplicate pairs at
+#: sf0.001 (this surface's own first run found one), and even the
+#: 4-integer-column prefix keeps one collision. The only fully distinct
+#: composite adds the DOUBLE l_extendedprice, whose string rendering is
+#: the formatting surface the repo excludes (union-coercion note), so
+#: instead: md5 over the 4 integer columns (collation-safe ASCII hex,
+#: md5 is the cross-engine digest - pin 20) with the PICKED value
+#: itself appended as tiebreaker - any residual key-tie then shares an
+#: identical picked value, making the pick output-invariant. median
+#: over DATE is loud in Spark (datatype mismatch) and interpolating in
+#: duckdb - excluded census, not a trap.
+_KEY4 = (
+    "md5(concat_ws(',', l_orderkey, l_linenumber, l_partkey, l_suppkey))"
+)
+
+
+@given(
+    pred=predicate,
+    val=st.sampled_from(
+        ["l_orderkey % 4096", "l_suppkey", "l_partkey % 255", "l_linenumber"]
+    ),
+    picked=st.sampled_from(
+        [
+            "concat(l_returnflag, l_linestatus)",
+            "CAST(l_partkey AS STRING)",
+            "l_suppkey",
+        ]
+    ),
+    grouped=st.booleans(),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_bitagg_argminmax(engines, pred, val, picked, grouped):
+    """Surface 76 (r12): bitwise aggregates and value-pick aggregates
+    SAME-TEXT - bit_and/bit_or/bit_xor over integer expressions
+    (including empty groups -> NULL), max_by/min_by keyed by a
+    per-row-unique expression so the pick is total-order deterministic
+    in both engines (ties are pin-27 territory and excluded by
+    construction)."""
+    key = f"concat({_KEY4}, '|', CAST({picked} AS STRING))"
+    aggs = (
+        f"bit_and({val}) AS ba, bit_or({val}) AS bo, bit_xor({val}) AS bx, "
+        f"max_by({picked}, {key}) AS mb, "
+        f"min_by({picked}, {key}) AS nb, count(*) AS c"
+    )
+    if grouped:
+        sql = (
+            f"SELECT l_returnflag, {aggs} FROM fuzz_lineitem "
+            f"WHERE {pred} GROUP BY l_returnflag"
+        )
+    else:
+        sql = f"SELECT {aggs} FROM fuzz_lineitem WHERE {pred}"
+    _both_agree(engines, sql)
