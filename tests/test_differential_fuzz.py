@@ -4714,3 +4714,89 @@ def test_fuzz_bitagg_argminmax(engines, pred, val, picked, grouped):
     else:
         sql = f"SELECT {aggs} FROM fuzz_lineitem WHERE {pred}"
     _both_agree(engines, sql)
+
+
+# ------------------------------------------------- r12 surfaces 77-78
+
+@given(
+    pa=predicate,
+    mod=st.integers(2, 7),
+    jt=st.sampled_from(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]),
+    natural=st.booleans(),
+    shape=st.sampled_from(["star", "except", "semi", "anti"]),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_join_using_shapes(engines, pa, mod, jt, natural, shape):
+    """Surface 77 (r12): name-based join shapes - JOIN ... USING and
+    NATURAL JOIN are SAME-TEXT across inner/left/right/full (the merged
+    key column coalesces identically, probed through FULL's
+    both-sides-null-padded rows); semi/anti pair as Spark LEFT
+    SEMI/ANTI <-> duckdb SEMI/ANTI (USING form); star modifiers pair as
+    Spark SELECT * EXCEPT (...) <-> duckdb SELECT * EXCLUDE (...)
+    (duckdb's own '* EXCEPT' is loud). The join inputs alias both
+    fixture keys to one shared name and keep every other column name
+    disjoint, so NATURAL and USING (k) are the same join."""
+    a = (
+        f"(SELECT l_orderkey AS k, count(*) AS na FROM fuzz_lineitem "
+        f"WHERE {pa} GROUP BY l_orderkey)"
+    )
+    b = (
+        f"(SELECT o_orderkey AS k, max(o_custkey % 50) AS cb FROM fuzz_orders "
+        f"WHERE o_orderkey % {mod} = 0 GROUP BY o_orderkey)"
+    )
+    if shape in ("semi", "anti"):
+        s_kw = "LEFT SEMI JOIN" if shape == "semi" else "LEFT ANTI JOIN"
+        d_kw = "SEMI JOIN" if shape == "semi" else "ANTI JOIN"
+        _pair_agree(
+            engines,
+            f"SELECT * FROM {a} a {s_kw} {b} b USING (k)",
+            f"SELECT * FROM {a} a {d_kw} {b} b USING (k)",
+        )
+    elif shape == "except":
+        join = f"{a} a NATURAL {jt} {b} b" if natural else f"{a} a {jt} {b} b USING (k)"
+        _pair_agree(
+            engines,
+            f"SELECT * EXCEPT (na) FROM {join}",
+            f"SELECT * EXCLUDE (na) FROM {join}",
+        )
+    else:
+        join = f"{a} a NATURAL {jt} {b} b" if natural else f"{a} a {jt} {b} b USING (k)"
+        _both_agree(engines, f"SELECT * FROM {join}")
+
+
+@given(
+    pred=predicate,
+    part=st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber % 3"]),
+    n=st.integers(0, 40),
+    lagn=st.integers(1, 3),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_named_window_clause(engines, pred, part, n, lagn):
+    """Surface 78 (r12): the WINDOW clause - several functions sharing
+    one named window plus a second independent named window, SAME-TEXT,
+    and a bare ORDER BY ... OFFSET (no LIMIT - both engines support
+    it). The window ORDER key is made total (md5 tiebreak from surface
+    76's _KEY4) so rank/lag are deterministic. Census (loud, not a
+    trap): window INHERITANCE - OVER (w ROWS ...) refining a named
+    window - is duckdb-only; Spark rejects the parse."""
+    key = f"concat(CAST(l_orderkey AS STRING), '|', {_KEY4})"
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"sum(l_linenumber) OVER w AS s, rank() OVER w AS r, "
+        f"lag(l_linenumber, {lagn}) OVER w AS lg, count(*) OVER w2 AS c "
+        f"FROM fuzz_lineitem WHERE {pred} "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY {key}), "
+        f"w2 AS (PARTITION BY l_returnflag) "
+        f"ORDER BY {key} OFFSET {n}"
+    )
+    _both_agree(engines, sql)
