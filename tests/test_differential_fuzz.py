@@ -4800,3 +4800,50 @@ def test_fuzz_named_window_clause(engines, pred, part, n, lagn):
         f"ORDER BY {key} OFFSET {n}"
     )
     _both_agree(engines, sql)
+
+
+# ------------------------------------------------- r12 surface 79
+
+@given(
+    pred=predicate,
+    a1=st.sampled_from(["l_linenumber + 1", "l_orderkey % 13", "l_suppkey * 2"]),
+    shape=st.sampled_from(["chain", "group_all", "order_all", "exists"]),
+    n=st.integers(1, 30),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_lateral_alias_all_shorthand(engines, pred, a1, shape, n):
+    """Surface 79 (r12): modern SQL shorthands SAME-TEXT - lateral
+    column aliases (a projected alias referenced by a LATER projection
+    in the same SELECT, incl. the shadowing rule: an alias that reuses
+    a real column's name does NOT capture references in sibling
+    expressions - both engines resolve to the ORIGINAL column, probe),
+    GROUP BY ALL / ORDER BY ALL (incl. DESC), and scalar EXISTS in the
+    projection (boolean column, correlated on the orders fixture)."""
+    if shape == "chain":
+        sql = (
+            f"SELECT l_orderkey, {a1} AS b, b * 3 AS c, c - b AS d "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+    elif shape == "group_all":
+        sql = (
+            f"SELECT l_returnflag, l_linenumber % 2 AS par, count(*) AS c, "
+            f"sum({a1}) AS s FROM fuzz_lineitem WHERE {pred} GROUP BY ALL"
+        )
+    elif shape == "order_all":
+        sql = (
+            f"SELECT l_returnflag, l_linenumber, l_orderkey, {a1} AS b "
+            f"FROM fuzz_lineitem WHERE {pred} ORDER BY ALL LIMIT {n}"
+        )
+    else:
+        sql = (
+            f"SELECT l_orderkey, l_linenumber, "
+            f"EXISTS(SELECT 1 FROM fuzz_orders o WHERE o.o_orderkey = "
+            f"l_orderkey AND o.o_orderkey % {(n % 5) + 2} = 0) AS e "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+    _both_agree(engines, sql)
