@@ -4847,3 +4847,102 @@ def test_fuzz_lateral_alias_all_shorthand(engines, pred, a1, shape, n):
             f"FROM fuzz_lineitem WHERE {pred}"
         )
     _both_agree(engines, sql)
+
+
+# ------------------------------------------------- r12 surface 80
+
+@given(
+    pred=predicate,
+    fields=st.lists(
+        st.sampled_from(
+            [
+                ("i", "l_linenumber"),
+                ("k", "l_orderkey % 97"),
+                ("s", "l_returnflag"),
+                ("cc", "concat(l_returnflag, '\"', l_linestatus)"),
+                ("d", "CAST(l_shipdate AS DATE)"),
+                ("arr", "array(l_linenumber, l_suppkey % 9)"),
+                ("n", "nullif(l_linenumber, 3)"),
+            ]
+        ),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_to_json_render(engines, pred, fields):
+    """Surface 80 (r12): JSON SERIALIZATION - the write-side complement
+    of surface 63's path extraction. One draw builds the same struct in
+    both engines (ints, strings incl. embedded quotes, dates, arrays,
+    a nullable field) and compares the rendered JSON TEXT byte-for-byte.
+    Spark renders via to_json(named_struct(...), map('ignoreNullFields',
+    'false')) - the option pins down pin 31's default divergence -
+    duckdb via to_json({...})::VARCHAR. Key order follows construction
+    order in both; quoting, DATE rendering, [1,2] array spacing, and
+    null fields all agree under this pairing (authoring probe).
+    TIMESTAMP fields are CAST to DATE: their in-JSON rendering diverges
+    (pin 31's second clause, found by this surface's first run)."""
+    s_struct = ", ".join(f"'{k}', {e}" for k, e in fields)
+    d_struct = ", ".join(f"'{k}': {e}" for k, e in fields)
+    # duckdb renders a bare array value identically ([1,2], no spaces)
+    d_struct = d_struct.replace("array(", "list_value(")
+    _pair_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, "
+        f"to_json(named_struct({s_struct}), map('ignoreNullFields', 'false')) AS j "
+        f"FROM fuzz_lineitem WHERE {pred}",
+        f"SELECT l_orderkey, l_linenumber, "
+        f"to_json({{{d_struct}}})::VARCHAR AS j "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
+
+
+def test_to_json_null_fields_divergence_pinned(engines):
+    """THIRTY-FIRST pinned divergence (r12, found by the surface-80
+    authoring probe): to_json over a struct with NULL fields. Spark
+    DROPS null fields by default ('{}'); duckdb serializes them
+    ('{"a":null}'). Same construction, silently different JSON text -
+    and a schema-bearing difference for any downstream consumer.
+    Rendering rule (fuzzed by surface 80): pass map('ignoreNullFields',
+    'false') on the Spark side, which restores byte-agreement. SECOND
+    CLAUSE (found by surface 80's first run): TIMESTAMP values inside
+    JSON render as ISO-8601 with a 'T' separator and milliseconds in
+    Spark ('1995-01-07T00:00:00.000') but space-separated without
+    fraction in duckdb ('1995-01-07 00:00:00') - DATE values agree;
+    CAST timestamps to DATE or pre-format them as strings."""
+    spark, con = engines
+    s = spark.sql(
+        "SELECT to_json(named_struct('a', CAST(NULL AS INT))) AS j"
+    ).collect()[0][0]
+    d = con.execute(
+        "SELECT to_json({'a': CAST(NULL AS INT)})::VARCHAR AS j"
+    ).fetchone()[0]
+    assert s == "{}" and d == '{"a":null}'
+    s2 = spark.sql(
+        "SELECT to_json(named_struct('a', CAST(NULL AS INT)), "
+        "map('ignoreNullFields', 'false')) AS j"
+    ).collect()[0][0]
+    assert s2 == d
+    ts = "TIMESTAMP'1995-01-07 00:00:00'"
+    s3 = spark.sql(
+        f"SELECT to_json(named_struct('t', {ts})) AS j"
+    ).collect()[0][0]
+    d3 = con.execute(f"SELECT to_json({{'t': {ts}}})::VARCHAR AS j").fetchone()[0]
+    # Spark: ISO-8601 'T' + millis; an LTZ literal additionally carries
+    # the session-zone suffix ('Z' under UTC), an NTZ fixture column does
+    # not - both differ from duckdb's space-separated second-precision.
+    assert s3 in (
+        '{"t":"1995-01-07T00:00:00.000"}',
+        '{"t":"1995-01-07T00:00:00.000Z"}',
+    )
+    assert d3 == '{"t":"1995-01-07 00:00:00"}'
+    date = "DATE'1995-01-07'"
+    s4 = spark.sql(f"SELECT to_json(named_struct('d', {date})) AS j").collect()[0][0]
+    d4 = con.execute(f"SELECT to_json({{'d': {date}}})::VARCHAR AS j").fetchone()[0]
+    assert s4 == d4 == '{"d":"1995-01-07"}'
