@@ -4946,3 +4946,78 @@ def test_to_json_null_fields_divergence_pinned(engines):
     s4 = spark.sql(f"SELECT to_json(named_struct('d', {date})) AS j").collect()[0][0]
     d4 = con.execute(f"SELECT to_json({{'d': {date}}})::VARCHAR AS j").fetchone()[0]
     assert s4 == d4 == '{"d":"1995-01-07"}'
+
+
+# ------------------------------------------------- r12 surface 81
+
+@given(
+    pred=predicate,
+    shape=st.sampled_from(["flat", "array", "nested", "malformed"]),
+    idx=st.integers(0, 1),
+)
+@settings(
+    max_examples=25 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_from_json_typed(engines, pred, shape, idx):
+    """Surface 81 (r12): TYPED JSON parsing - the read side closing the
+    JSON family (63 paths, 80 serialization). Each engine roundtrips
+    its OWN serialization (from_json(to_json(...), schema) - pin 31's
+    rendering differences never cross engines) and the EXTRACTED
+    primitives are compared. Schema spellings pair as Spark DDL text
+    ('a INT, b STRING') <-> duckdb structure JSON ('{"a":"INTEGER"}');
+    array element access pairs 0/1-index-based (surface-37 rule).
+    Mistyped FIELDS inside valid JSON parse to NULL in both (probe);
+    MALFORMED TEXT is semi-loud - Spark returns a NULL row, duckdb
+    raises (found by this surface's first run; same class as invalid
+    unhex, surface 67) - so the duckdb side guards with json_valid()."""
+    if shape == "flat":
+        s_sql = (
+            f"SELECT l_orderkey, from_json(to_json(named_struct("
+            f"'a', l_linenumber, 'b', l_returnflag)), 'a INT, b STRING').a AS a "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+        d_sql = (
+            f"SELECT l_orderkey, from_json(to_json("
+            f"{{'a': l_linenumber, 'b': l_returnflag}}), "
+            f"'{{\"a\":\"INTEGER\",\"b\":\"VARCHAR\"}}').a AS a "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+    elif shape == "array":
+        s_sql = (
+            f"SELECT l_orderkey, from_json(to_json(array(l_linenumber, "
+            f"l_suppkey % 9)), 'ARRAY<INT>')[{idx}] AS a "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+        d_sql = (
+            f"SELECT l_orderkey, (from_json(to_json(list_value(l_linenumber, "
+            f"l_suppkey % 9)), '[\"INTEGER\"]'))[{idx + 1}] AS a "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+    elif shape == "nested":
+        s_sql = (
+            f"SELECT l_orderkey, from_json(to_json(named_struct('o', "
+            f"named_struct('k', l_orderkey % 97))), "
+            f"'o STRUCT<k: INT>').o.k AS k "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+        d_sql = (
+            f"SELECT l_orderkey, from_json(to_json("
+            f"{{'o': {{'k': l_orderkey % 97}}}}), "
+            f"'{{\"o\":{{\"k\":\"INTEGER\"}}}}').o.k AS k "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+    else:
+        s_sql = (
+            f"SELECT l_orderkey, from_json(concat('{{bad', l_returnflag), "
+            f"'a INT').a AS a FROM fuzz_lineitem WHERE {pred}"
+        )
+        d_sql = (
+            f"SELECT l_orderkey, CASE WHEN json_valid(concat('{{bad', "
+            f"l_returnflag)) THEN from_json(concat('{{bad', l_returnflag), "
+            f"'{{\"a\":\"INTEGER\"}}').a ELSE NULL END AS a "
+            f"FROM fuzz_lineitem WHERE {pred}"
+        )
+    _pair_agree(engines, s_sql, d_sql)
