@@ -122,9 +122,13 @@ _STMT_GATES: list[tuple[re.Pattern, str, tuple[int, int, int]]] = [
         # char class couldn't cross the space in ``drop table `odd name`
         # purge``, false-negating Hive-0.14 purges on quoted names), so
         # both `odd name`.part and plain db.t shapes anchor correctly.
+        # The bare branch is SINGLE-character (r12 ADVICE: ``[\w.]+``
+        # nested inside the outer ``+`` backtracked exponentially on
+        # non-PURGE drops of long bare names - 5.2 s at 26 chars; the
+        # single-char branch makes the repetition unambiguous, O(n)).
         re.compile(
             r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
-            r"(?:`[^`]*`|\"[^\"]*\"|[\w.]+)+\s+(PURGE)"
+            r"(?:`[^`]*`|\"[^\"]*\"|[\w.])+\s+(PURGE)"
             r"\s*;?\s*$"
             r"|^\s*ALTER\s+TABLE\b[\s\S]*\bDROP\b[\s\S]*\bPARTITION\s*"
             r"\([\s\S]*\)\s+(?:IGNORE\s+PROTECTION\s+)?(PURGE)\s*;?\s*$",

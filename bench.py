@@ -36,12 +36,22 @@ Methodology (self-adjudicating, round-3):
   per-query ``query_calibration_ratio`` (floor / calibration floor) in the
   runs line - a stall inside one pass is attributable to that pass from
   the artifact alone. Each bracket point is itself a MIN-OF-5 (r10
-  verdict #3: a single-sample yardstick swung -13.5% between rounds on
-  identical code, the same noise band the interleaved A/B protocol
-  measures, 0.49-0.62 on one host in minutes). The result line carries
-  the full ``calibration_bracket`` plus ``value_normalized`` (raw total /
-  calibration floor) so round-over-round comparison is mechanical: host
-  drift (r6 measured x1.4 across a session) divides out.
+  verdict #3) behind a self-terminating priming loop (r11 verdict #3).
+- **Drift rule (r13, VERDICT r12 item 2 - the ONLY actionable signal):**
+  a round-over-round drift cohort is formed from RAW per-query floors
+  vs that query's own best raw floor across prior BENCH_r*.json
+  (>1.2x = suspect), and adjudicated by interleaved same-host A/B with
+  control queries (SCALE.md protocol). ``calibration_bracket`` and
+  ``value_normalized`` (raw total / calibration floor) remain EMITTED
+  but are host-regime TELEMETRY ONLY - never a drift trigger and never
+  an adjudication target. Five consecutive cohorts (r8-r12) formed from
+  the normalized number were all noise: the calibration floor itself
+  fell monotonically 0.543 -> 0.297 across rounds on identical code
+  (page-cache/host regime), moving the denominator while every
+  suspect's raw floor hit all-time bests (SCALE.md ss-Round-12). The
+  former bracket max/min < 1.3 target is retired with it: the closing
+  bracket point keeps falling as the run itself warms the cache, which
+  is the same regime fact, not a measurement defect.
 - One-time family-checkpoint staging cost is a NAMED map (``staging``:
   pass-0 minus warm floor for every STAGING_QUERIES member - the queries
   whose first pass builds a family stage) instead of hiding inside
@@ -159,27 +169,32 @@ def calibration_pass(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def calibration_bracket_sample(spark, raw_sink: list[list[float]]) -> float:
+def calibration_bracket_sample(spark, raw_sink: list[dict]) -> float:
     """min-of-5 calibration at one bracket point (r10 verdict #3): a single
     sample swung 0.561->0.485 between rounds on identical code, making the
     normalized headline un-adjudicable; the same-host A/B protocol already
-    uses min-of-5 floors, so the yardstick must too. Raw samples are
-    appended to ``raw_sink`` for the runs artifact.
+    uses min-of-5 floors, so the yardstick must too.
 
     Discarded priming first (r11 verdict #3): the driver's r11 bracket read
     [0.967, 0.454, 0.448, 0.523] even though min-of-5 and a single warmup
     pass were in effect, so JIT/page-cache warmup outlasts 6 passes at
     point 1. Prime until two consecutive discarded passes agree within 20%
-    (max 4) — self-terminating after one pass once the shape is warm, so
-    later bracket points pay ~one extra sample."""
-    prev = calibration_pass(spark)
+    (max 4 priming passes) — once the shape is warm the first pair agrees,
+    so later bracket points pay exactly TWO priming passes (prev + first
+    cur), not one (r12 ADVICE docstring correction).
+
+    Each raw_sink entry is ``{"priming": [...], "samples": [...]}`` (r12
+    ADVICE): the priming passes are recorded, not discarded silently, so
+    the runs artifact shows whether priming converged or hit the 4-pass
+    cap — the visibility the r11 bracket diagnosis relied on. Only
+    ``samples`` feed the returned min."""
+    priming = [calibration_pass(spark)]
     for _ in range(3):
-        cur = calibration_pass(spark)
-        if cur <= prev * 1.2 and prev <= cur * 1.2:
+        priming.append(calibration_pass(spark))
+        if priming[-1] <= priming[-2] * 1.2 and priming[-2] <= priming[-1] * 1.2:
             break
-        prev = cur
     samples = [calibration_pass(spark) for _ in range(5)]
-    raw_sink.append(samples)
+    raw_sink.append({"priming": priming, "samples": samples})
     return min(samples)
 
 
@@ -252,8 +267,10 @@ def main() -> None:
         "calibration": calib_floor,
         # min-of-5 floors at each bracket point (before pass 1 / between
         # passes / after pass 2 / after adjudication) — r10 verdict #3.
-        # value_normalized = raw total divided by the calibration floor
-        # (host-speed units); compare THIS across rounds, not raw seconds.
+        # HOST-REGIME TELEMETRY ONLY since r13 (module docstring): drift
+        # is adjudicated from RAW per-query floors vs each query's own
+        # best-raw history; neither the bracket spread nor
+        # value_normalized is an actionable signal.
         "calibration_bracket": calib,
         "value_normalized": round(sum(per_query.values()) / calib_floor, 2),
         # One-time family-checkpoint staging, tracked as named numbers

@@ -711,6 +711,32 @@ def test_release_gate_statement_constructs_r10():
         assert violations(bl(ok), "emr-3") == [], ok
 
 
+def test_release_gate_purge_name_atom_linear_time_r12():
+    """r12 ADVICE (high): the PURGE name atom's bare-identifier branch was
+    ``[\\w.]+`` nested inside the outer ``+`` - a classic ambiguous
+    repetition that backtracked exponentially when a DROP TABLE of a LONG
+    bare name did NOT end in PURGE (measured 5.2 s at 26 chars, ~4x per
+    2 chars; a 40-char name effectively hung violations()). The branch is
+    now single-character, making the repetition unambiguous and the scan
+    O(n). Pin: a 500-char bare name resolves in well under a second both
+    with and without the trailing PURGE, and semantics are unchanged."""
+    import time
+
+    from bee_proof_spark.runner.release_gates import violations
+
+    name = "x" * 500
+    t0 = time.monotonic()
+    assert violations(f"DROP TABLE {name} CASCADE", "emr-3") == []
+    assert violations(f"DROP TABLE IF EXISTS db.{name}", "emr-3") == []
+    assert [v[0] for v in violations(f"DROP TABLE {name} PURGE", "emr-3")] == [
+        "PURGE"
+    ]
+    elapsed = time.monotonic() - t0
+    # exponential form needed ~5 s at 26 chars; O(n) form is sub-millisecond
+    # at 500. Generous bound to stay robust on a loaded host.
+    assert elapsed < 1.0, f"PURGE name atom no longer linear: {elapsed:.3f}s"
+
+
 def test_release_gate_scalar_subquery_distinct_head_r10():
     """ADVICE r9: SELECT DISTINCT (SELECT ...) head is as unambiguous as
     the plain head and gates the same; the ambiguous ', (SELECT' comma
