@@ -5021,3 +5021,141 @@ def test_fuzz_from_json_typed(engines, pred, shape, idx):
             f"FROM fuzz_lineitem WHERE {pred}"
         )
     _pair_agree(engines, s_sql, d_sql)
+
+
+# --------------------- surface 83: date_trunc grain walk + extract fields
+
+#: All eight shared grains: instants agree in BOTH engines at every grain
+#: (authoring probe r13), only the TYPING differs - duckdb returns DATE for
+#: day-and-coarser grains, TIMESTAMP below; Spark returns TIMESTAMP at
+#: every grain. CAST AS TIMESTAMP on both sides equalizes the rendering,
+#: so the family is same-text fuzzable (the r3-era scalar surface excluded
+#: date_trunc for exactly this typing gap).
+_TRUNC_GRAINS = ["year", "quarter", "month", "week", "day", "hour", "minute", "second"]
+
+#: extract fields with exact same-text agreement (probe census r13):
+#: YEAR/QUARTER/MONTH/DAY/HOUR/MINUTE/WEEK/DOY, and SECOND behind a CAST
+#: AS INT (Spark types it DECIMAL(8,6), duckdb BIGINT - same value). WEEK
+#: is ISO-week in both INCLUDING year-boundary dates (1995-01-01 -> 52,
+#: 1996-12-31 -> 1, probed both engines). Excluded: DOW/DAYOFWEEK (silent
+#: off-by-one, pin 32), EPOCH/MILLENNIUM (Spark-loud), ISODOW/DOW_ISO
+#: (engine-private names, paired inside pin 32's test).
+_EXTRACT_FIELDS = ["YEAR", "QUARTER", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND", "WEEK", "DOY"]
+
+#: In-row derived timestamp with sub-day variety (l_shipdate is
+#: midnight-only): interval-times-integer arithmetic is same-text and
+#: value-identical in both engines (probe; surface 56 pinned the
+#: mixed-GRAIN chain divergences - single-grain HOUR/MINUTE terms are on
+#: the safe side of that pin).
+_TS_EXPR = (
+    "(l_shipdate + INTERVAL 1 HOUR * (l_linenumber % 24)"
+    " + INTERVAL 1 MINUTE * (l_suppkey % 60))"
+)
+
+#: Composition steps for the walk column: re-truncating an already
+#: truncated value, fine grain applied first, coarse second.
+_WALK_COARSE = ["year", "quarter", "month"]
+_WALK_FINE = ["month", "week", "day", "hour"]
+
+
+@given(
+    pred=predicate,
+    grains=st.lists(st.sampled_from(_TRUNC_GRAINS), min_size=1, max_size=3, unique=True),
+    fields=st.lists(st.sampled_from(_EXTRACT_FIELDS), min_size=1, max_size=3, unique=True),
+    walk=st.one_of(
+        st.none(),
+        st.tuples(st.sampled_from(_WALK_COARSE), st.sampled_from(_WALK_FINE)),
+    ),
+    grouped=st.booleans(),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_date_trunc_grain_walk(engines, pred, grains, fields, walk, grouped):
+    """Surface 83 (VERDICT r12 item 6, the largest same-text family still
+    unfuzzed): date_trunc across all eight shared grains over a derived
+    sub-day timestamp, same-text with CAST AS TIMESTAMP equalizing the
+    DATE-vs-TIMESTAMP typing split; extract() over the probe-validated
+    exact field set; a grain-WALK composition column (date_trunc(coarse,
+    date_trunc(fine, ts))) whose fine-then-coarse result must agree
+    cross-engine even when the fine grain (week) crosses a month/quarter
+    boundary first; and a grouped form keyed by the truncated value."""
+    trunc_cols = [
+        f"CAST(date_trunc('{g}', {_TS_EXPR}) AS TIMESTAMP) AS t_{g}"
+        for g in grains
+    ]
+    ext_cols = [
+        f"CAST(extract({f} FROM {_TS_EXPR}) AS INT) AS e_{f.lower()}"
+        for f in fields
+    ]
+    walk_cols = []
+    if walk is not None:
+        coarse, fine = walk
+        walk_cols = [
+            f"CAST(date_trunc('{coarse}', date_trunc('{fine}', {_TS_EXPR}))"
+            f" AS TIMESTAMP) AS w_{coarse}_{fine}"
+        ]
+    if grouped:
+        key = trunc_cols[0]
+        key_expr = key.rsplit(" AS ", 1)[0]
+        _both_agree(
+            engines,
+            f"SELECT {key}, count(*) AS cnt, sum(l_linenumber) AS sln "
+            f"FROM fuzz_lineitem WHERE {pred} GROUP BY {key_expr}",
+        )
+    else:
+        cols = ", ".join(
+            ["l_orderkey", "l_linenumber"] + trunc_cols + ext_cols + walk_cols
+        )
+        _both_agree(
+            engines, f"SELECT {cols} FROM fuzz_lineitem WHERE {pred}"
+        )
+
+
+def test_extract_dow_divergence_pinned(engines):
+    """Pin 32 (r13, found by surface 83's authoring probe): day-of-week
+    extract numbering.
+
+    - same-text ``extract(DOW FROM d)``: Spark numbers Sunday=1..Saturday=7,
+      duckdb Sunday=0..Saturday=6 - a silent off-by-one on EVERY row.
+    - same-text ``extract(DAYOFWEEK FROM d)``: the same silent off-by-one
+      (each engine aliases DAYOFWEEK to its own dow numbering).
+    - the ISO numbering (Monday=1..Sunday=7) AGREES across engines but
+      only under engine-private field names: Spark ``DOW_ISO`` <-> duckdb
+      ``ISODOW``, and each engine REJECTS the other's name (loud).
+    - census: ``EPOCH`` and ``MILLENNIUM`` are Spark-loud
+      (INVALID_EXTRACT_FIELD) where duckdb returns values.
+
+    Oracle-authoring rule: never extract DOW/DAYOFWEEK same-text; pair
+    Spark DOW_ISO with duckdb ISODOW, or normalize both sides through the
+    ISO form. Pinned over a full Monday..Sunday walk (1995-06-12..18)."""
+    spark, con = engines
+    for i in range(7):  # 1995-06-12 is a Monday; iso = i+1
+        d = f"DATE '1995-06-{12 + i:02d}'"
+        iso = i + 1
+        spark_dow = 1 if iso == 7 else iso + 1  # Sunday=1..Saturday=7
+        s = spark.sql(
+            f"SELECT extract(DOW FROM {d}), extract(DAYOFWEEK FROM {d}), "
+            f"extract(DOW_ISO FROM {d})"
+        ).collect()[0]
+        o = con.execute(
+            f"SELECT extract(DOW FROM {d}), extract(DAYOFWEEK FROM {d}), "
+            f"extract(ISODOW FROM {d})"
+        ).fetchone()
+        assert tuple(s) == (spark_dow, spark_dow, iso), d
+        assert tuple(o) == (spark_dow - 1, spark_dow - 1, iso), d
+    # loud census: each engine rejects the other's ISO field name, and
+    # Spark rejects EPOCH where duckdb computes it
+    from pyspark.errors import AnalysisException
+
+    for bad in ("ISODOW", "EPOCH"):
+        with pytest.raises(AnalysisException):
+            spark.sql(f"SELECT extract({bad} FROM DATE '1995-06-17')").collect()
+    with pytest.raises(duckdb.Error):
+        con._con.execute("SELECT extract(DOW_ISO FROM DATE '1995-06-17')")
+    assert con.execute(
+        "SELECT extract(EPOCH FROM DATE '1995-06-17')"
+    ).fetchone()[0] == 803347200.0

@@ -928,3 +928,282 @@ def test_release_gate_line_addressing_property(spark, runner_out):
         assert ei.value.line == expected, script
 
     check()
+
+
+# --------------------------------------------- whole-script e2e fuzz (r13)
+
+# Surface 82 (VERDICT r12 item 6): the lexical layers (splitter,
+# substitution, gates) have hypothesis coverage in test_properties.py, but
+# nothing generated WHOLE multi-statement scripts and ran them through the
+# real executor in BOTH modes. These two surfaces do: a generated script of
+# CREATE/INSERT/SELECT/SET-hivevar/USE statements, decorated with
+# semicolon-bearing comments and literals and ${VAR} substitution, is run
+# through run_manifest in execute AND dry-run mode against a PREDICTED
+# full protocol stream (Processing header, per-exec '> Skipped!' vs printed
+# rows, blank-line trailer, '> Total time:' last even on failure),
+# fail-fast state (rows inserted before a planted bad statement only, same
+# line-addressed StatementError in both modes), and release-gate version
+# monotonicity end-to-end across emr-3/4/5 with gate errors addressed to
+# the gated statement's line. Soak with FUZZ_EXAMPLES_SCALE=12.
+
+import itertools as _it
+import os as _os
+import tempfile as _tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SCALE = max(1, int(_os.environ.get("FUZZ_EXAMPLES_SCALE", "1")))
+_E2E_IDS = _it.count()
+_E2E_DIR = _tempfile.mkdtemp(prefix="bps_e2e_fuzz_")
+
+_DECORATIONS = [
+    "",
+    "-- note; a semicolon lives in this comment",
+    "/* block ; comment */",
+    "-- ${W} in a comment is not a reference site",
+]
+_B_VALS = ["x", "a;b", "semi;co;lon", "plain_9", "w v"]
+
+
+@st.composite
+def _e2e_script_plan(draw):
+    """A whole-script plan: op list + decorations + optional planted
+    failure. Rendering (table names, expected streams) happens in the
+    test body so shrink replays can't collide on catalog state."""
+    ops = [{"kind": "create", "decs": draw(st.lists(st.sampled_from(_DECORATIONS), max_size=2))}]
+    n = draw(st.integers(2, 6))
+    v_defined = False
+    for _ in range(n):
+        kind = draw(st.sampled_from(
+            ["insert", "query", "sel_lit", "sel_w", "sethv", "use"]
+            + (["sel_v"] if v_defined else [])
+        ))
+        op = {"kind": kind, "decs": draw(st.lists(st.sampled_from(_DECORATIONS), max_size=2))}
+        if kind == "insert":
+            op["vals"] = draw(st.lists(st.sampled_from(_B_VALS), min_size=1, max_size=3))
+        elif kind == "sel_lit":
+            op["lit"] = draw(st.sampled_from(_B_VALS))
+        elif kind == "sethv":
+            op["val"] = draw(st.sampled_from(["hv1", "hv_2", "zz"]))
+            v_defined = True
+        elif kind == "sel_v":
+            pass  # value resolved at render time from the last sethv
+        ops.append(op)
+    fail = draw(st.sampled_from([None, "analysis", "parse"]))
+    if fail is not None:
+        # the planted bad statement, then one insert that must never run
+        ops.append({"kind": fail, "decs": draw(st.lists(st.sampled_from(_DECORATIONS), max_size=2))})
+        ops.append({"kind": "insert", "decs": [], "vals": ["never"]})
+    return ops
+
+
+def _render_e2e(ops, tbl):
+    """Render a plan to (script_text, per-op lines, expected streams).
+
+    Returns (script, exec_rows_final, expected_dry, expected_exec,
+    fail_line) where expected_* are the mid-stream lines (between the
+    Processing header and the blank-line trailer) for each mode and
+    exec_rows_final is the table content execute mode must leave behind.
+    """
+    segs: list[str] = []
+    line = 1
+    next_a = _it.count(1)
+    rows: list[tuple[int, str]] = []
+    dry: list[str] = []
+    exc: list[str] = []
+    v_val = None
+    fail_line = None
+    for op in ops:
+        for d in op["decs"]:
+            segs.append(d)
+            line += 1
+        k = op["kind"]
+        if k == "create":
+            sql = f"CREATE TABLE {tbl} (a INT, b STRING) USING parquet"
+        elif k == "insert":
+            pairs = [(next(next_a), b) for b in op["vals"]]
+            sql = f"INSERT INTO {tbl} VALUES " + ", ".join(
+                f"({a}, '{b}')" for a, b in pairs
+            )
+            if fail_line is None:
+                rows.extend(pairs)
+                dry.append("> Skipped!")
+        elif k == "query":
+            sql = f"SELECT a, b FROM {tbl} ORDER BY a"
+            if fail_line is None:
+                exc.extend(f"{a}\t{b}" for a, b in sorted(rows))
+                dry.append("> Skipped!")
+        elif k == "sel_lit":
+            sql = f"SELECT '{op['lit']}' AS s"
+            if fail_line is None:
+                exc.append(op["lit"])
+                dry.append("> Skipped!")
+        elif k == "sel_w":
+            sql = "SELECT ${W} AS w"
+            if fail_line is None:
+                exc.append("wv")
+                dry.append("> Skipped!")
+        elif k == "sethv":
+            v_val = op["val"]
+            sql = f"SET hivevar:V='{v_val}'"
+        elif k == "sel_v":
+            sql = "SELECT ${V} AS v"
+            if fail_line is None:
+                exc.append(v_val)
+                dry.append("> Skipped!")
+        elif k == "use":
+            sql = "USE default"
+        elif k == "analysis":
+            sql = f"SELECT nope_col FROM {tbl}"
+            if fail_line is None:
+                fail_line = line
+        elif k == "parse":
+            sql = "SELEC 1 FROMM nowhere"
+            if fail_line is None:
+                fail_line = line
+        segs.append(sql + ";")
+        line += 1
+    return "\n".join(segs) + "\n", rows, dry, exc, fail_line
+
+
+def _run_e2e_manifest(spark, path, execute):
+    from bee_proof_spark.runner.executor import run_manifest
+    from bee_proof_spark.runner.manifest import Manifest
+
+    m = Manifest.from_dict({
+        "tasks": [{"script": path, "variables": {"W": "'wv'"}}],
+        "enableHadoop": execute,
+        "verboseOutput": False,
+    })
+    lines: list[str] = []
+    err = None
+    try:
+        run_manifest(m, spark, out=lines.append)
+    except StatementError as ex:
+        err = ex
+    return lines, err
+
+
+@given(ops=_e2e_script_plan())
+@settings(
+    max_examples=10 * _SCALE,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_runner_script_mode_parity(spark, ops):
+    """Whole-script execute/dry-run protocol parity against a fully
+    PREDICTED stream: same Processing header, dry-run replaces exactly the
+    exec statements' output with '> Skipped!', execute prints exactly the
+    predicted query rows (accumulated insert state, literal semicolons,
+    ${W} manifest and SET-hivevar substitution), '> Total time:' is the
+    last line in BOTH modes even when the script fails, a planted bad
+    statement raises the SAME line-addressed StatementError in both modes,
+    and fail-fast leaves only the rows inserted before it."""
+    case = next(_E2E_IDS)
+    created = []
+    try:
+        for mode, suffix in ((False, "d"), (True, "e")):
+            tbl = f"e2e_fz_{case}_{suffix}"
+            created.append(tbl)
+            script, rows, dry, exc, fail_line = _render_e2e(ops, tbl)
+            path = f"{_E2E_DIR}/s_{case}_{suffix}.hql"
+            with open(path, "w") as fh:
+                fh.write(script)
+            lines, err = _run_e2e_manifest(spark, path, execute=mode)
+            assert lines[0] == f">>>>>>>> Processing:  {path}"
+            assert lines[-1].startswith("> Total time:  ") and lines[-1].endswith("ms")
+            if fail_line is None:
+                assert err is None
+                body = lines[1:-1]
+                assert body[-2:] == ["", ""]
+                assert body[:-2] == (exc if mode else dry), script
+            else:
+                assert err is not None and err.line == fail_line, script
+            # fail-fast + dry-run-never-moves-data, from the catalog itself
+            expect_rows = sorted(rows) if mode else []
+            got = sorted(
+                (r.a, r.b) for r in spark.table(tbl).collect()
+            ) if spark.catalog.tableExists(tbl) else []
+            assert got == expect_rows, script
+    finally:
+        for tbl in created:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+#: (single-line gated statement template, construct name, minimum Hive
+#: version) - every template analyzes clean on emr-5 dry-run.
+_GATED_FRAGS = [
+    ("SELECT greatest(a, a) AS g FROM {t}", "greatest()", (1, 1, 0)),
+    ("SELECT CURRENT_DATE AS d", "CURRENT_DATE", (1, 2, 0)),
+    ("SELECT a FROM {t} UNION SELECT a FROM {t}", "UNION [DISTINCT]", (1, 2, 0)),
+    ("SELECT md5(b) AS h FROM {t}", "md5()", (1, 3, 0)),
+    ("SELECT bround(CAST(a AS DOUBLE)) AS r FROM {t}", "bround()", (2, 0, 0)),
+    ("SELECT nullif(a, a) AS n FROM {t}", "nullif()", (2, 3, 0)),
+    ("SELECT a FROM {t} INTERSECT SELECT a FROM {t}", "INTERSECT", (2, 3, 0)),
+]
+
+
+@given(
+    frag=st.sampled_from(_GATED_FRAGS),
+    pre_decs=st.lists(st.sampled_from(_DECORATIONS), max_size=3),
+    n_before=st.integers(0, 2),
+    trailing=st.booleans(),
+)
+@settings(
+    max_examples=8 * _SCALE,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_runner_gate_version_monotonic_e2e(spark, frag, pre_decs, n_before, trailing):
+    """Release-gate version monotonicity END-TO-END through the executor:
+    one generated script carrying exactly one gated construct is dry-run
+    under emr-3/emr-4/emr-5. Expected outcome is computed from the pin
+    table alone (fails iff min_version > pin), so acceptance is monotone in
+    the pin by construction of the assertion; additionally the gate error
+    is line-addressed to the gated statement (past comment/blank
+    decorations), names the construct, fail-fasts (later statements are
+    not reached), and emr-5 never gate-fails."""
+    from bee_proof_spark.runner.release_gates import RELEASE_HIVE_VERSION
+
+    sql_tpl, construct, need = frag
+    case = next(_E2E_IDS)
+    tbl = f"e2e_gz_{case}"
+    segs = [f"CREATE TABLE {tbl} (a INT, b STRING) USING parquet;"]
+    line = 2
+    for i in range(n_before):
+        segs.append(f"SELECT {i} AS k{i};")
+        line += 1
+    for d in pre_decs:
+        segs.append(d)
+        line += 1
+    gate_line = line
+    segs.append(sql_tpl.format(t=tbl) + ";")
+    if trailing:
+        segs.append(f"SELECT a FROM {tbl};")
+    script = "\n".join(segs) + "\n"
+    failed = {}
+    try:
+        for release, pin in RELEASE_HIVE_VERSION.items():
+            lines: list[str] = []
+            r = ScriptRunner(spark, execute=False, verbose=False,
+                             out=lines.append, release=release)
+            if need > pin:
+                with pytest.raises(StatementError) as ei:
+                    r.run_text(script)
+                assert ei.value.line == gate_line, (release, script)
+                assert construct in str(ei.value) and "release gate" in str(ei.value)
+                # fail-fast: only the n_before benign selects were skipped
+                assert lines.count("> Skipped!") == n_before, (release, script)
+                failed[release] = True
+            else:
+                r.run_text(script)
+                assert lines.count("> Skipped!") == n_before + 1 + (1 if trailing else 0)
+                failed[release] = False
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # explicit monotonicity record: emr-5 never fails; an emr-4 failure
+        # implies an emr-3 failure
+        assert failed["emr-5"] is False
+        assert not (failed["emr-4"] and not failed["emr-3"])
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
