@@ -38,10 +38,13 @@ Methodology (self-adjudicating, round-3):
   the artifact alone. Each bracket point is itself a MIN-OF-5 (r10
   verdict #3) behind a self-terminating priming loop (r11 verdict #3).
 - **Drift rule (r13, VERDICT r12 item 2 - the ONLY actionable signal):**
-  a round-over-round drift cohort is formed from RAW per-query floors
-  vs that query's own best raw floor across prior BENCH_r*.json
-  (>1.2x = suspect), and adjudicated by interleaved same-host A/B with
-  control queries (SCALE.md protocol). ``calibration_bracket`` and
+  ``python tools/drift_screen.py <bench-line.json>`` - RAW per-query
+  floors, regime-corrected by the per-round MEDIAN ratio over shared
+  queries (every benched query acts as a control; a factor shared by
+  the whole set is the host moving, not the queries). A query is a
+  suspect only if it exceeds 1.2x its regime-corrected floor in every
+  prior same-sf round; suspects are adjudicated by interleaved
+  same-host A/B (SCALE.md protocol). ``calibration_bracket`` and
   ``value_normalized`` (raw total / calibration floor) remain EMITTED
   but are host-regime TELEMETRY ONLY - never a drift trigger and never
   an adjudication target. Five consecutive cohorts (r8-r12) formed from
