@@ -5159,3 +5159,133 @@ def test_extract_dow_divergence_pinned(engines):
     assert con.execute(
         "SELECT extract(EPOCH FROM DATE '1995-06-17')"
     ).fetchone()[0] == 803347200.0
+
+
+# ------------------------- surface 84: ranking-fraction window functions
+
+@given(
+    pred=predicate,
+    pk=st.sampled_from(STR_COLS + ["l_linenumber"]),
+    n=st.integers(2, 7),
+    coarse=st.sampled_from(["l_linenumber", "l_suppkey % 5", "l_quantity"]),
+    desc=st.booleans(),
+    shape=st.sampled_from(["full", "coarse_ntile"]),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_ranking_window_family(engines, pred, pk, n, coarse, desc, shape):
+    """Surface 84 (r13): the ranking/fraction window family, closing the
+    window-function coverage - ntile(n), percent_rank(), cume_dist()
+    same-text over the verified-unique total order (positional bucket
+    assignment is only deterministic tie-free), and rank()/dense_rank()/
+    percent_rank()/cume_dist() over a COARSE (tied) ordering key - those
+    four are tie-STABLE (every peer row gets the same value), so with the
+    ordering key in the output the rowset is permutation-invariant. The
+    'coarse_ntile' shape projects only (partition key, bucket id): bucket
+    SIZES are deterministic under ties even though row assignment is
+    engine-chosen, so the (pk, nt) multiset must agree (authoring probe).
+    percent_rank/cume_dist are integer-ratio doubles - both engines divide
+    the same two integers, so IEEE equality is exact. Census (probe r13):
+    QUALIFY is duckdb-only (Spark PARSE_SYNTAX_ERROR) - filter through a
+    subquery instead."""
+    dirn = "DESC" if desc else "ASC"
+    if shape == "coarse_ntile":
+        _both_agree(
+            engines,
+            f"SELECT {pk}, ntile({n}) OVER (PARTITION BY {pk} "
+            f"ORDER BY {coarse} {dirn}) AS nt "
+            f"FROM fuzz_lineitem WHERE {pred}",
+        )
+        return
+    w = f"(PARTITION BY {pk} ORDER BY {_TOTAL_ORDER})"
+    w2 = f"(PARTITION BY {pk} ORDER BY {coarse} {dirn})"
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {coarse} AS ck, "
+        f"ntile({n}) OVER {w} AS nt, "
+        f"percent_rank() OVER {w} AS pr, "
+        f"cume_dist() OVER {w} AS cd, "
+        f"rank() OVER {w2} AS rk, "
+        f"dense_rank() OVER {w2} AS dr, "
+        f"percent_rank() OVER {w2} AS pr2, "
+        f"cume_dist() OVER {w2} AS cd2 "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
+
+
+def test_round_double_scale_divergence_pinned(engines):
+    """Pin 33 (r13): round(DOUBLE, scale) with scale > 0 is SILENTLY
+    engine-dependent - the reason round-on-doubles was excluded from the
+    scalar fuzz grammar back at surface 2, now pinned with its mechanism.
+
+    Spark routes the double through its SHORTEST DECIMAL REPRESENTATION
+    (BigDecimal.valueOf = Double.toString) and applies HALF_UP, so a
+    literal trailing ...5 always rounds away from zero. DuckDB computes in
+    scaled binary (x * 10^scale, then round-half-away on the PRODUCT), so
+    the result follows which side of the .5 midpoint the binary product
+    lands on. They disagree exactly when the product falls BELOW the
+    midpoint while the shortest repr reads ...5: round(1.005, 2) -> Spark
+    1.01, duck 1.00 (product 100.4999...); same for 1.015, 0.285, and
+    sign-symmetrically -1.005 -> -1.01 vs -1.00. When the product lands ON
+    or ABOVE the midpoint (2.675 -> 267.5 exactly; 8.835 -> 883.50000...1)
+    both round up and AGREE - so the divergence is one-directional and
+    data-dependent, invisible to spot checks. That 1.0049999999999999
+    (the same binary double as 1.005) also yields Spark 1.01 proves the
+    repr, not the binary value, drives Spark.
+
+    round(DOUBLE) at scale 0 always agrees (no scaling multiply; both
+    half-away; 200-value .5-grid probe found zero diffs) and stays
+    fuzzable. DECIMAL-typed rounding agrees (both exact HALF_UP).
+
+    Oracle-authoring note: the repo-wide ``round(x, 4)`` discipline on
+    floating AGGREGATES survives because a divergence needs the value
+    within ~1 ulp of a decimal midpoint at the 4th place - arbitrary
+    sums land there with probability ~1e-12 - but never round a LITERAL
+    midpoint cross-engine at scale > 0.
+
+    Census (same probe): sign() types DOUBLE in Spark for every numeric
+    input vs NUMBER in duckdb (CAST to compare); ln/log10/sqrt of
+    non-positive inputs are Spark-NULL/NaN vs duckdb Out of Range ERROR
+    (duck-loud)."""
+    spark, con = engines
+
+    def both(expr):
+        s = spark.sql(f"SELECT {expr} AS r").collect()[0][0]
+        d = con.execute(f"SELECT {expr} AS r").fetchone()[0]
+        return s, d
+
+    # the divergent family: repr says .5, binary product says below-.5
+    for lit, up, down in [
+        ("1.005", 1.01, 1.0),
+        ("1.015", 1.02, 1.01),
+        ("0.285", 0.29, 0.28),
+        ("-1.005", -1.01, -1.0),
+        ("1.0049999999999999", 1.01, 1.0),  # same binary double as 1.005
+    ]:
+        s, d = both(f"round(CAST({lit} AS DOUBLE), 2)")
+        assert (s, d) == (up, down), (lit, s, d)
+    # the agreeing side of the same coin: product at/above the midpoint
+    for lit, agreed in [("2.675", 2.68), ("8.835", 8.84), ("56.645", 56.65)]:
+        s, d = both(f"round(CAST({lit} AS DOUBLE), 2)")
+        assert s == d == agreed, (lit, s, d)
+    # scale 0 agrees, including exact .5 and negative .5
+    for lit in ["2.5", "3.5", "-2.5", "0.5", "-0.5"]:
+        s, d = both(f"round(CAST({lit} AS DOUBLE))")
+        assert float(s) == float(d), (lit, s, d)
+    # DECIMAL rounding agrees (both exact HALF_UP)
+    s, d = both("round(CAST(2.5 AS DECIMAL(5,1)))")
+    assert float(s) == float(d) == 3.0
+    # census: sign typing; duck-loud math domain errors vs Spark NULL/NaN
+    s, d = both("sign(CAST(-3 AS INT))")
+    assert isinstance(s, float) and s == -1.0 and d == -1
+    assert spark.sql("SELECT ln(0.0) AS r").collect()[0][0] is None
+    import math
+
+    assert math.isnan(spark.sql("SELECT sqrt(-1.0) AS r").collect()[0][0])
+    for bad in ["ln(0.0)", "sqrt(-1.0)", "log10(-5.0)"]:
+        with pytest.raises(duckdb.Error):
+            con._con.execute(f"SELECT {bad}")
