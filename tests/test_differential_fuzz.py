@@ -5289,3 +5289,113 @@ def test_round_double_scale_divergence_pinned(engines):
     for bad in ["ln(0.0)", "sqrt(-1.0)", "log10(-5.0)"]:
         with pytest.raises(duckdb.Error):
             con._con.execute(f"SELECT {bad}")
+
+
+# ------------------- surface 85: day-difference (crossing-counting) pair
+
+#: Two derived day-ish anchors with sub-day time parts, so the crossing
+#: count genuinely depends on CALENDAR boundaries, not elapsed time.
+_TS_A = "(l_shipdate + INTERVAL 1 HOUR * (l_linenumber % 24))"
+_TS_B = (
+    "(l_shipdate + INTERVAL 1 DAY * (l_suppkey % 5)"
+    " + INTERVAL 1 HOUR * (l_partkey % 24))"
+)
+
+
+@given(
+    pred=predicate,
+    swap=st.booleans(),
+    dated=st.booleans(),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_datediff_day_crossing(engines, pred, swap, dated):
+    """Surface 85 (r13): the one cross-engine-agreeing member of the date
+    difference family - Spark two-arg ``datediff(end, start)`` paired with
+    duckdb ``date_diff('day', start, end)``, both counting calendar
+    DAY-BOUNDARY CROSSINGS (signed), over derived timestamps whose sub-day
+    parts make crossing != elapsed (pin 34 holds the divergent members:
+    Spark timestampdiff/date_diff(UNIT) count elapsed complete units).
+    ``dated`` also exercises DATE-typed inputs (Spark casts timestamps to
+    DATE first - same crossing count by construction)."""
+    a, b = (_TS_B, _TS_A) if swap else (_TS_A, _TS_B)
+    if dated:
+        a, b = f"CAST({a} AS DATE)", f"CAST({b} AS DATE)"
+    s_sql = (
+        f"SELECT l_orderkey, l_linenumber, datediff({b}, {a}) AS dd "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    d_sql = (
+        f"SELECT l_orderkey, l_linenumber, date_diff('day', {a}, {b}) AS dd "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    _pair_agree(engines, s_sql, d_sql)
+
+
+def test_date_diff_semantics_divergence_pinned(engines):
+    """Pin 34 (r13, found by surface 85's authoring probe): the date
+    difference family is a DOUBLE trap - the shared name ``date_diff``
+    computes DIFFERENT semantics in the two engines, and every
+    mis-spelling of the unit argument is loud, so the only silent path is
+    assuming the shared name shares semantics.
+
+    - Spark ``timestampdiff(UNIT, a, b)`` and its alias
+      ``date_diff(UNIT, a, b)`` count ELAPSED COMPLETE units:
+      23:00 -> next-day 01:00 is 0 DAYs; 23:30 -> 00:10 is 0 HOURs;
+      Jan-31 -> Feb-28 is 0 MONTHs.
+    - duckdb ``date_diff('unit', a, b)`` (and 3-arg ``datediff``) counts
+      GRAIN-BOUNDARY CROSSINGS: the same inputs give 1 day, 1 hour,
+      1 month (signed: Feb-01 -> Jan-31 is -1 month where Spark says 0).
+    - Name/spelling census (all loud): ``timestampdiff`` does not exist
+      in duckdb; Spark rejects a QUOTED unit ('day') with
+      INVALID_PARAMETER_VALUE; duckdb binds an UNQUOTED unit (DAY) as a
+      column reference and fails; Spark two-arg ``datediff(end, start)``
+      has no duckdb overload.
+    - The agreeing pair (surface 85): Spark two-arg
+      ``datediff(end, start)`` <-> duckdb ``date_diff('day', start,
+      end)`` - both day-boundary crossings, both signed."""
+    spark, con = engines
+    a = "TIMESTAMP '1995-06-17 23:00:00'"
+    b = "TIMESTAMP '1995-06-18 01:00:00'"
+    assert spark.sql(f"SELECT timestampdiff(DAY, {a}, {b}) AS v").collect()[0][0] == 0
+    assert spark.sql(f"SELECT date_diff(DAY, {a}, {b}) AS v").collect()[0][0] == 0
+    assert spark.sql(f"SELECT datediff({b}, {a}) AS v").collect()[0][0] == 1
+    assert con.execute(f"SELECT date_diff('day', {a}, {b})").fetchone()[0] == 1
+    h1 = "TIMESTAMP '1995-06-17 23:30:00'"
+    h2 = "TIMESTAMP '1995-06-18 00:10:00'"
+    assert spark.sql(f"SELECT timestampdiff(HOUR, {h1}, {h2}) AS v").collect()[0][0] == 0
+    assert con.execute(f"SELECT date_diff('hour', {h1}, {h2})").fetchone()[0] == 1
+    assert spark.sql(
+        "SELECT timestampdiff(MONTH, DATE '1995-01-31', DATE '1995-02-28') AS v"
+    ).collect()[0][0] == 0
+    assert con.execute(
+        "SELECT date_diff('month', DATE '1995-01-31', DATE '1995-02-28')"
+    ).fetchone()[0] == 1
+    assert spark.sql(
+        "SELECT timestampdiff(MONTH, DATE '1995-02-01', DATE '1995-01-31') AS v"
+    ).collect()[0][0] == 0
+    assert con.execute(
+        "SELECT date_diff('month', DATE '1995-02-01', DATE '1995-01-31')"
+    ).fetchone()[0] == -1
+    # signed day crossings agree through the safe pair
+    assert spark.sql(
+        "SELECT datediff(DATE '1995-06-10', DATE '1995-06-17') AS v"
+    ).collect()[0][0] == -7
+    assert con.execute(
+        "SELECT date_diff('day', DATE '1995-06-17', DATE '1995-06-10')"
+    ).fetchone()[0] == -7
+    # loud census
+    from pyspark.errors import AnalysisException, ParseException
+
+    with pytest.raises((AnalysisException, ParseException)):
+        spark.sql(f"SELECT date_diff('day', {a}, {b})").collect()
+    with pytest.raises(duckdb.Error):
+        con._con.execute(f"SELECT timestampdiff(DAY, {a}, {b})")
+    with pytest.raises(duckdb.Error):
+        con._con.execute(f"SELECT date_diff(DAY, {a}, {b})")
+    with pytest.raises(duckdb.Error):
+        con._con.execute(f"SELECT datediff({b}, {a})")
