@@ -5399,3 +5399,72 @@ def test_date_diff_semantics_divergence_pinned(engines):
         con._con.execute(f"SELECT date_diff(DAY, {a}, {b})")
     with pytest.raises(duckdb.Error):
         con._con.execute(f"SELECT datediff({b}, {a})")
+
+
+# ---------------- surface 86: date_format <-> strftime formatting walk
+
+#: Probe-validated field-pair table (r13, both anchors 1995-06-07
+#: 09:05:03 and 2000-01-02 23:59:59): Java pattern <-> C specifier
+#: rendering identically - zero-padded and unpadded numerics (duckdb's
+#: glibc-style '-' no-pad modifier), day-of-year, 12-hour + AM/PM,
+#: English month/day names (both engines locale-fixed here), 2-digit
+#: year. Loud census: quarter has NO strftime specifier in duckdb 1.0
+#: (%q Invalid Input); Spark BANS the week-based Java fields Y/w/W/u
+#: at formatting time (DATETIME_PATTERN_RECOGNITION) where duckdb
+#: formats %V/%G happily - both engine-private, neither silent.
+_FMT_PAIRS = [
+    ("yyyy", "%Y"), ("yy", "%y"), ("MM", "%m"), ("M", "%-m"),
+    ("dd", "%d"), ("d", "%-d"), ("HH", "%H"), ("H", "%-H"),
+    ("mm", "%M"), ("ss", "%S"), ("DDD", "%j"), ("D", "%-j"),
+    ("a", "%p"), ("hh", "%I"), ("h", "%-I"),
+    ("MMM", "%b"), ("MMMM", "%B"), ("EEE", "%a"), ("EEEE", "%A"),
+]
+
+#: Derived timestamp with hour/minute/second variety for the walk.
+_TS_FMT = (
+    "(l_shipdate + INTERVAL 1 HOUR * (l_linenumber % 24)"
+    " + INTERVAL 1 MINUTE * (l_suppkey % 60)"
+    " + INTERVAL 1 SECOND * (l_partkey % 60))"
+)
+
+
+@given(
+    pred=predicate,
+    idxs=st.lists(
+        st.integers(0, len(_FMT_PAIRS) - 1), min_size=1, max_size=4, unique=True
+    ),
+    sep=st.sampled_from(["-", " ", ":", "/", ".", "T"]),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_date_format_strftime_walk(engines, pred, idxs, sep):
+    """Surface 86 (r13): timestamp FORMATTING - Spark date_format (Java
+    DateTimeFormatter patterns) paired with duckdb strftime (C specifiers),
+    both renderings machine-generated from one draw over the probe-validated
+    field-pair table, joined by a literal separator, over a derived
+    timestamp with full hour/minute/second variety (AM/PM and 12-hour
+    fields cross noon and midnight within any non-trivial predicate's
+    rowset). 'T' as a separator doubles as a Java reserved-letter check:
+    it is literal in C strftime but must be QUOTED in a Java pattern -
+    the rendering wraps non-alphanumeric-safe separators per engine."""
+    fields = [_FMT_PAIRS[i] for i in idxs]
+    # Java reserved letters must be pattern-quoted ('T'); the pattern
+    # itself lives inside a SQL string literal, so the quote doubles.
+    j_sep = f"''{sep}''" if sep.isalpha() else sep
+    j_pat = j_sep.join(j for j, _ in fields)
+    c_pat = sep.join(c for _, c in fields)
+    s_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"date_format({_TS_FMT}, '{j_pat}') AS f "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    d_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"strftime({_TS_FMT}, '{c_pat}') AS f "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    _pair_agree(engines, s_sql, d_sql)
