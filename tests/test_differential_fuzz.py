@@ -5468,3 +5468,131 @@ def test_fuzz_date_format_strftime_walk(engines, pred, idxs, sep):
         f"FROM fuzz_lineitem WHERE {pred}"
     )
     _pair_agree(engines, s_sql, d_sql)
+
+
+# ------------- surface 87: to_timestamp <-> strptime parse roundtrip
+
+#: Reconstruction-sufficient field subsets for the parse walk: each draw
+#: formats the derived timestamp with surface 86's paired renderers, then
+#: parses its own text back with the same paired pattern - the parsed
+#: TIMESTAMPs must agree cross-engine. Zero-padded fields only: pin 35
+#: clause (b) - Spark's padded patterns REJECT unpadded input while
+#: duckdb's %m accepts it, so mixed-padding parse grammars are unsafe.
+#: yyyy+DDD <-> %Y+%j is EXCLUDED: pin 35 clause (d), found by this
+#: surface's own first run - duckdb strptime silently IGNORES %j.
+_PARSE_FIELDS = [
+    [("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d")],
+    [("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"), ("HH", "%H"), ("mm", "%M")],
+    [("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"), ("hh", "%I"), ("a", "%p")],
+    [("dd", "%d"), ("MMM", "%b"), ("yyyy", "%Y"), ("HH", "%H")],
+]
+
+
+@given(
+    pred=predicate,
+    fi=st.integers(0, len(_PARSE_FIELDS) - 1),
+    sep=st.sampled_from(["-", " ", ":", "/"]),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_to_timestamp_strptime_roundtrip(engines, pred, fi, sep):
+    """Surface 87 (r13): timestamp PARSING, the mirror of surface 86 -
+    each engine formats the derived timestamp with its own renderer from
+    one paired draw, parses the text back with the same paired pattern
+    (Spark to_timestamp / duckdb strptime), and the reconstructed
+    TIMESTAMPs compare cross-engine. Field subsets are reconstruction-
+    sufficient (unparsed fields default to the epoch floor in both
+    engines - probe: year+doy works, hour-less forms floor to midnight
+    in both); 12-hour + AM/PM re-parses across noon/midnight."""
+    fields = _PARSE_FIELDS[fi]
+    j_pat = sep.join(j for j, _ in fields)
+    c_pat = sep.join(c for _, c in fields)
+    s_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"to_timestamp(date_format({_TS_FMT}, '{j_pat}'), '{j_pat}') AS t "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    d_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"strptime(strftime({_TS_FMT}, '{c_pat}'), '{c_pat}') AS t "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    _pair_agree(engines, s_sql, d_sql)
+
+
+def test_two_digit_year_pivot_divergence_pinned(engines):
+    """Pin 35 (r13, found by surface 87's authoring probe): timestamp
+    PARSE grammars, three clauses.
+
+    (a) **Two-digit-year century pivot - a silent 100-year error.** Java
+    'yy' parses into 2000-2099 (Spark: '95' -> 2095, '69' -> 2069);
+    strptime %y uses the POSIX 69-pivot ('95' -> 1995, '69' -> 1969).
+    They agree ONLY for 00-68. Never parse two-digit years cross-engine;
+    the divergent half is value-silent in both engines.
+
+    (b) **Padding strictness - silent NULL-vs-value flips.** Spark's
+    zero-padded patterns REJECT unpadded input ('1995-6-7' under
+    'yyyy-MM-dd' -> NULL) where duckdb's %m/%d parse it (-> the value).
+    Unpadded patterns ('M' / %-m) accept unpadded input in both. Use
+    zero-padded text with zero-padded patterns, or unpadded with
+    unpadded - never mix cross-engine.
+
+    (c) **Error posture census (semi-loud, same shape as pin 30/81):**
+    invalid calendar dates ('1995-02-30') and garbage parse to NULL in
+    Spark (this profile; ANSI raises) but RAISE in duckdb strptime;
+    duckdb try_strptime <-> Spark try_to_timestamp both yield NULL and
+    restore agreement.
+
+    (d) **duckdb strptime silently IGNORES %j** (found by surface 87's
+    own first run): every 'YYYY-DOY' input parses to January 1 of the
+    year - the day-of-year digits are consumed but never applied -
+    while Spark's 'yyyy-DDD' reconstructs the real date. strftime %j
+    FORMATS correctly (surface 86), so the roundtrip corrupts silently
+    on the duckdb side only."""
+    spark, con = engines
+    cases = {"95": (2095, 1995), "69": (2069, 1969), "68": (2068, 2068),
+             "00": (2000, 2000), "30": (2030, 2030)}
+    for y, (s_year, d_year) in cases.items():
+        s = spark.sql(
+            f"SELECT to_timestamp('{y}-06-07', 'yy-MM-dd') AS t"
+        ).collect()[0][0]
+        d = con.execute(f"SELECT strptime('{y}-06-07', '%y-%m-%d')").fetchone()[0]
+        assert s.year == s_year and d.year == d_year, (y, s, d)
+    # (b) padding strictness
+    assert spark.sql(
+        "SELECT to_timestamp('1995-6-7', 'yyyy-MM-dd') AS t"
+    ).collect()[0][0] is None
+    assert con.execute(
+        "SELECT strptime('1995-6-7', '%Y-%m-%d')"
+    ).fetchone()[0].year == 1995
+    # both accept unpadded under unpadded patterns
+    assert spark.sql(
+        "SELECT to_timestamp('1995-6-7', 'yyyy-M-d') AS t"
+    ).collect()[0][0].year == 1995
+    assert con.execute(
+        "SELECT strptime('1995-6-7', '%Y-%-m-%-d')"
+    ).fetchone()[0].year == 1995
+    # (c) error posture + the try_ agreement pair
+    assert spark.sql(
+        "SELECT to_timestamp('1995-02-30', 'yyyy-MM-dd') AS t"
+    ).collect()[0][0] is None
+    with pytest.raises(duckdb.Error):
+        con._con.execute("SELECT strptime('1995-02-30', '%Y-%m-%d')")
+    assert spark.sql(
+        "SELECT try_to_timestamp('xx', 'yyyy-MM-dd') AS t"
+    ).collect()[0][0] is None
+    assert con.execute("SELECT try_strptime('xx', '%Y-%m-%d')").fetchone()[0] is None
+    # (d) %j ignored on parse: all three collapse to Jan 1 in duckdb,
+    # reconstruct correctly in Spark (DDD formatting agrees, surface 86)
+    for txt, month, day in [("1995-158", 6, 7), ("1995-365", 12, 31),
+                            ("1996-366", 12, 31)]:
+        s = spark.sql(
+            f"SELECT to_timestamp('{txt}', 'yyyy-DDD') AS t"
+        ).collect()[0][0]
+        d = con.execute(f"SELECT strptime('{txt}', '%Y-%j')").fetchone()[0]
+        assert (s.month, s.day) == (month, day), (txt, s)
+        assert (d.month, d.day) == (1, 1), (txt, d)
