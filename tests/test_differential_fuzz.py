@@ -5596,3 +5596,48 @@ def test_two_digit_year_pivot_divergence_pinned(engines):
         d = con.execute(f"SELECT strptime('{txt}', '%Y-%j')").fetchone()[0]
         assert (s.month, s.day) == (month, day), (txt, s)
         assert (d.month, d.day) == (1, 1), (txt, d)
+
+
+# -------------- surface 88: make_date / make_timestamp constructor roundtrip
+
+@given(
+    pred=predicate,
+    dated=st.booleans(),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_make_timestamp_roundtrip(engines, pred, dated):
+    """Surface 88 (r13): datetime CONSTRUCTORS, closing the loop with the
+    surface-83 extract walk - make_timestamp/make_date rebuilt from the
+    derived timestamp's own extracted parts must reproduce it, same-text
+    in both engines. Authoring probe census: the constructors agree on
+    every valid input INCLUDING the sec=60.0 minute-rollover
+    (23:59:60 -> next-day 00:00:00 in both); fractional seconds carry
+    microseconds in both; INVALID parts (Feb-30, month 13) are the pin-35
+    posture split - Spark NULL, duckdb Conversion Error - so the fuzzed
+    parts here come from a real timestamp and are always valid.
+    make_interval / to_days are engine-private (loud both ways)."""
+    ts = _TS_FMT
+    if dated:
+        expr = (
+            f"make_date(extract(YEAR FROM {ts}), extract(MONTH FROM {ts}), "
+            f"extract(DAY FROM {ts}))"
+        )
+        check = f"CAST({expr} AS DATE) = CAST({ts} AS DATE)"
+    else:
+        expr = (
+            f"make_timestamp(extract(YEAR FROM {ts}), extract(MONTH FROM {ts}), "
+            f"extract(DAY FROM {ts}), extract(HOUR FROM {ts}), "
+            f"extract(MINUTE FROM {ts}), CAST(extract(SECOND FROM {ts}) AS DOUBLE))"
+        )
+        check = f"CAST({expr} AS TIMESTAMP) = CAST({ts} AS TIMESTAMP)"
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST({expr} AS TIMESTAMP) AS built, ({check}) AS same "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
