@@ -5641,3 +5641,48 @@ def test_fuzz_make_timestamp_roundtrip(engines, pred, dated):
         f"CAST({expr} AS TIMESTAMP) AS built, ({check}) AS same "
         f"FROM fuzz_lineitem WHERE {pred}",
     )
+
+
+def test_bigint_sum_overflow_divergence_pinned(engines):
+    """Pin 36 (r13): sum(BIGINT) past int64 - Spark's BIGINT accumulator
+    WRAPS two's-complement under this profile (three rows of 4.6e18 sum
+    to NEGATIVE -4646744073709551616) while duckdb promotes the
+    accumulator to HUGEINT and returns the exact 13800000000000000000.
+    Silent, sign-flipping, and data-dependent - small sums agree exactly,
+    so no fixture-scale spot check would ever catch it. Posture census:
+    in an ANSI session (the DRIVER's profile) the same Spark sum is LOUD
+    (SparkArithmeticException ARITHMETIC_OVERFLOW) - so the divergence is
+    silent in engine-profile sessions and an abort in driver-style runs,
+    either way never a value match.
+
+    Safe route (pinned): force the DECIMAL(38,0) accumulator on BOTH
+    sides - sum(CAST(v AS DECIMAL(38,0))) is exact in both engines and
+    agrees at 13800000000000000000.
+
+    Census from the same probe: the classic float-key traps do NOT
+    diverge here - both engines group NaN with NaN and -0.0 with 0.0,
+    NaN = NaN is TRUE in both (SQL total-order semantics, not IEEE), and
+    ORDER BY sorts NaN after +Infinity in both."""
+    spark, con = engines
+    vals = "(VALUES (4600000000000000000), (4600000000000000000), (4600000000000000000)) t(v)"
+    s = spark.sql(f"SELECT sum(v) AS s FROM {vals}").collect()[0][0]
+    d = con.execute(f"SELECT sum(v) FROM {vals}").fetchone()[0]
+    assert s == -4646744073709551616, s  # wrapped, negative
+    assert d == 13800000000000000000, d  # exact HUGEINT
+    # the safe route agrees exactly
+    q = f"SELECT CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s FROM {vals}"
+    sd = spark.sql(q).collect()[0][0]
+    dd = con.execute(q).fetchone()[0]
+    assert int(sd) == int(dd) == 13800000000000000000
+    # census: NaN / -0.0 key semantics AGREE (grouped, compared, ordered)
+    nan_q = (
+        "SELECT k, count(*) AS c FROM (VALUES (CAST('NaN' AS DOUBLE)), "
+        "(CAST('NaN' AS DOUBLE)), (CAST(-0.0 AS DOUBLE)), "
+        "(CAST(0.0 AS DOUBLE))) t(k) GROUP BY k"
+    )
+    s_rows = _rowset(["k", "c"], [tuple(r) for r in spark.sql(nan_q).collect()])
+    o_rows = _rowset(["k", "c"], con.execute(nan_q).fetchall())
+    assert s_rows == o_rows and len(s_rows) == 2
+    eq_q = "SELECT CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS e"
+    assert spark.sql(eq_q).collect()[0][0] is True
+    assert bool(con.execute(eq_q).fetchone()[0]) is True
