@@ -5686,3 +5686,84 @@ def test_bigint_sum_overflow_divergence_pinned(engines):
     eq_q = "SELECT CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS e"
     assert spark.sql(eq_q).collect()[0][0] is True
     assert bool(con.execute(eq_q).fetchone()[0]) is True
+
+
+# ---------------------- surface 89: split family (regex-vs-literal trap)
+
+#: Delimiters: plain chars plus the regex metacharacters that make the
+#: naive split <-> string_split pairing diverge (pin 37). The Spark side
+#: of the PAIRED rendering always regex-escapes, so the pair is safe for
+#: every draw - the pin holds the unescaped trap.
+_SPLIT_DELIMS = [",", ";", "#", " ", ".", "|", "+", "*"]
+
+
+@given(
+    pred=predicate,
+    d=st.sampled_from(_SPLIT_DELIMS),
+    nparts=st.integers(2, 4),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_split_family(engines, pred, d, nparts):
+    """Surface 89 (r13): string splitting - a fixture-derived string with
+    an embedded delimiter (including empty segments from blank fields) is
+    split back apart, paired rendering: Spark split(s, <regex-escaped d>)
+    <-> duckdb string_split(s, <literal d>), consumed through a re-join
+    (array_join <-> array_to_string) and the element count (size <->
+    len). Empty-string delimiters (per-char split) and trailing-empty
+    retention agree (probe); Spark's 3-arg split limit is engine-private
+    and excluded."""
+    import re as _re
+
+    parts = ["l_returnflag", "''", "l_linestatus", "CAST(l_linenumber AS STRING)"][:nparts]
+    sep = f"'{d}'"
+    s_expr = f"concat_ws({sep}, {', '.join(parts)})"
+    # concat_ws skips NULLs in Spark but duckdb concat_ws skips NULLs too;
+    # fixture cols here are non-null so the built text is identical anyway.
+    j_delim = _re.escape(d).replace("\\", "\\\\")
+    s_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"array_join(split({s_expr}, '{j_delim}'), '~') AS joined, "
+        f"size(split({s_expr}, '{j_delim}')) AS n "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    d_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"array_to_string(string_split({s_expr}, '{d}'), '~') AS joined, "
+        f"len(string_split({s_expr}, '{d}')) AS n "
+        f"FROM fuzz_lineitem WHERE {pred}"
+    )
+    _pair_agree(engines, s_sql, d_sql)
+
+
+def test_split_regex_delimiter_divergence_pinned(engines):
+    """Pin 37 (r13, found by surface 89's authoring probe): the split
+    delimiter is a Java REGEX in Spark but a LITERAL in duckdb's
+    string_split - the obvious machine translation split(s, d) <->
+    string_split(s, d) silently diverges on ANY regex-metacharacter
+    delimiter: split('a.b.c', '.') is six empty strings in Spark (every
+    char matches) vs ['a','b','c'] in duckdb. Safe pairs: regex-escape
+    the Spark delimiter (split(s, '\\\\.')), or use duckdb
+    string_split_regex with the same (dialect-safe) pattern - both
+    pinned equal here. Agreeing census from the same probe: empty
+    delimiter splits per-char in both; interior AND trailing empty
+    segments are retained in both ('a,b,' -> ['a','b','']); Spark's
+    3-arg limit overload is engine-private (duckdb has none)."""
+    spark, con = engines
+    s = spark.sql("SELECT split('a.b.c', '.') AS v").collect()[0][0]
+    assert s == ["", "", "", "", "", ""], s  # regex dot: 5 chars -> 6 empties
+    d = con.execute("SELECT string_split('a.b.c', '.')").fetchone()[0]
+    assert d == ["a", "b", "c"], d
+    # both safe routes agree
+    s2 = spark.sql("SELECT split('a.b.c', '\\\\.') AS v").collect()[0][0]
+    d2 = con.execute("SELECT string_split_regex('a.b.c', '\\.')").fetchone()[0]
+    assert s2 == d2 == ["a", "b", "c"]
+    # agreeing census: per-char on empty delimiter; trailing empty kept
+    assert spark.sql("SELECT split('abc', '') AS v").collect()[0][0] == ["a", "b", "c"]
+    assert con.execute("SELECT string_split('abc', '')").fetchone()[0] == ["a", "b", "c"]
+    assert spark.sql("SELECT split('a,b,', ',') AS v").collect()[0][0] == ["a", "b", ""]
+    assert con.execute("SELECT string_split('a,b,', ',')").fetchone()[0] == ["a", "b", ""]
