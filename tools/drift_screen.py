@@ -12,6 +12,11 @@ Usage: python drift_screen.py <bench-line-or-BENCH_rN.json>
 """
 import json, glob, statistics, sys
 
+# behave like a unix filter when piped to head(1)
+import signal
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+
 
 def load(path):
     d = json.load(open(path))
@@ -19,11 +24,18 @@ def load(path):
     return p if isinstance(p, dict) else {}
 
 
+import os
+
 new = load(sys.argv[1])
 nq = new["queries"]
+arg_base = os.path.basename(sys.argv[1])
 rounds = {}
 for f in sorted(glob.glob("/root/repo/BENCH_r*.json")):
-    if f == sys.argv[1] or f.endswith("/" + sys.argv[1]) or f.endswith(sys.argv[1]):
+    # exclude the candidate itself by exact basename (not suffix - a
+    # suffix match on e.g. '2.json' would silently drop r02 AND r12)
+    if os.path.basename(f) == arg_base:
+        continue
+    if os.path.exists(sys.argv[1]) and os.path.samefile(f, sys.argv[1]):
         continue
     p = load(f)
     if p.get("queries") and p.get("sf") == new.get("sf"):
