@@ -999,26 +999,40 @@ def _e2e_script_plan(draw):
 
 
 def _render_e2e(ops, tbl):
-    """Render a plan to (script_text, per-op lines, expected streams).
+    """Render a plan to (script_text, rows, per_op, fail_line).
 
-    Returns (script, exec_rows_final, expected_dry, expected_exec,
-    fail_line) where expected_* are the mid-stream lines (between the
-    Processing header and the blank-line trailer) for each mode and
-    exec_rows_final is the table content execute mode must leave behind.
+    ``per_op`` is one dict per statement: ``echo`` (the exact text
+    verbose mode prints - leading comments attached by the splitter,
+    leading blank lines stripped, ${...} substitution applied EVEN
+    inside comment text, since substitution runs on the raw statement
+    text), ``dry``/``exc`` (that statement's output lines per mode),
+    and ``failing`` (True for the planted bad statement). ``rows`` is
+    the table content execute mode must leave behind (fail-fast cut).
     """
     segs: list[str] = []
     line = 1
     next_a = _it.count(1)
     rows: list[tuple[int, str]] = []
-    dry: list[str] = []
-    exc: list[str] = []
+    per_op: list[dict] = []
     v_val = None
     fail_line = None
+
+    def _echo(decs, sql):
+        parts = list(decs) + [sql]
+        while parts and not parts[0].strip():
+            parts.pop(0)  # splitter starts text at the first content char
+        text = "\n".join(parts)
+        text = text.replace("${W}", "'wv'")
+        if v_val is not None:
+            text = text.replace("${V}", f"'{v_val}'")
+        return text
+
     for op in ops:
         for d in op["decs"]:
             segs.append(d)
             line += 1
         k = op["kind"]
+        entry = {"dry": [], "exc": [], "failing": False}
         if k == "create":
             sql = f"CREATE TABLE {tbl} (a INT, b STRING) USING parquet"
         elif k == "insert":
@@ -1028,53 +1042,61 @@ def _render_e2e(ops, tbl):
             )
             if fail_line is None:
                 rows.extend(pairs)
-                dry.append("> Skipped!")
+                entry["dry"] = ["> Skipped!"]
         elif k == "query":
             sql = f"SELECT a, b FROM {tbl} ORDER BY a"
             if fail_line is None:
-                exc.extend(f"{a}\t{b}" for a, b in sorted(rows))
-                dry.append("> Skipped!")
+                entry["exc"] = [f"{a}\t{b}" for a, b in sorted(rows)]
+                entry["dry"] = ["> Skipped!"]
         elif k == "sel_lit":
             sql = f"SELECT '{op['lit']}' AS s"
             if fail_line is None:
-                exc.append(op["lit"])
-                dry.append("> Skipped!")
+                entry["exc"] = [op["lit"]]
+                entry["dry"] = ["> Skipped!"]
         elif k == "sel_w":
             sql = "SELECT ${W} AS w"
             if fail_line is None:
-                exc.append("wv")
-                dry.append("> Skipped!")
-        elif k == "sethv":
-            v_val = op["val"]
-            sql = f"SET hivevar:V='{v_val}'"
+                entry["exc"] = ["wv"]
+                entry["dry"] = ["> Skipped!"]
         elif k == "sel_v":
             sql = "SELECT ${V} AS v"
             if fail_line is None:
-                exc.append(v_val)
-                dry.append("> Skipped!")
+                entry["exc"] = [v_val]
+                entry["dry"] = ["> Skipped!"]
         elif k == "use":
             sql = "USE default"
+        elif k == "sethv":
+            sql = f"SET hivevar:V='{op['val']}'"
         elif k == "analysis":
             sql = f"SELECT nope_col FROM {tbl}"
             if fail_line is None:
                 fail_line = line
+                entry["failing"] = True
         elif k == "parse":
             sql = "SELEC 1 FROMM nowhere"
             if fail_line is None:
                 fail_line = line
+                entry["failing"] = True
+        # echo substitutes with the variables in effect BEFORE this
+        # statement runs (run_text merges prior statements' SETs only)
+        entry["echo"] = _echo(op["decs"], sql)
+        if k == "sethv":
+            v_val = op["val"]
+        if fail_line is None or entry["failing"]:
+            per_op.append(entry)
         segs.append(sql + ";")
         line += 1
-    return "\n".join(segs) + "\n", rows, dry, exc, fail_line
+    return "\n".join(segs) + "\n", rows, per_op, fail_line
 
 
-def _run_e2e_manifest(spark, path, execute):
+def _run_e2e_manifest(spark, path, execute, verbose=False):
     from bee_proof_spark.runner.executor import run_manifest
     from bee_proof_spark.runner.manifest import Manifest
 
     m = Manifest.from_dict({
         "tasks": [{"script": path, "variables": {"W": "'wv'"}}],
         "enableHadoop": execute,
-        "verboseOutput": False,
+        "verboseOutput": verbose,
     })
     lines: list[str] = []
     err = None
@@ -1085,13 +1107,13 @@ def _run_e2e_manifest(spark, path, execute):
     return lines, err
 
 
-@given(ops=_e2e_script_plan())
+@given(ops=_e2e_script_plan(), verbose=st.booleans())
 @settings(
     max_examples=10 * _SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_fuzz_runner_script_mode_parity(spark, ops):
+def test_fuzz_runner_script_mode_parity(spark, ops, verbose):
     """Whole-script execute/dry-run protocol parity against a fully
     PREDICTED stream: same Processing header, dry-run replaces exactly the
     exec statements' output with '> Skipped!', execute prints exactly the
@@ -1099,27 +1121,41 @@ def test_fuzz_runner_script_mode_parity(spark, ops):
     ${W} manifest and SET-hivevar substitution), '> Total time:' is the
     last line in BOTH modes even when the script fails, a planted bad
     statement raises the SAME line-addressed StatementError in both modes,
-    and fail-fast leaves only the rows inserted before it."""
+    and fail-fast leaves only the rows inserted before it. In VERBOSE mode
+    (the reference's verboseOutput=true default, r13 widening) the stream
+    additionally interleaves each statement's ECHO - the exact substituted
+    text, with splitter-attached leading comments, leading blank lines
+    stripped, and ${...} resolved even inside comment text - including the
+    failing statement's echo (printed before it runs) but nothing after."""
     case = next(_E2E_IDS)
     created = []
     try:
         for mode, suffix in ((False, "d"), (True, "e")):
             tbl = f"e2e_fz_{case}_{suffix}"
             created.append(tbl)
-            script, rows, dry, exc, fail_line = _render_e2e(ops, tbl)
+            script, rows, per_op, fail_line = _render_e2e(ops, tbl)
             path = f"{_E2E_DIR}/s_{case}_{suffix}.hql"
             with open(path, "w") as fh:
                 fh.write(script)
-            lines, err = _run_e2e_manifest(spark, path, execute=mode)
+            lines, err = _run_e2e_manifest(spark, path, execute=mode,
+                                           verbose=verbose)
             assert lines[0] == f">>>>>>>> Processing:  {path}"
             assert lines[-1].startswith("> Total time:  ") and lines[-1].endswith("ms")
+            expected: list[str] = []
+            for entry in per_op:
+                if verbose:
+                    expected.append(entry["echo"])
+                expected += entry["exc" if mode else "dry"]
             if fail_line is None:
                 assert err is None
                 body = lines[1:-1]
                 assert body[-2:] == ["", ""]
-                assert body[:-2] == (exc if mode else dry), script
+                assert body[:-2] == expected, script
             else:
                 assert err is not None and err.line == fail_line, script
+                # everything up to and including the failing statement's
+                # echo was emitted; nothing after
+                assert lines[1:-1] == expected, script
             # fail-fast + dry-run-never-moves-data, from the catalog itself
             expect_rows = sorted(rows) if mode else []
             got = sorted(
