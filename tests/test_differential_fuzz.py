@@ -5767,3 +5767,39 @@ def test_split_regex_delimiter_divergence_pinned(engines):
     assert con.execute("SELECT string_split('abc', '')").fetchone()[0] == ["a", "b", "c"]
     assert spark.sql("SELECT split('a,b,', ',') AS v").collect()[0][0] == ["a", "b", ""]
     assert con.execute("SELECT string_split('a,b,', ',')").fetchone()[0] == ["a", "b", ""]
+
+
+# --------------------------- surface 90: levenshtein edit distance
+
+@given(
+    k=st.integers(3, 24),
+    off=st.integers(1, 12),
+    m=st.integers(2, 5),
+    r=st.integers(0, 1),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_levenshtein(engines, k, off, m, r):
+    """Surface 90 (r13): levenshtein edit distance, same-text - the one
+    string-similarity function both engines own. Fuzzed over shifted
+    windows of real document text (self-similar pairs with genuine small
+    distances), a case-flip pair (probe: case-SENSITIVE in both), the
+    language tag vs a constant, and the empty-vs-nonempty degenerate
+    (distance = length, probe). Window length capped at 24 chars: the DP
+    is O(k^2) per row and the comparison needs volume, not width.
+    Census (authoring probe): soundex is Spark-only (duckdb Catalog
+    Error); duckdb's jaccard/hamming/damerau_levenshtein have no Spark
+    counterpart - the similarity family shares ONLY levenshtein."""
+    _both_agree(
+        engines,
+        f"SELECT doc_id, "
+        f"levenshtein(substr(text, 1, {k}), substr(text, {1 + off}, {k})) AS lv_shift, "
+        f"levenshtein(upper(substr(text, 1, {k})), substr(text, 1, {k})) AS lv_case, "
+        f"levenshtein(lang, 'en') AS lv_lang, "
+        f"levenshtein(substr(text, 1, {k}), '') AS lv_empty "
+        f"FROM fuzz_documents WHERE n_chars % {m} = {r}",
+    )
