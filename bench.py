@@ -227,7 +227,9 @@ def main() -> None:
     # case) then shows up in that pass's own bracket pair and is
     # machine-attributable from the artifact, no judge microbench needed.
     calib: list[float] = []
-    calib_samples: list[list[float]] = []
+    # each entry {"priming": [...], "samples": [...]} per bracket point
+    # (r12 ADVICE; annotation corrected r13 ADVICE)
+    calib_samples: list[dict] = []
     calibration_pass(spark)  # codegen/JIT warmup for the calibration shape
 
     def one_pass(name: str) -> None:
@@ -276,6 +278,16 @@ def main() -> None:
         # value_normalized is an actionable signal.
         "calibration_bracket": calib,
         "value_normalized": round(sum(per_query.values()) / calib_floor, 2),
+        # Whole-run sweep totals, one per pass (r13 verdict #5): the
+        # BENCH_r13 tail showed the driver ran an unprimed ~3.5x first
+        # bench pass before the recorded line, visible only by parsing the
+        # raw tail. runs[0] vs runs[1] shows first-pass-vs-warm directly
+        # in the compact line; index >=2 is the adjudication pass and
+        # covers only re-run queries, so it is NOT a full-sweep total.
+        "runs": [
+            round(sum(ts[i] for ts in runs.values() if len(ts) > i), 3)
+            for i in range(max(len(ts) for ts in runs.values()))
+        ],
         # One-time family-checkpoint staging, tracked as named numbers
         # (r7 verdict #5) instead of hiding inside min-of-passes: pass-0
         # minus the warm floor for every benched query that builds a

@@ -724,7 +724,7 @@ def test_release_gate_purge_name_atom_linear_time_r12():
 
     from bee_proof_spark.runner.release_gates import violations
 
-    name = "x" * 500
+    name = "x" * 5000
     t0 = time.monotonic()
     assert violations(f"DROP TABLE {name} CASCADE", "emr-3") == []
     assert violations(f"DROP TABLE IF EXISTS db.{name}", "emr-3") == []
@@ -732,9 +732,13 @@ def test_release_gate_purge_name_atom_linear_time_r12():
         "PURGE"
     ]
     elapsed = time.monotonic() - t0
-    # exponential form needed ~5 s at 26 chars; O(n) form is sub-millisecond
-    # at 500. Generous bound to stay robust on a loaded host.
-    assert elapsed < 1.0, f"PURGE name atom no longer linear: {elapsed:.3f}s"
+    # exponential form needed ~5 s at 26 chars (~4x per 2 chars), so at
+    # 5000 chars it would effectively never return, while the O(n) form
+    # stays sub-millisecond - the input size, not the wall-clock margin, is
+    # what discriminates a regression (r13 ADVICE: a tight bound on a cold
+    # or loaded CI host flakes; a 5 s bound on a 5000-char input cannot
+    # pass the exponential form under ANY host load).
+    assert elapsed < 5.0, f"PURGE name atom no longer linear: {elapsed:.3f}s"
 
 
 def test_release_gate_scalar_subquery_distinct_head_r10():

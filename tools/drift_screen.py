@@ -28,40 +28,56 @@ import os
 
 new = load(sys.argv[1])
 nq = new["queries"]
-arg_base = os.path.basename(sys.argv[1])
 rounds = {}
+skipped_rounds = []
 for f in sorted(glob.glob("/root/repo/BENCH_r*.json")):
-    # exclude the candidate itself by exact basename (not suffix - a
-    # suffix match on e.g. '2.json' would silently drop r02 AND r12)
-    if os.path.basename(f) == arg_base:
-        continue
-    if os.path.exists(sys.argv[1]) and os.path.samefile(f, sys.argv[1]):
+    # exclude the candidate itself by file identity ONLY (r13 ADVICE: a
+    # basename match wrongly dropped the real /root/repo/BENCH_r5.json
+    # from history when screening an OUT-OF-REPO candidate that happened
+    # to share the name; samefile is the correct and sufficient check -
+    # the candidate always exists here or load() would have raised).
+    if os.path.samefile(f, sys.argv[1]):
         continue
     p = load(f)
     if p.get("queries") and p.get("sf") == new.get("sf"):
         rounds[f.rsplit("/", 1)[-1]] = p["queries"]
+    else:
+        skipped_rounds.append((f.rsplit("/", 1)[-1], "sf mismatch or no queries"))
 
 score = {q: [] for q in nq}
 for rname, hq in rounds.items():
     shared = [q for q in nq if q in hq and hq[q] > 0]
     if len(shared) < 5:
+        skipped_rounds.append((rname, f"only {len(shared)} shared queries (<5)"))
         continue
     factor = statistics.median(nq[q] / hq[q] for q in shared)
     for q in shared:
         score[q].append((nq[q] / (factor * hq[q]), rname, factor))
 
 print(f"candidate sf={new.get('sf')}; rounds compared: {len(rounds)}")
+# No silent caps (r13 ADVICE): name every round and query the screen
+# could not use, so an empty cohort is distinguishable from no coverage.
+for rname, why in skipped_rounds:
+    print(f"  excluded round {rname}: {why}")
+no_history = sorted(q for q, ss in score.items() if not ss)
+if no_history:
+    print(f"  no usable history ({len(no_history)} queries): {', '.join(no_history)}")
 suspects = []
 for q, ss in score.items():
     if not ss:
         continue
     best = min(ss)
     if best[0] > 1.2:
-        suspects.append((q, best))
+        # 'exceeds 1.2x in EVERY round' needs more than one round to mean
+        # anything (r13 ADVICE): with a single historical comparison one
+        # noisy sample suffices, so mark those provisional rather than
+        # letting them stand as full suspects.
+        suspects.append((q, best, len(ss)))
 if suspects:
     print("DRIFT COHORT (regime-corrected raw floor > 1.2x in every round):")
-    for q, (r, rname, factor) in sorted(suspects, key=lambda t: -t[1][0]):
-        print(f"  {q}: {r:.2f}x vs {rname} (regime factor {factor:.2f})")
+    for q, (r, rname, factor), n in sorted(suspects, key=lambda t: -t[1][0]):
+        tag = "" if n >= 2 else " [PROVISIONAL: single-round history]"
+        print(f"  {q}: {r:.2f}x vs {rname} (regime factor {factor:.2f}, {n} rounds){tag}")
 else:
     print("NO drift cohort: no query exceeds 1.2x its regime-corrected floor in every round.")
 # telemetry: the per-round regime factors themselves
