@@ -5803,3 +5803,319 @@ def test_fuzz_levenshtein(engines, k, off, m, r):
         f"levenshtein(substr(text, 1, {k}), '') AS lv_empty "
         f"FROM fuzz_documents WHERE n_chars % {m} = {r}",
     )
+
+
+# ------------------- surface 91: array/map family, raw-order same-text core
+
+#: Surface 91 array: built SAME-TEXT in both engines - duckdb owns split()
+#: as an alias of string_split (authoring probe), and ',' is regex-inert,
+#: so the pin-37 safe route collapses to literal identical text here. The
+#: parts mix flags, an empty segment, and int-casts so arrays carry
+#: duplicates and empty strings.
+_S91_PARTS = [
+    "l_returnflag",
+    "l_linestatus",
+    "''",
+    "CAST(l_linenumber AS STRING)",
+    "CAST(l_suppkey % 7 AS STRING)",
+]
+
+#: Paired map over guaranteed-unique literal keys (constructors differ by
+#: design: Spark variadic map(k, v, ...) vs duckdb map([keys], [values])).
+_S91_SMAP = "map('ka', l_linenumber, 'kb', l_suppkey % 7)"
+_S91_DMAP = "map(['ka','kb'], [l_linenumber, l_suppkey % 7])"
+
+#: (spark_render, duck_render) templates; {a}=array, {m}=map, draws in p.
+#: Identical strings where the function is genuinely same-text
+#: (array_contains / array_position / filter with a 1-ARG lambda / || /
+#: cardinality(map) / the split constructor itself); the only paired
+#: atoms are the probe-validated rename pairs (array_join <->
+#: array_to_string, sort_array <-> list_sort + explicit NULL placement,
+#: size <-> len, array_min/max <-> list_min/max, transform <->
+#: list_transform, reverse <-> list_reverse, arrays_overlap <->
+#: list_has_any, slice <-> list_slice end-form, element_at(map,k) <->
+#: m[k][1]). Raw ELEMENT ORDER flows through every joined output - the
+#: semantics surface 62's sort-before-compare masked by design.
+_s91_tmpl = [
+    lambda p: (f"array_contains({{a}}, '{p['nd']}')",) * 2,
+    lambda p: (f"array_position({{a}}, '{p['nd']}')",) * 2,
+    lambda p: (
+        "array_join({a} || {a}, '~')",
+        "coalesce(array_to_string({a} || {a}, '~'), '')",
+    ),
+    lambda p: (
+        f"array_join(array_append({{a}}, '{p['nd']}'), '~')",
+        f"coalesce(array_to_string(array_append({{a}}, '{p['nd']}'), '~'), '')",
+    ),
+    lambda p: (
+        f"array_join(filter({{a}}, x -> x <> '{p['nd']}'), '~')",
+        f"coalesce(array_to_string(filter({{a}}, x -> x <> '{p['nd']}'), '~'), '')",
+    ),
+    lambda p: (
+        "array_join(flatten(array({a}, {a})), '~')",
+        "coalesce(array_to_string(flatten([{a}, {a}]), '~'), '')",
+    ),
+    lambda p: (
+        "array_join(sort_array({a}), '~')",
+        "coalesce(array_to_string(list_sort({a}, 'ASC', 'NULLS FIRST'), '~'), '')",
+    ),
+    lambda p: (
+        "array_join(sort_array({a}, false), '~')",
+        "coalesce(array_to_string(list_sort({a}, 'DESC', 'NULLS LAST'), '~'), '')",
+    ),
+    lambda p: ("array_min({a})", "list_min({a})"),
+    lambda p: ("array_max({a})", "list_max({a})"),
+    lambda p: ("size({a})", "len({a})"),
+    lambda p: (
+        "array_join(transform({a}, x -> upper(x)), '~')",
+        "coalesce(array_to_string(list_transform({a}, x -> upper(x)), '~'), '')",
+    ),
+    lambda p: (
+        "array_join(reverse({a}), '~')",
+        "coalesce(array_to_string(list_reverse({a}), '~'), '')",
+    ),
+    lambda p: (
+        f"arrays_overlap({{a}}, array('{p['nd']}', 'X'))",
+        f"list_has_any({{a}}, ['{p['nd']}', 'X'])",
+    ),
+    lambda p: (
+        f"array_join(slice({{a}}, {p['s']}, {p['n']}), '~')",
+        f"coalesce(array_to_string(list_slice({{a}}, {p['s']}, {p['s'] + p['n'] - 1}), '~'), '')",
+    ),
+    lambda p: (
+        "array_join(sort_array(array_distinct({a})), '~')",
+        "coalesce(array_to_string(list_sort(array_distinct({a}), 'ASC', 'NULLS FIRST'), '~'), '')",
+    ),
+    lambda p: ("cardinality({m})",) * 2,
+    lambda p: (
+        "array_join(map_keys({m}), '~')",
+        "coalesce(array_to_string(map_keys({m}), '~'), '')",
+    ),
+    lambda p: ("element_at({m}, 'ka')", "({m})['ka'][1]"),
+    lambda p: ("element_at({m}, 'zz')", "({m})['zz'][1]"),
+    lambda p: (
+        "array_join(transform(map_values({m}), x -> cast(x AS STRING)), '~')",
+        "coalesce(array_to_string(list_transform(map_values({m}), x -> cast(x AS STRING)), '~'), '')",
+    ),
+]
+
+
+@given(
+    pred=predicate,
+    idxs=st.lists(
+        st.integers(0, len(_s91_tmpl) - 1), min_size=1, max_size=5, unique=True
+    ),
+    np=st.integers(2, len(_S91_PARTS)),
+    nd=st.sampled_from(["A", "N", "R", "F", "O", ""]),
+    s=st.integers(1, 6),
+    n=st.integers(0, 4),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_array_map_raw_order(engines, pred, idxs, np, nd, s, n):
+    """Surface 91 (r14, VERDICT r13 item 6): the array/map family with RAW
+    element order flowing into the comparison - the complement of surface
+    62, which machine-paired every rendering and sorted arrays before
+    comparing, so ordering contracts were never exercised. The array is
+    built same-text (split of concat_ws over fixture columns, duckdb owns
+    split() as a string_split alias); consumption keeps the genuinely
+    same-text core literal (array_contains, array_position with
+    duplicates and the empty-string needle, 1-ARG lambda filter, || , the
+    element_at(map) hit/miss pair, cardinality(map)) and machine-pairs
+    only probe-validated renames. Census from the authoring probe, the
+    walk's exclusions: array_distinct is same-name but order-DIVERGENT
+    (pin 40; the sorted route here agrees), concat()/concat_ws() over
+    lists varchar-coerce in duckdb (pin 41), 2-arg lambda indices differ
+    in base (pin 39), NULL-element membership is 3VL vs 2VL (pin 38;
+    fixture parts are non-null so membership rows here agree), list
+    subscripting stays per-engine (pin 8), arrays_overlap / list_has_any
+    and min/max agree on non-null lists, and NULL placement in sorts must
+    be pinned explicitly on the duckdb side (ASC default differs). The
+    duck-side join atom is coalesce(array_to_string(...), '') because
+    duckdb renders the EMPTY list as NULL where Spark's array_join gives
+    '' (pin 42, found by this surface's own 12x soak through the
+    slice-to-empty template) - sound here because every array in the walk
+    is provably non-NULL (split of concat_ws over non-null columns)."""
+    arr = f"split(concat_ws(',', {', '.join(_S91_PARTS[:np])}), ',')"
+    p = {"nd": nd, "s": s, "n": n}
+    s_cols, d_cols = [], []
+    for i, t in enumerate(idxs):
+        sr, dr = _s91_tmpl[t](p)
+        s_cols.append(sr.format(a=arr, m=_S91_SMAP) + f" AS c{i}")
+        d_cols.append(dr.format(a=arr, m=_S91_DMAP) + f" AS c{i}")
+    _pair_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {', '.join(s_cols)} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+        f"SELECT l_orderkey, l_linenumber, {', '.join(d_cols)} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
+
+
+def test_array_membership_null_semantics_divergence_pinned(engines):
+    """Pin 38 (r14, found by surface 91's authoring probe): membership
+    tests over arrays CONTAINING NULL follow SQL 3VL in Spark but
+    two-valued logic in duckdb - array_contains(['a', NULL], 'z') is NULL
+    in Spark (the NULL element might have been 'z') vs FALSE in duckdb;
+    arrays_overlap(['a', NULL], ['z']) is NULL vs list_has_any's FALSE.
+    Same-name, silent value divergence that a WHERE clause flips rows on.
+    Agreeing census from the same probe: a NULL NEEDLE is NULL in both;
+    hit cases are TRUE in both regardless of NULL elements; and
+    array_position SKIPS NULL elements identically (position of 'b' in
+    ['a', NULL, 'b'] is 3 in both). Safe route: strip NULLs first
+    (filter(a, x -> x IS NOT NULL) - pinned agreeing) or coalesce the
+    result per-engine."""
+    spark, con = engines
+    s = spark.sql(
+        "SELECT array_contains(array('a', CAST(NULL AS STRING)), 'z') AS c, "
+        "arrays_overlap(array('a', NULL), array('z')) AS o, "
+        "array_contains(array('a', NULL), 'a') AS hit, "
+        "array_position(array('a', NULL, 'b'), 'b') AS p, "
+        "array_contains(filter(array('a', NULL), x -> x IS NOT NULL), 'z') AS safe"
+    ).collect()[0]
+    assert s.c is None and s.o is None  # 3VL: unknown
+    assert s.hit is True and s.p == 3 and s.safe is False
+    d = con.execute(
+        "SELECT array_contains(['a', NULL], 'z') AS c, "
+        "list_has_any(['a', NULL], ['z']) AS o, "
+        "array_contains(['a', NULL], 'a') AS hit, "
+        "array_position(['a', NULL, 'b'], 'b') AS p, "
+        "array_contains(filter(['a', NULL], x -> x IS NOT NULL), 'z') AS safe"
+    ).fetchone()
+    assert d[0] is False and d[1] is False  # two-valued: definite no
+    assert d[2] is True and d[3] == 3 and d[4] is False
+    # NULL needle: NULL in both (agreeing census)
+    assert spark.sql(
+        "SELECT array_contains(array('a'), CAST(NULL AS STRING)) AS c"
+    ).collect()[0][0] is None
+    assert con.execute(
+        "SELECT array_contains(['a'], CAST(NULL AS VARCHAR))"
+    ).fetchone()[0] is None
+
+
+def test_lambda_index_base_divergence_pinned(engines):
+    """Pin 39 (r14, found by surface 91's authoring probe): the 2-ARG
+    lambda form (x, i) -> ... parses with IDENTICAL text in Spark's
+    filter/transform and duckdb's filter/list_transform, but the element
+    index i is 0-BASED in Spark and 1-BASED in duckdb - pin 8's
+    subscripting gap extended into lambda land, and silent:
+    filter([5,6,7], (x,i) -> i = 1) keeps [6] in Spark, [5] in duckdb;
+    transform([10,20], (x,i) -> i) yields [0,1] vs [1,2]. Safe routes:
+    1-ARG lambdas (surface 91's walk - identical semantics incl. the
+    same -> arrow syntax), or shift the literal per-engine."""
+    spark, con = engines
+    assert spark.sql(
+        "SELECT filter(array(5, 6, 7), (x, i) -> i = 1) AS v"
+    ).collect()[0][0] == [6]
+    assert con.execute(
+        "SELECT filter([5, 6, 7], (x, i) -> i = 1)"
+    ).fetchone()[0] == [5]
+    assert spark.sql(
+        "SELECT transform(array(10, 20), (x, i) -> i) AS v"
+    ).collect()[0][0] == [0, 1]
+    assert con.execute(
+        "SELECT list_transform([10, 20], (x, i) -> i)"
+    ).fetchone()[0] == [1, 2]
+    # 1-arg lambdas agree exactly (the safe route; surface 91 fuzzes it)
+    assert spark.sql(
+        "SELECT filter(array(1, 2, 3), x -> x > 1) AS v"
+    ).collect()[0][0] == [2, 3]
+    assert con.execute("SELECT filter([1, 2, 3], x -> x > 1)").fetchone()[0] == [2, 3]
+
+
+def test_array_distinct_order_divergence_pinned(engines):
+    """Pin 40 (r14, found by surface 91's authoring probe): array_distinct
+    is same-name in both engines but its output ORDER is contractual only
+    in Spark (first occurrence preserved); duckdb documents no order and
+    returns a hash-layout permutation - array_distinct(['c','a','c','b',
+    'a']) is ['c','a','b'] in Spark vs ['b','a','c'] observed in duckdb
+    1.0. Same SET, silently different sequence - array_join/subscript
+    consumers diverge. Safe route (surface 91 template): sort AFTER
+    distinct on both sides, pinned agreeing here. If this test ever
+    fails on the inequality assert, duckdb started preserving first
+    occurrence - re-examine the pin, don't delete it."""
+    spark, con = engines
+    s = spark.sql(
+        "SELECT array_distinct(array('c', 'a', 'c', 'b', 'a')) AS v"
+    ).collect()[0][0]
+    d = con.execute("SELECT array_distinct(['c', 'a', 'c', 'b', 'a'])").fetchone()[0]
+    assert s == ["c", "a", "b"]  # first-occurrence order: Spark's contract
+    assert sorted(d) == ["a", "b", "c"] and d != s  # same set, different order
+    s2 = spark.sql(
+        "SELECT array_join(sort_array(array_distinct(array('c','a','c','b','a'))), '~') AS v"
+    ).collect()[0][0]
+    d2 = con.execute(
+        "SELECT array_to_string(list_sort(array_distinct(['c','a','c','b','a']), "
+        "'ASC', 'NULLS FIRST'), '~')"
+    ).fetchone()[0]
+    assert s2 == d2 == "a~b~c"
+
+
+def test_list_concat_coercion_divergence_pinned(engines):
+    """Pin 41 (r14, found by surface 91's authoring probe): concat() over
+    LIST arguments concatenates the lists in Spark but VARCHAR-coerces
+    each list through its display rendering and concatenates THAT in
+    duckdb - concat(['a','b'], ['c']) is ['a','b','c'] vs the STRING
+    '[a, b][c]'. concat_ws diverges the same way (Spark flattens array
+    args and joins elements: 'a~b'; duckdb joins the list RENDERINGS:
+    '[a, b]'). The pin-23 BLOB-concat failure mode generalized to lists:
+    concat is the engines' universal coercion hatch, never a structural
+    op. Safe routes, pinned agreeing: the || operator stays list-valued
+    in both; per-engine renames (Spark concat <-> duckdb
+    list_concat/array_concat) match || exactly."""
+    spark, con = engines
+    s = spark.sql("SELECT concat(array('a', 'b'), array('c')) AS v").collect()[0][0]
+    assert s == ["a", "b", "c"]
+    d = con.execute("SELECT concat(['a', 'b'], ['c'])").fetchone()[0]
+    assert d == "[a, b][c]" and isinstance(d, str)
+    sw = spark.sql("SELECT concat_ws('~', array('a', 'b')) AS v").collect()[0][0]
+    dw = con.execute("SELECT concat_ws('~', ['a', 'b'])").fetchone()[0]
+    assert sw == "a~b" and dw == "[a, b]"
+    # safe routes agree
+    s2 = spark.sql("SELECT array('a', 'b') || array('c') AS v").collect()[0][0]
+    d2 = con.execute("SELECT ['a', 'b'] || ['c']").fetchone()[0]
+    d3 = con.execute("SELECT list_concat(['a', 'b'], ['c'])").fetchone()[0]
+    assert s2 == d2 == d3 == ["a", "b", "c"]
+
+
+def test_empty_array_join_null_divergence_pinned(engines):
+    """Pin 42 (r14, found by surface 91's OWN 12x soak - the 1x budget
+    never drew the slice-to-empty template): joining an EMPTY array to a
+    string yields '' in Spark (array_join(array(), '~')) but NULL in
+    duckdb (array_to_string([], '~')) - duckdb collapses the empty list
+    and the NULL list to the same NULL output, while Spark keeps the SQL
+    distinction ('' for empty, NULL only for NULL input). Every
+    string-rendered array pipeline hits this the moment a filter/slice
+    empties a row's array - silent, and WHERE joined <> '' flips rows.
+    Agreeing census: [''] joins to '' in BOTH (so '' output is ambiguous
+    between [] and [''] on the Spark side - a consumer that must
+    distinguish should carry size(a) alongside); NULL input joins to
+    NULL in both. Safe route (surface 91's duck join atom): coalesce the
+    duckdb rendering to '' when the array is provably non-NULL."""
+    spark, con = engines
+    assert spark.sql("SELECT array_join(array(), '~') AS v").collect()[0][0] == ""
+    assert con.execute("SELECT array_to_string([], '~')").fetchone()[0] is None
+    # slice-to-empty, the soak's actual falsifying shape
+    assert spark.sql(
+        "SELECT array_join(slice(array('a'), 1, 0), '~') AS v"
+    ).collect()[0][0] == ""
+    assert con.execute(
+        "SELECT array_to_string(list_slice(['a'], 1, 0), '~')"
+    ).fetchone()[0] is None
+    # agreeing census: [''] -> '' in both; NULL -> NULL in both
+    assert spark.sql("SELECT array_join(array(''), '~') AS v").collect()[0][0] == ""
+    assert con.execute("SELECT array_to_string([''], '~')").fetchone()[0] == ""
+    assert spark.sql(
+        "SELECT array_join(CAST(NULL AS ARRAY<STRING>), '~') AS v"
+    ).collect()[0][0] is None
+    assert con.execute(
+        "SELECT array_to_string(CAST(NULL AS VARCHAR[]), '~')"
+    ).fetchone()[0] is None
+    # safe route agrees on the empty case
+    assert con.execute(
+        "SELECT coalesce(array_to_string(list_slice(['a'], 1, 0), '~'), '')"
+    ).fetchone()[0] == ""
