@@ -6119,3 +6119,159 @@ def test_empty_array_join_null_divergence_pinned(engines):
     assert con.execute(
         "SELECT coalesce(array_to_string(list_slice(['a'], 1, 0), '~'), '')"
     ).fetchone()[0] == ""
+
+
+# ----------------------- surface 92: LIKE / ILIKE / ESCAPE pattern family
+
+#: (spark_render, duck_render) LIKE-family templates over fuzz_documents.
+#: The LIKE core is genuinely SAME-TEXT (identical strings emitted for
+#: both engines): %/_ wildcards, NOT variants, ILIKE (both engines own
+#: it), the explicit ESCAPE clause, NULL 3VL, and patterns BUILT FROM
+#: the row's own text via concat/substr/upper (guaranteed-hit and
+#: case-flip draws). The only paired atom is regexp membership: Spark
+#: rlike <-> duckdb regexp_matches (both partial-match; the names are
+#: disjoint across engines - regexp_like is Spark-only, regexp_matches/
+#: regexp_full_match/SIMILAR TO duckdb-only) over dialect-safe patterns
+#: (surface 46 discipline). Spark's DEFAULT '\\' escape without an
+#: ESCAPE clause is pin 43 and excluded from the walk.
+_s92_tmpl = [
+    lambda p: (f"text LIKE concat('%', substr(text, {p['k']}, {p['n']}), '%')",) * 2,
+    lambda p: (f"text LIKE concat(substr(text, 1, {p['n']}), '%')",) * 2,
+    lambda p: (
+        f"text ILIKE concat('%', upper(substr(text, {p['k']}, {p['n']})), '%')",
+    ) * 2,
+    lambda p: (f"text NOT LIKE concat('%', substr(text, {p['k']}, {p['n']}), '%')",) * 2,
+    lambda p: (f"lang LIKE '{p['lp']}'",) * 2,
+    lambda p: (f"lang ILIKE '{p['lp'].upper()}'",) * 2,
+    lambda p: (f"lang NOT ILIKE '{p['lp'].upper()}'",) * 2,
+    lambda p: ("text LIKE '%ta!_le%' ESCAPE '!'",) * 2,
+    lambda p: ("concat(substr(text, 1, 3), '_', lang) LIKE '%!_%' ESCAPE '!'",) * 2,
+    lambda p: ("nullif(lang, lang) LIKE concat(lang, '%')",) * 2,
+    lambda p: ("lang LIKE nullif(lang, lang)",) * 2,
+    lambda p: (
+        f"lang RLIKE '{p['re']}'",
+        f"regexp_matches(lang, '{p['re']}')",
+    ),
+    lambda p: (
+        f"substr(text, {p['k']}, 8) RLIKE '{p['re']}'",
+        f"regexp_matches(substr(text, {p['k']}, 8), '{p['re']}')",
+    ),
+]
+
+
+@given(
+    pred_m=st.integers(2, 5),
+    pred_r=st.integers(0, 1),
+    idxs=st.lists(
+        st.integers(0, len(_s92_tmpl) - 1), min_size=1, max_size=5, unique=True
+    ),
+    k=st.integers(1, 40),
+    n=st.integers(0, 8),
+    lp=st.sampled_from(["e_", "%n", "e%", "__", "z%", "%"]),
+    re_=st.sampled_from(["^[a-z]{2}$", "[aeiou]", "^e", "n$", "[0-9]", "a.*t"]),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_like_pattern_family(engines, pred_m, pred_r, idxs, k, n, lp, re_):
+    """Surface 92 (r14): the LIKE / ILIKE / ESCAPE pattern-match family -
+    the curated filter_like oracle pins one shape; this walks generated
+    patterns, including patterns synthesized from the ROW'S OWN TEXT
+    (concat/substr/upper - guaranteed-hit, prefix, and case-flip draws),
+    NOT variants, explicit-ESCAPE literals, NULL 3VL on both operand
+    sides, and the paired regexp-membership atom (rlike <->
+    regexp_matches, both partial-match). Census from the authoring
+    probe: empty pattern matches only empty string in both; '%'-only
+    matches any non-NULL in both; a trailing bare escape char errors
+    LOUDLY in both; SIMILAR TO / regexp_full_match are duckdb-only,
+    regexp_like is Spark-only. Spark's implicit backslash default escape
+    (no ESCAPE clause) is duckdb-divergent: pin 43."""
+    p = {"k": k, "n": n, "lp": lp, "re": re_}
+    s_cols, d_cols = [], []
+    for i, t in enumerate(idxs):
+        sr, dr = _s92_tmpl[t](p)
+        s_cols.append(f"({sr}) AS c{i}")
+        d_cols.append(f"({dr}) AS c{i}")
+    _pair_agree(
+        engines,
+        f"SELECT doc_id, {', '.join(s_cols)} "
+        f"FROM fuzz_documents WHERE n_chars % {pred_m} = {pred_r}",
+        f"SELECT doc_id, {', '.join(d_cols)} "
+        f"FROM fuzz_documents WHERE n_chars % {pred_m} = {pred_r}",
+    )
+
+
+def test_like_default_escape_divergence_pinned(engines):
+    """Pin 43 (r14, found by surface 92's authoring probe): Spark's LIKE
+    treats backslash as a DEFAULT escape character even with no ESCAPE
+    clause; duckdb follows the SQL standard - no default escape, a
+    backslash in the pattern matches a literal backslash. Isolated from
+    the string-LITERAL grammar divergence (pin 44) by building patterns
+    with chr(92), so the pattern VALUE is identical in both engines:
+    'a_c' LIKE <a\\_c> is TRUE in Spark (escaped underscore = literal
+    underscore) vs FALSE in duckdb; <\\> LIKE <\\\\> is TRUE in Spark
+    (escaped backslash) vs FALSE in duckdb (two literal backslashes
+    can't match one). Safe route, pinned agreeing: always spell ESCAPE
+    explicitly - both engines then honor the same escape character, and
+    both reject a trailing bare escape loudly."""
+    spark, con = engines
+    # pattern value is exactly a\_c in BOTH engines (chr(92) sidesteps
+    # the literal grammar); only the LIKE semantics differ
+    q = "SELECT 'a_c' LIKE concat('a', chr(92), '_c') AS v"
+    assert spark.sql(q).collect()[0][0] is True
+    assert con.execute(q).fetchone()[0] is False
+    q = "SELECT chr(92) LIKE concat(chr(92), chr(92)) AS v"
+    assert spark.sql(q).collect()[0][0] is True
+    assert con.execute(q).fetchone()[0] is False
+    # safe route: explicit ESCAPE agrees in both engines. Census: the
+    # ESCAPE operand must be a string LITERAL in Spark (ESCAPE chr(92)
+    # is a parse error there; duckdb accepts expressions), so a
+    # cross-engine escape char must avoid backslash anyway (pin 44's
+    # literal grammar would desync the two engines' view of '\\').
+    for q, want in (
+        ("SELECT 'a_c' LIKE 'a!_c' ESCAPE '!' AS v", True),
+        ("SELECT 'axc' LIKE 'a!_c' ESCAPE '!' AS v", False),
+    ):
+        assert spark.sql(q).collect()[0][0] is want, q
+        assert con.execute(q).fetchone()[0] is want, q
+
+
+def test_string_literal_escape_grammar_divergence_pinned(engines):
+    """Pin 44 (r14, found while isolating pin 43): the single-quoted
+    string LITERAL grammar itself diverges - Spark processes C-style
+    backslash escapes by default (Hive legacy;
+    spark.sql.parser.escapedStringLiterals=false), duckdb follows the
+    SQL standard where backslash is an ordinary character. The SAME
+    literal text denotes DIFFERENT values: length('a\\\\b') is 3 in
+    Spark (escape collapses) vs 4 in duckdb; 'a\\nb' is a-NEWLINE-b vs
+    the 4 chars a,backslash,n,b - silently, on every literal containing
+    a backslash. The escaped-quote form 'a\\'b' parses in Spark but is
+    a LOUD parser error in duckdb. Safe routes, pinned agreeing:
+    doubled-quote '' for quotes (SQL standard, both engines), chr(92)
+    for backslashes, chr(10)/chr(9) for control characters; duckdb's
+    E'...' escape strings are engine-private (Spark parse error)."""
+    spark, con = engines
+    q = "SELECT length('a" + chr(92) * 2 + "b') AS v"
+    assert spark.sql(q).collect()[0][0] == 3
+    assert con.execute(q).fetchone()[0] == 4
+    q = "SELECT 'a" + chr(92) + "nb' AS v"
+    assert spark.sql(q).collect()[0][0] == "a\nb".replace(chr(92) + "n", chr(10))
+    assert con.execute(q).fetchone()[0] == "a" + chr(92) + "nb"
+    # escaped quote: parses in Spark, loud in duckdb
+    q = "SELECT 'a" + chr(92) + "'b' AS v"
+    assert spark.sql(q).collect()[0][0] == "a'b"
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        con.execute(q)
+    # safe routes agree: doubled quote, chr() construction
+    q = "SELECT 'a''b' AS v"
+    assert spark.sql(q).collect()[0][0] == "a'b"
+    assert con.execute(q).fetchone()[0] == "a'b"
+    q = "SELECT concat('a', chr(92), 'b') AS v"
+    want = "a" + chr(92) + "b"
+    assert spark.sql(q).collect()[0][0] == want
+    assert con.execute(q).fetchone()[0] == want
