@@ -6275,3 +6275,124 @@ def test_string_literal_escape_grammar_divergence_pinned(engines):
     want = "a" + chr(92) + "b"
     assert spark.sql(q).collect()[0][0] == want
     assert con.execute(q).fetchone()[0] == want
+
+
+# ------------- surface 93: membership subqueries as PROJECTED values
+
+#: (same-text) membership-as-value templates; {corr}=inner orders
+#: predicate, {k}=nullif NULL-injection key. The raw projected
+#: IN/NOT IN over a NULL-bearing RHS is pin 45 (Spark collapses UNKNOWN
+#: to FALSE there); the walk projects membership only through the two
+#: agreeing safe routes (coalesce, CASE) plus the raw forms that ARE
+#: 3VL-consistent cross-engine (EXISTS/NOT EXISTS, correlated count,
+#: and WHERE-context membership, where UNKNOWN and FALSE filter alike).
+_s93_tmpl = [
+    lambda p: (
+        f"coalesce(l_orderkey IN (SELECT nullif(o_orderkey, {p['k']}) "
+        f"FROM fuzz_orders WHERE {p['corr']}), false)"
+    ),
+    lambda p: (
+        f"CASE WHEN l_orderkey NOT IN (SELECT nullif(o_orderkey, {p['k']}) "
+        f"FROM fuzz_orders WHERE {p['corr']}) THEN 1 ELSE 0 END"
+    ),
+    lambda p: (
+        f"EXISTS (SELECT 1 FROM fuzz_orders o "
+        f"WHERE o.o_orderkey = fuzz_lineitem.l_orderkey AND {p['corr']})"
+    ),
+    lambda p: (
+        f"NOT EXISTS (SELECT 1 FROM fuzz_orders o "
+        f"WHERE o.o_orderkey = fuzz_lineitem.l_orderkey AND {p['corr']})"
+    ),
+    lambda p: (
+        f"(SELECT count(*) FROM fuzz_orders o "
+        f"WHERE o.o_orderkey = fuzz_lineitem.l_orderkey AND {p['corr']})"
+    ),
+    lambda p: (
+        f"coalesce(l_orderkey NOT IN (SELECT nullif(o_orderkey, {p['k']}) "
+        f"FROM fuzz_orders WHERE {p['corr']}), false)"
+    ),
+]
+
+
+@given(
+    pred=predicate,
+    corr=ord_pred,
+    idxs=st.lists(
+        st.integers(0, len(_s93_tmpl) - 1), min_size=1, max_size=3, unique=True
+    ),
+    k=st.integers(1, 6000),
+    where_in=st.booleans(),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_membership_projection(engines, pred, corr, idxs, k, where_in):
+    """Surface 93 (r14): membership subqueries as PROJECTED values over a
+    NULL-INJECTED RHS (nullif on the inner key manufactures the NOT-IN
+    NULL trap dynamically) - the existing subquery walks keep membership
+    in WHERE context over non-null keys, where UNKNOWN and FALSE are
+    indistinguishable; projecting the boolean is exactly where Spark's
+    UNKNOWN-to-FALSE collapse diverges (pin 45). The walk projects
+    through the agreeing routes (coalesce / CASE - both engines land in
+    the same branch whether the miss is FALSE or NULL) and the raw
+    3VL-consistent forms (EXISTS / NOT EXISTS / correlated count), and
+    optionally ANDs a WHERE-context NULL-injected IN (agreeing: both
+    engines drop non-TRUE rows). Census from the authoring probe:
+    row-valued (x, y) IN (subquery) is Spark-only (duckdb 1.0 binder
+    error: single column expected); = ANY / <> ALL quantified
+    comparisons are duckdb-only (Spark parse error); multi-arg
+    count(DISTINCT x, y) is Spark-only, the tuple form
+    count(DISTINCT (x, y)) agrees."""
+    p = {"corr": corr, "k": k}
+    cols = ", ".join(f"({_s93_tmpl[t](p)}) AS c{i}" for i, t in enumerate(idxs))
+    extra = (
+        f" AND l_orderkey IN (SELECT nullif(o_orderkey, {k}) "
+        f"FROM fuzz_orders WHERE {corr})"
+        if where_in
+        else ""
+    )
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {cols} "
+        f"FROM fuzz_lineitem WHERE {pred}{extra}",
+    )
+
+
+def test_in_subquery_unknown_collapse_divergence_pinned(engines):
+    """Pin 45 (r14, found by surface 93's authoring probe): an IN or
+    NOT IN SUBQUERY projected as a value collapses UNKNOWN to FALSE in
+    Spark while duckdb keeps the standard NULL - 2 IN (SELECT z over
+    {1, NULL, 4}) is FALSE vs NULL; 2 NOT IN (same) is FALSE vs NULL.
+    Spark is INTERNALLY inconsistent here: the literal list form
+    2 IN (1, NULL, 4) is NULL in Spark too - the collapse is specific
+    to the decorrelated subquery plan (null-aware anti/semi join), so
+    the same logical predicate changes value when a literal list is
+    refactored into a subquery. Agreeing census: a NULL lhs stays NULL
+    in BOTH engines (the collapse is RHS-null-specific); hits are TRUE
+    in both; WHERE context agrees (UNKNOWN and FALSE filter alike);
+    EXISTS is two-valued in both. Safe routes, pinned agreeing:
+    coalesce(x IN (...), false) or CASE WHEN - both engines reach the
+    same branch."""
+    spark, con = engines
+    w = "(VALUES (1), (NULL), (4)) w(z)"
+    for q, s_want, d_want in (
+        (f"SELECT 2 IN (SELECT z FROM {w}) AS v", False, None),
+        (f"SELECT 2 NOT IN (SELECT z FROM {w}) AS v", False, None),
+        (f"SELECT 1 IN (SELECT z FROM {w}) AS v", True, True),
+        (f"SELECT CAST(NULL AS INT) IN (SELECT z FROM {w}) AS v", None, None),
+        ("SELECT 2 IN (1, NULL, 4) AS v", None, None),  # literal: NULL in BOTH
+        (f"SELECT coalesce(2 IN (SELECT z FROM {w}), false) AS v", False, False),
+        (
+            f"SELECT CASE WHEN 2 IN (SELECT z FROM {w}) THEN 'y' ELSE 'n' END AS v",
+            "n",
+            "n",
+        ),
+    ):
+        assert spark.sql(q).collect()[0][0] == s_want or (
+            s_want is None and spark.sql(q).collect()[0][0] is None
+        ), q
+        got = con.execute(q).fetchone()[0]
+        assert got == d_want or (d_want is None and got is None), q
