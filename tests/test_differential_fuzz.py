@@ -6396,3 +6396,191 @@ def test_in_subquery_unknown_collapse_divergence_pinned(engines):
         ), q
         got = con.execute(q).fetchone()[0]
         assert got == d_want or (d_want is None and got is None), q
+
+
+# -------------- surface 94: decimal arithmetic propagation, safe region
+
+#: Same-text decimal arithmetic templates, compared through
+#: CAST(... AS STRING) so SCALE PROPAGATION itself is under test
+#: (trailing zeros and digit counts must match, not just the numeric
+#: value - _canon would otherwise collapse decimals through float).
+#: Operands come from INT fixture columns (int -> decimal casts are
+#: exact in both engines; double -> decimal would drag in rounding-mode
+#: noise) and decimal literals (typed DECIMAL(d, s) identically in
+#: both). Division is EXCLUDED: duckdb returns DOUBLE where Spark
+#: returns DECIMAL(p,s) (pin 46 census). Draws stay in the SAFE region
+#: (fixed p=18, s in 0..5, so mul precision <= 37, add <= 19 - no
+#: 38-cap), where propagation agrees EXACTLY; outside it Spark silently
+#: rounds (pin 46).
+_s94_tmpl = [
+    lambda p: (
+        "CAST(CAST(l_orderkey AS DECIMAL(18,{s1})) + "
+        "CAST(l_partkey AS DECIMAL(18,{s2})) AS STRING)"
+    ),
+    lambda p: (
+        "CAST(CAST(l_orderkey AS DECIMAL(18,{s1})) - "
+        "CAST(l_partkey AS DECIMAL(18,{s2})) AS STRING)"
+    ),
+    lambda p: (
+        "CAST(CAST(l_suppkey AS DECIMAL(12,{s1})) * "
+        "CAST(l_linenumber AS DECIMAL(12,{s2})) AS STRING)"
+    ),
+    lambda p: (
+        "CAST(CAST(l_orderkey AS DECIMAL(18,{s1})) % "
+        "CAST(l_suppkey + 1 AS DECIMAL(12,{s2})) AS STRING)"
+    ),
+    lambda p: ("CAST(CAST(l_suppkey AS DECIMAL(12,{s1})) * {lit} AS STRING)"),
+    lambda p: ("CAST({lit} - CAST(l_linenumber AS DECIMAL(10,{s1})) AS STRING)"),
+    lambda p: ("CAST(-CAST(l_partkey AS DECIMAL(14,{s1})) AS STRING)"),
+    lambda p: ("CAST(abs(-CAST(l_suppkey AS DECIMAL(12,{s1})) - {lit}) AS STRING)"),
+]
+
+
+@given(
+    pred=predicate,
+    idxs=st.lists(
+        st.integers(0, len(_s94_tmpl) - 1), min_size=1, max_size=4, unique=True
+    ),
+    s1=st.integers(0, 3),
+    s2=st.integers(0, 3),
+    lit=st.sampled_from(["1.25", "0.125", "3.5", "0.001", "7", "2.50"]),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_decimal_propagation(engines, pred, idxs, s1, s2, lit):
+    """Surface 94 (r14): decimal arithmetic type propagation in the SAFE
+    region - +, -, *, %, unary minus, abs over int-sourced decimals and
+    decimal literals, with the result rendered via CAST AS STRING so the
+    propagated SCALE (trailing-zero count) is compared, not just the
+    value. In this region (no 38-precision cap hit) both engines agree
+    exactly, including rendering (no leading '+', '-0.50' and '0.50'
+    forms identical - authoring probe). The boundary where they STOP
+    agreeing is pin 46: at the cap Spark silently rounds scale away
+    (DECIMAL(38,10)*DECIMAL(38,10) -> (38,6)) while duckdb preserves
+    digits; division diverges in TYPE (Spark DECIMAL(p,s), duckdb
+    DOUBLE). Mod of a never-zero divisor (l_suppkey + 1) keeps the walk
+    total; decimal-vs-double-literal comparison also agrees (probe)."""
+    p = {}
+    cols = ", ".join(
+        _s94_tmpl[t](p).format(s1=s1, s2=s2, lit=lit) + f" AS c{i}"
+        for i, t in enumerate(idxs)
+    )
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
+
+
+def test_decimal_cap_rounding_divergence_pinned(engines):
+    """Pin 46 (r14, found by surface 94's authoring probe): when a
+    decimal result's precision would exceed 38, Spark CAPS it by
+    silently ROUNDING scale away while duckdb preserves the digits -
+    DECIMAL(38,10) * DECIMAL(38,10) is DECIMAL(38,6) in Spark, so
+    1.0000000001 * 1 = 1.000000 (the significant digit at 1e-10 is
+    DESTROYED) vs duckdb's exact 1.00000000010000000000; even
+    DECIMAL(20,10) squares lose their last digit in Spark ((38,17):
+    ...00000000 vs the true ...00000001). ADDITION too: DECIMAL(38,9)
+    + 1 rounds to scale 8 in Spark vs exact scale 9 in duckdb. And
+    DIVISION diverges in TYPE below the cap: decimal/decimal is
+    DECIMAL(p,s) in Spark (value 0.3333333333333 at (23,13)) but
+    DOUBLE in duckdb (0.3333333333333333) - different values the float
+    canonicalization used by oracle compares would round together only
+    by luck. Safe region, fuzzed by surface 94: keep operand precision
+    low enough that no cap engages, and never compare raw
+    decimal/decimal cross-engine - the repo's oracle discipline casts
+    division results to DOUBLE on BOTH sides (pin 3)."""
+    spark, con = engines
+    q = (
+        "SELECT CAST(CAST('1.0000000001' AS DECIMAL(38,10)) * "
+        "CAST(1 AS DECIMAL(38,10)) AS STRING) AS v"
+    )
+    assert spark.sql(q).collect()[0][0] == "1.000000"  # digit destroyed
+    assert con.execute(q).fetchone()[0] == "1.00000000010000000000"
+    q = (
+        "SELECT CAST(CAST('1.0000000001' AS DECIMAL(20,10)) * "
+        "CAST('1.0000000001' AS DECIMAL(20,10)) AS STRING) AS v"
+    )
+    assert spark.sql(q).collect()[0][0] == "1.00000000020000000"  # last digit lost
+    assert con.execute(q).fetchone()[0] == "1.00000000020000000001"
+    q = (
+        "SELECT CAST(CAST('123456789012345678.123456789' AS DECIMAL(38,9)) + "
+        "CAST(1 AS DECIMAL(38,9)) AS STRING) AS v"
+    )
+    assert spark.sql(q).collect()[0][0] == "123456789012345679.12345679"
+    assert con.execute(q).fetchone()[0] == "123456789012345679.123456789"
+    # division type divergence below the cap
+    sdf = spark.sql(
+        "SELECT CAST(1 AS DECIMAL(10,2)) / CAST(3 AS DECIMAL(10,2)) AS v"
+    )
+    assert sdf.schema[0].dataType.simpleString().startswith("decimal")
+    import decimal as _d
+
+    assert sdf.collect()[0][0] == _d.Decimal("0.3333333333333")
+    dv = con.execute(
+        "SELECT CAST(1 AS DECIMAL(10,2)) / CAST(3 AS DECIMAL(10,2))"
+    ).fetchone()[0]
+    assert isinstance(dv, float) and dv == 1 / 3
+    # safe region agrees exactly, string-rendered (surface 94's contract)
+    q = (
+        "SELECT CAST(CAST(1.25 AS DECIMAL(10,2)) * "
+        "CAST(0.125 AS DECIMAL(8,3)) AS STRING) AS v"
+    )
+    assert spark.sql(q).collect()[0][0] == con.execute(q).fetchone()[0] == "0.15625"
+
+
+def test_decimal_string_scientific_divergence_pinned(engines):
+    """Pin 47 (r14, found by surface 94's first fuzz failure - a
+    zero-valued product at result scale 7): CAST(decimal AS STRING)
+    under Spark's ANSI-OFF mode (the repo's Hive-compat session
+    profile, session.py) uses Java BigDecimal.toString, which flips to
+    SCIENTIFIC notation when the adjusted exponent is < -6: a scale-7
+    zero renders '0E-7', 0.0000001 renders '1E-7' - while duckdb always
+    renders plain ('0.0000000', '0.0000001'). The boundary is exact:
+    0.0000015 and 0.0000010 at scale 7 (adjusted exponent -6) stay
+    plain in both. Under ANSI ON, Spark switches to toPlainString and
+    agrees with duckdb everywhere - so the divergence is MODE-dependent
+    on the Spark side, invisible in ANSI-on test sessions and live in
+    Hive-compat ones. Safe routes: keep string-rendered decimal scales
+    <= 6 (surface 94's cap), or re-CAST to a <=6-scale decimal before
+    rendering."""
+    spark, con = engines
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    # non-foldable path (VALUES column) - the shape the fuzz hit
+    q = (
+        "SELECT CAST(CAST(x AS DECIMAL(12,7)) AS STRING) AS v "
+        "FROM (VALUES ('0'), ('0.0000001'), ('0.0000015'), ('1')) t(x)"
+    )
+    assert [r[0] for r in spark.sql(q).collect()] == [
+        "0E-7",
+        "1E-7",
+        "0.0000015",
+        "1.0000000",
+    ]
+    assert [r[0] for r in con.execute(q).fetchall()] == [
+        "0.0000000",
+        "0.0000001",
+        "0.0000015",
+        "1.0000000",
+    ]
+    # scale 6 (adjusted exponent -6): plain and agreeing in both
+    q = (
+        "SELECT CAST(CAST(x AS DECIMAL(12,6)) AS STRING) AS v "
+        "FROM (VALUES ('0'), ('0.000001')) t(x)"
+    )
+    assert [r[0] for r in spark.sql(q).collect()] == ["0.000000", "0.000001"]
+    assert [r[0] for r in con.execute(q).fetchall()] == ["0.000000", "0.000001"]
+    # ANSI ON flips Spark to plain rendering (toPlainString)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        q = (
+            "SELECT CAST(CAST(x AS DECIMAL(12,7)) AS STRING) AS v "
+            "FROM (VALUES ('0'), ('0.0000001')) t(x)"
+        )
+        assert [r[0] for r in spark.sql(q).collect()] == ["0.0000000", "0.0000001"]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
