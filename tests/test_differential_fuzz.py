@@ -6584,3 +6584,138 @@ def test_decimal_string_scientific_divergence_pinned(engines):
         assert [r[0] for r in spark.sql(q).collect()] == ["0.0000000", "0.0000001"]
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+# ---------------- surface 95: mixed-type comparison coercion, safe core
+
+#: Same-text mixed-type comparison templates over fuzz_lineitem. The
+#: agreeing core (authoring probe): number-vs-string comparisons coerce
+#: NUMERICALLY in both engines when the string holds a plain decimal
+#: rendering (including leading zeros, spaces, and trailing '.0');
+#: boolean = int and boolean = 'true' agree; date/timestamp = string
+#: agree; BETWEEN with string bounds over numeric columns agrees; and
+#: string-vs-string stays LEXICAL in both ('10' < '9'). Exclusions:
+#: scientific/hex strings against INTEGRAL columns (pin 48), mixed-type
+#: conditional branches (pin 49), greatest/least over mixed types
+#: (Spark loud DATA_DIFF_TYPES, duckdb coerces), string arithmetic
+#: (1 + '1' is 2.0 in Spark, loud in duckdb).
+_s95_tmpl = [
+    lambda p: (f"CAST(l_orderkey AS STRING) {p['eq']} l_orderkey"),
+    lambda p: (f"l_suppkey {p['eq']} CAST(l_suppkey + {p['d']} AS STRING)"),
+    lambda p: (f"concat(' ', CAST(l_linenumber AS STRING)) = l_linenumber"),
+    lambda p: (f"concat('0', CAST(l_linenumber AS STRING)) = l_linenumber"),
+    lambda p: (f"CAST(CAST(l_quantity AS DECIMAL(10,1)) AS STRING) = l_quantity"),
+    lambda p: (f"l_quantity {p['op']} '{p['q']}'"),
+    lambda p: (f"l_quantity BETWEEN '{p['d']}' AND '{p['q']}'"),
+    lambda p: (f"(l_quantity > {p['q']}) = {p['b']}"),
+    lambda p: (f"(l_quantity > {p['q']}) = '{'true' if p['b'] else 'false'}'"),
+    lambda p: (f"CAST(l_shipdate AS DATE) {p['op']} '{p['y']}-06-15'"),
+    lambda p: (f"l_shipdate {p['op']} '{p['y']}-06-15 12:00:00'"),
+    lambda p: (f"CAST(l_orderkey AS STRING) < CAST(l_partkey AS STRING)"),
+]
+
+
+@given(
+    pred=predicate,
+    idxs=st.lists(
+        st.integers(0, len(_s95_tmpl) - 1), min_size=1, max_size=5, unique=True
+    ),
+    op=st.sampled_from(["=", "<", "<=", ">", ">=", "<>"]),
+    eq=st.sampled_from(["=", "<>"]),
+    d=st.integers(0, 3),
+    q=st.integers(1, 50),
+    b=st.integers(0, 1),
+    y=st.integers(1993, 1998),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_mixed_type_comparison(engines, pred, idxs, op, eq, d, q, b, y):
+    """Surface 95 (r14): implicit cross-type comparison coercion - the
+    agreeing same-text core: number-vs-string compares NUMERICALLY in
+    both engines (' 1' = 1, '01' = 1, '2.0' = 2, 10 < '9' all agree),
+    string-vs-string stays LEXICAL in both, boolean = int / = 'true'
+    agree, date/timestamp = string agree, BETWEEN with string bounds
+    over numerics agrees. The walk renders strings FROM fixture numbers
+    (plain decimal renderings only), so the pin-48 grammar gap
+    (scientific/hex strings vs INTEGRAL columns: NULL in Spark, numeric
+    in duckdb) and pin 49 (mixed-type conditional branches resolve to
+    STRING in Spark vs numeric in duckdb) stay excluded; greatest/least
+    over mixed types is Spark-loud, string arithmetic duckdb-loud
+    (census)."""
+    p = {"op": op, "eq": eq, "d": d, "q": q, "b": b, "y": y}
+    cols = ", ".join(f"({_s95_tmpl[t](p)}) AS c{i}" for i, t in enumerate(idxs))
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
+
+
+def test_string_integral_comparison_grammar_divergence_pinned(engines):
+    """Pin 48 (r14, found by surface 95's authoring probe): pin 30's
+    cast-grammar gap reaches the BARE comparison operators with no CAST
+    in the user's SQL - comparing an INTEGRAL column/literal against a
+    scientific-notation string gives NULL in Spark (its comparison
+    coercion routes the string through the strict integral grammar)
+    but TRUE in duckdb (numeric parse accepts '1e2'): x = 100 over
+    VALUES ('1e2') is NULL vs TRUE; 100 = '1e2' likewise; '0x10' = 16
+    likewise. Against a DOUBLE-typed side both engines agree TRUE
+    (Spark's string->double cast accepts scientific), so the flip is
+    integral-side-specific. Agreeing census: plain decimal renderings
+    ('100', '2.0', ' 1', '01') compare numerically and identically in
+    both; malformed non-numeric strings vs numbers are NULL in Spark
+    vs LOUD conversion error in duckdb (pin-7 shape, not silent).
+    Safe: CAST the string side to DOUBLE explicitly before comparing."""
+    spark, con = engines
+    q = "SELECT x = 100 AS v FROM (VALUES ('1e2'), ('100'), ('2.0')) t(x)"
+    assert [r[0] for r in spark.sql(q).collect()] == [None, True, False]
+    assert [r[0] for r in con.execute(q).fetchall()] == [True, True, False]
+    q = "SELECT 100 = x AS v FROM (VALUES ('1e2')) t(x)"
+    assert spark.sql(q).collect()[0][0] is None
+    assert con.execute(q).fetchone()[0] is True
+    # double-typed side: scientific accepted by BOTH
+    q = "SELECT x = 100.0 AS v FROM (VALUES ('1e2')) t(x)"
+    assert spark.sql(q).collect()[0][0] is True
+    assert con.execute(q).fetchone()[0] is True
+    # safe route
+    q = "SELECT CAST(x AS DOUBLE) = 100 AS v FROM (VALUES ('1e2')) t(x)"
+    assert spark.sql(q).collect()[0][0] is True
+    assert con.execute(q).fetchone()[0] is True
+
+
+def test_conditional_branch_type_divergence_pinned(engines):
+    """Pin 49 (r14, found by surface 95's authoring probe): conditional
+    forms with MIXED string/numeric branches resolve the result type in
+    OPPOSITE directions - Spark widens to STRING (CASE WHEN false THEN
+    'a' ELSE 2 END is the string '2'; coalesce(1, '2') is '1'), duckdb
+    narrows to the numeric type (integer 2 / 1) and therefore ERRORS
+    LOUDLY the moment a non-numeric string branch is actually selected
+    (CASE WHEN true THEN 'a' ELSE 2 END: Conversion Error) where Spark
+    returns 'a' silently. Same value rendered, different TYPE - a
+    driver-style hash compare flags it (schema mismatch), but
+    same-text consumers feeding the result into arithmetic or
+    concatenation flip behavior silently. Safe: make branch types
+    agree explicitly (CAST the numeric branch to STRING or the string
+    branch to a numeric) - pinned agreeing both ways."""
+    spark, con = engines
+    q = "SELECT CASE WHEN false THEN 'a' ELSE 2 END AS v"
+    assert spark.sql(q).collect()[0][0] == "2"  # string
+    assert con.execute(q).fetchone()[0] == 2  # integer
+    q = "SELECT coalesce(1, '2') AS v"
+    assert spark.sql(q).collect()[0][0] == "1"
+    assert con.execute(q).fetchone()[0] == 1
+    q = "SELECT CASE WHEN true THEN 'a' ELSE 2 END AS v"
+    assert spark.sql(q).collect()[0][0] == "a"
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        con.execute(q)
+    # safe routes agree
+    q = "SELECT CASE WHEN false THEN 'a' ELSE CAST(2 AS STRING) END AS v"
+    assert spark.sql(q).collect()[0][0] == con.execute(q).fetchone()[0] == "2"
+    q = "SELECT coalesce(1, CAST('2' AS INT)) AS v"
+    assert spark.sql(q).collect()[0][0] == con.execute(q).fetchone()[0] == 1
