@@ -6719,3 +6719,75 @@ def test_conditional_branch_type_divergence_pinned(engines):
     assert spark.sql(q).collect()[0][0] == con.execute(q).fetchone()[0] == "2"
     q = "SELECT coalesce(1, CAST('2' AS INT)) AS v"
     assert spark.sql(q).collect()[0][0] == con.execute(q).fetchone()[0] == 1
+
+
+# --------------- surface 96: name resolution / alias shadowing walk
+
+#: Same-text name-resolution templates. Agreeing core (authoring
+#: probe, discriminating data): when a SELECT alias SHADOWS a real
+#: column, GROUP BY and ORDER BY bind the UNDERLYING COLUMN in both
+#: engines (SELECT a % 2 AS a ... GROUP BY a groups on the original
+#: a); clean aliases bind the alias in both; ordinals bind in both;
+#: lateral alias reuse within one SELECT list works in both; HAVING
+#: binds clean aliases in both. Loud census gaps, excluded: HAVING on
+#: an alias that shadows a column binds the alias in Spark but is a
+#: binder error in duckdb; QUALIFY / DISTINCT ON / * EXCLUDE are
+#: duckdb-only; * EXCEPT (cols) is Spark-only.
+_s96_tmpl = [
+    lambda p: (
+        f"SELECT l_suppkey % {p['m']} AS l_suppkey FROM fuzz_lineitem "
+        f"WHERE {p['pred']} GROUP BY l_suppkey"
+    ),
+    lambda p: (
+        f"SELECT l_suppkey % {p['m']} AS g, count(*) AS c FROM fuzz_lineitem "
+        f"WHERE {p['pred']} GROUP BY g"
+    ),
+    lambda p: (
+        f"SELECT l_partkey AS l_orderkey, l_orderkey AS k FROM fuzz_lineitem "
+        f"WHERE {p['pred']} ORDER BY l_orderkey, k LIMIT {p['n']}"
+    ),
+    lambda p: (
+        f"SELECT -l_orderkey AS l_orderkey, l_linenumber FROM fuzz_lineitem "
+        f"WHERE {p['pred']} ORDER BY l_orderkey, l_linenumber LIMIT {p['n']}"
+    ),
+    lambda p: (
+        f"SELECT l_returnflag, sum(l_linenumber) AS s FROM fuzz_lineitem "
+        f"WHERE {p['pred']} GROUP BY l_returnflag HAVING s > {p['m']}"
+    ),
+    lambda p: (
+        f"SELECT l_returnflag, l_linestatus, count(*) AS c FROM fuzz_lineitem "
+        f"WHERE {p['pred']} GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    lambda p: (
+        f"SELECT upper(l_returnflag) AS u, u || l_linestatus AS w "
+        f"FROM fuzz_lineitem WHERE {p['pred']} ORDER BY l_orderkey, "
+        f"l_linenumber LIMIT {p['n']}"
+    ),
+]
+
+
+@given(
+    pred=predicate,
+    t=st.integers(0, len(_s96_tmpl) - 1),
+    m=st.integers(2, 7),
+    n=st.integers(1, 8),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_name_resolution(engines, pred, t, m, n):
+    """Surface 96 (r14): name resolution and alias shadowing - the walk
+    locks in an AGREEING contract that is easy to assume and hard to
+    find documented: a SELECT alias shadowing a real column does NOT
+    capture GROUP BY / ORDER BY references in either engine (the
+    underlying column binds; verified with discriminating data where
+    the two bindings give different group counts), clean aliases DO
+    bind, ordinals bind, and lateral alias reuse inside one SELECT
+    list resolves left-to-right in both. ORDER BY templates carry a
+    full-tiebreak + LIMIT so the rowset is deterministic. Loud gaps in
+    the docstring census above stay excluded."""
+    p = {"pred": pred, "m": m, "n": n}
+    _both_agree(engines, _s96_tmpl[t](p))
