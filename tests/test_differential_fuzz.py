@@ -6791,3 +6791,132 @@ def test_fuzz_name_resolution(engines, pred, t, m, n):
     the docstring census above stay excluded."""
     p = {"pred": pred, "m": m, "n": n}
     _both_agree(engines, _s96_tmpl[t](p))
+
+
+# ------------------- surface 97: printf format rendering, safe core
+
+#: Same-text printf templates over fixture columns. Agreeing core
+#: (authoring probe): %d/%05d/%-Nd/%+d over ints (incl. BIGINT), %x/%o,
+#: %,d grouping, %s over strings and booleans, %Ns/%-Ns padding and
+#: %N.Ms string truncation, %c from a codepoint, %% literal, %e over
+#: integral-valued doubles (6 sig digits, no rounding engaged), %.Nf
+#: when N exceeds the value's decimal count (fixture prices carry 2
+#: decimals; N>=3 engages no tie rounding), and default-precision %f.
+#: Exclusions, all probed: %f/%e TIE rounding is HALF_UP in Spark's
+#: Java Formatter vs HALF_EVEN in duckdb's fmt (pin 50); %g trailing
+#: zeros, NULL args, NaN/Inf case, %b booleans, and DATE-as-%s (Spark
+#: prints the internal day count!) are pin 50's census; %(d is
+#: Spark-only, %s over NUMERIC args duckdb-loud, %d over floats loud
+#: in both.
+_s97_tmpl = [
+    lambda p: f"printf('%d|%05d|%+d', l_linenumber, l_suppkey, l_partkey)",
+    lambda p: f"printf('%-{p['w']}d|', l_suppkey)",
+    lambda p: f"printf('%x:%o', l_orderkey, l_partkey)",
+    lambda p: f"printf('%,d', l_orderkey * 1000 + l_partkey)",
+    lambda p: f"printf('%s=%s', l_returnflag, l_linestatus)",
+    lambda p: f"printf('%{p['w']}s|%-{p['w']}s|', l_returnflag, l_linestatus)",
+    lambda p: f"printf('%{p['w']}.{p['t']}s|', l_returnflag || l_linestatus || 'xyz')",
+    lambda p: f"printf('%c%%', 65 + (l_linenumber % 26))",
+    lambda p: f"printf('%e', CAST(l_orderkey AS DOUBLE))",
+    lambda p: f"printf('%.{p['n']}f', l_extendedprice)",
+    lambda p: f"printf('%f', CAST(l_suppkey AS DOUBLE) / 32)",
+    lambda p: f"printf('%s', l_quantity > {p['w']})",
+]
+
+
+@given(
+    pred=predicate,
+    idxs=st.lists(
+        st.integers(0, len(_s97_tmpl) - 1), min_size=1, max_size=5, unique=True
+    ),
+    w=st.integers(1, 12),
+    t=st.integers(1, 4),
+    n=st.integers(3, 6),
+)
+@settings(
+    max_examples=30 * _SCALE,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_printf_family(engines, pred, idxs, w, t, n):
+    """Surface 97 (r14): printf - both engines own the same-text
+    function (Spark: java.util.Formatter; duckdb: fmt) and agree on the
+    integer/string/padding/grouping core, %c, %%, %e over values that
+    engage no rounding, and %.Nf when N exceeds the value's decimal
+    count. The walk fuzzes exactly that core over fixture columns
+    (prices have 2 decimals -> N in 3..6 is rounding-free; %f of
+    x/32 is exact in binary); the rounding-engaged and
+    type-rendering corners are pin 50. Census: format_string is the
+    Spark-only alias; duckdb's brace format('{:05d}') is its own
+    engine-private second grammar."""
+    p = {"w": w, "t": t, "n": n}
+    cols = ", ".join(f"{_s97_tmpl[i](p)} AS c{k}" for k, i in enumerate(idxs))
+    _both_agree(
+        engines,
+        f"SELECT l_orderkey, l_linenumber, {cols} "
+        f"FROM fuzz_lineitem WHERE {pred}",
+    )
+
+
+def test_printf_rounding_rendering_divergence_pinned(engines):
+    """Pin 50 (r14, found by surface 97's authoring probe): printf
+    parses the same format strings in both engines but diverges
+    silently in four rendering corners. (a) TIE ROUNDING: %.1f of 0.25
+    is '0.3' in Spark (Java Formatter, HALF_UP) vs '0.2' in duckdb
+    (fmt, HALF_EVEN); %.0f of 2.5 is '3' vs '2' (3.5 agrees on '4' -
+    even). (b) %g keeps 6 significant digits WITH trailing zeros in
+    Spark ('1.23400e-05') vs stripped in duckdb ('1.234e-05'). (c) a
+    NULL argument renders the STRING 'null' in Spark vs a NULL result
+    in duckdb. (d) type renderings: %s of a DATE prints Spark's
+    internal DAY COUNT ('18263' for 2020-01-02!) vs the ISO date in
+    duckdb; %b of true is 'true' vs '1'; NaN/Infinity render
+    'NaN'/'Infinity' vs 'nan'/'inf'. Safe: pre-round with round() and
+    pre-format dates with date_format/strftime; never printf a raw
+    DATE or NULL cross-engine."""
+    spark, con = engines
+    pairs = [
+        ("printf('%.1f', CAST(0.25 AS DOUBLE))", "0.3", "0.2"),
+        ("printf('%.0f', CAST(2.5 AS DOUBLE))", "3", "2"),
+        ("printf('%.0f', CAST(3.5 AS DOUBLE))", "4", "4"),
+        ("printf('%g', CAST(0.00001234 AS DOUBLE))", "1.23400e-05", "1.234e-05"),
+        ("printf('%s', CAST(NULL AS STRING))", "null", None),
+        ("printf('%s', DATE '2020-01-02')", "18263", "2020-01-02"),
+        ("printf('%b', true)", "true", "1"),
+        ("printf('%.2f', CAST('NaN' AS DOUBLE))", "NaN", "nan"),
+        ("printf('%.2f', CAST('Infinity' AS DOUBLE))", "Infinity", "inf"),
+    ]
+    for expr, s_want, d_want in pairs:
+        q = f"SELECT {expr} AS v"
+        assert spark.sql(q).collect()[0][0] == s_want, q
+        assert con.execute(q).fetchone()[0] == d_want, q
+
+
+def test_shift_count_range_divergence_pinned(engines):
+    """Pin 51 (r14, found by surface 97's authoring probe): << and >>
+    parse same-text and agree for IN-WIDTH shift counts (arithmetic
+    right shift of negatives included: -8 >> 2 is -2 in both), but
+    out-of-range counts diverge: Spark wraps the count modulo the
+    operand width (Java semantics: 1 << 65 is 2; 1 << -1 is INT_MIN;
+    -8 >> 40 is -8 >> 8 = -1) while duckdb ERRORS on out-of-range <<
+    and returns 0 for >> counts past the width (-8 >> 40 is 0 - SILENT
+    against Spark's -1 for negative operands; positive operands hit 0
+    in both by coincidence). Safe: mask the count explicitly
+    (x >> (n % 32)) or guard n in [0, width)."""
+    spark, con = engines
+    assert spark.sql("SELECT -8 >> 2 AS v").collect()[0][0] == -2
+    assert con.execute("SELECT -8 >> 2").fetchone()[0] == -2
+    assert spark.sql("SELECT 1 << 3 AS v").collect()[0][0] == 8
+    assert con.execute("SELECT 1 << 3").fetchone()[0] == 8
+    # silent: negative operand, count past width
+    assert spark.sql("SELECT -8 >> 40 AS v").collect()[0][0] == -1  # 40 mod 32
+    assert con.execute("SELECT -8 >> 40").fetchone()[0] == 0
+    # loud: duckdb rejects out-of-range <<, Spark wraps
+    assert spark.sql("SELECT 1 << 65 AS v").collect()[0][0] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        con.execute("SELECT 1 << 65")
+    with _pytest.raises(Exception):
+        con.execute("SELECT 1 << -1")
+    assert spark.sql("SELECT 1 << -1 AS v").collect()[0][0] == -2147483648
