@@ -148,6 +148,84 @@ def table_rows(sf_dir: str, name: str) -> int | None:
     return rows
 
 
+#: (sf_dir, name) -> parquet row-group count, cached per process (fixture
+#: dirs are immutable per process, TESTDATA.md - same contract the family
+#: cache relies on). None = a footer was unreadable (treat as unknown).
+_SPLITS_CACHE: dict[tuple[str, str], int | None] = {}
+
+
+def scan_splits(sf_dir: str, name: str) -> int | None:
+    """Parquet row groups across the table's files, from footers only: the
+    hard ceiling on scan-stage parallelism. A row group is parquet's
+    smallest independently readable unit - byte-range splits below one row
+    group assign the group to a single task and decode nothing in the
+    others, so no Spark split setting can raise scan parallelism past this
+    number. ``None`` when any footer is unreadable (callers must treat
+    unknown conservatively, exactly like :func:`table_rows`)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = (sf_dir, name)
+    if key in _SPLITS_CACHE:
+        return _SPLITS_CACHE[key]
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        paths = [path]
+    else:
+        paths = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet") or f.startswith("part-")
+        ]
+    n: int | None = 0
+    if not paths:
+        n = None
+    else:
+        for p in paths:
+            try:
+                n += pq.ParquetFile(p).metadata.num_row_groups
+            except Exception:
+                n = None
+                break
+    _SPLITS_CACHE[key] = n
+    return n
+
+
+def spread_scan(
+    spark: SparkSession, sf_dir: str, name: str, key: str | None = None
+) -> DataFrame:
+    """Read one fixture table and rebalance it across the executor cores
+    when - and only when - its LAYOUT cannot feed them (optimization guide
+    section 2.5, "input skew: one huge unsplittable file ... repartition
+    immediately after the read").
+
+    Parquet cannot parallelize inside a row group, so a table whose files
+    hold fewer row groups than the session has cores caps every downstream
+    narrow stage (explode, expensive projections, broadcast-join probes,
+    partial aggregation) at that parallelism. The fixture tables are
+    single-row-group files: without this, stage 1 of a pipeline runs on
+    ONE core regardless of SPARK_GRAFT_CPUS. The gate reads the layout,
+    not the platform: a warehouse-scale table has thousands of row groups
+    per core, so the same call is a plan no-op there and costs only a
+    cached footer read. Callers apply it where stage-1 per-row work
+    dominates (measured per call site, OPTIMIZATION_r14.md); for cheap
+    stage-1 work the repartition shuffle costs more than it buys.
+
+    ``key`` (a column the query already reads - never widen the scan)
+    makes the rebalance a deterministic hash repartition: round-robin
+    would pay the sort-before-repartition pass (SPARK-23207) and is only
+    retry-safe because of it. Keyless falls back to round-robin.
+    """
+    df = tbl(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    splits = scan_splits(sf_dir, name)
+    if splits is None or splits >= max(cores // 2, 2):
+        return df
+    return df.repartition(cores, key) if key else df.repartition(cores)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register fixture tables as temp views for SQL-expressed builders."""
     for name in names:

@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bee_proof_spark.queries import register, table_bytes, tbl
+from bee_proof_spark.queries import register, spread_scan, table_bytes, tbl
 
 # ------------------------------------------------------------------ helpers
 
@@ -235,9 +235,17 @@ def shared_shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus (doc_id, shingle) postings table, materialized once per
     (app, corpus): ext_dedup_ngram_jaccard, ext_dedup_fuzzy_verified and
     ext_dedup_cluster all read this instead of re-exploding the corpus."""
+    # spread_scan: the corpus shingle explode is the family's heaviest
+    # narrow stage; over the single-row-group fixture layout it would run
+    # on ONE core (and every consumer of the 1-partition checkpoint - the
+    # jaccard pair join's probe side, the minhash aggregation's map side -
+    # would inherit that). Layout-gated no-op on a properly chunked corpus.
+    # Measured (sf0.1, local[32], min-of-3 warm floors): jaccard 2.65
+    # -> 1.48 s, fuzzy 0.48 -> 0.35 s, fuzzy_verified 0.93 -> 0.73 s,
+    # cluster 2.98 -> 2.52 s.
     return _family_checkpoint(
         spark, sf_dir, "sh0",
-        lambda: _shingle_postings(tbl(spark, sf_dir, "documents")),
+        lambda: _shingle_postings(spread_scan(spark, sf_dir, "documents", "doc_id")),
     )
 
 
@@ -903,11 +911,16 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages once per (app, corpus) like the minhash/postings family
     # stages; repeat calls (bench pass 2, future consumers) read the
     # staged (doc_id, sim_lo, sim_hi) rows.
+    # spread_scan: the 64-vote signature aggregation's MAP side (token
+    # explode + partial agg, the dominant cost) is a narrow stage over the
+    # corpus scan; layout-gated rebalance keeps it off the one-core path
+    # the single-row-group fixture would force (measured with the family
+    # spread: warm floor 2.15 -> 1.65 s at sf0.1, local[32]).
     sig = _family_checkpoint(
         spark,
         sf_dir,
         "simhash_sig",
-        lambda: simhash_signatures(tbl(spark, sf_dir, "documents")),
+        lambda: simhash_signatures(spread_scan(spark, sf_dir, "documents", "doc_id")),
     )
     banded = sig.select(
         "doc_id",

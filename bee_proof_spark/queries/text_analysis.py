@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bee_proof_spark.queries import davg, o_davg, register, tbl
+from bee_proof_spark.queries import davg, o_davg, register, spread_scan, tbl
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -529,7 +529,13 @@ def ext_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     document length, never by gram popularity.
     """
     from pyspark.sql import Window
-    d = tbl(spark, sf_dir, "documents")
+    # spread_scan: the positional 5-gram build (split + transform + slice +
+    # array_join per word position) is by far the heaviest narrow stage in
+    # the bench's text family and is evaluated for BOTH gram consumers (df
+    # agg + hit join); over the single-row-group fixture layout it would
+    # run twice on ONE core. Layout-gated no-op on a chunked corpus.
+    # Measured: 2.08 -> 0.97 s warm floor (sf0.1, local[32], min-of-4).
+    d = spread_scan(spark, sf_dir, "documents", "doc_id")
     words = d.select("doc_id", F.split("text", " ").alias("ws"))
     # posexplode is 0-based; +1 matches the oracle's 1-based positions.
     grams = (

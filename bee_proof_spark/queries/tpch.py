@@ -20,6 +20,7 @@ from bee_proof_spark.queries import (
     o_davg,
     o_dsum,
     register,
+    spread_scan,
     table_bytes,
     tbl,
 )
@@ -50,7 +51,13 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle moves 6 rows per input partition regardless of input size.
     Filter and 7-column projection push into the parquet scan.
     """
-    li = tbl(spark, sf_dir, "lineitem")
+    # spread_scan: the 19-function exact-sum partial aggregate is the
+    # query's dominant cost and runs in the scan stage; the fixture's
+    # single-row-group layout caps that stage at one core (guide 2.5).
+    # Keyed on l_shipdate - already in the read schema, so the scan stays
+    # 7 columns wide - and the pushed filter still reaches the scan below
+    # the exchange. Measured: 1.72 -> 1.46 s warm floor (sf0.1, local[32]).
+    li = spread_scan(spark, sf_dir, "lineitem", "l_shipdate")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -570,7 +577,13 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning; the IN becomes a left-semi join on the already-shuffled
     key, so no extra wide shuffle.
     """
-    li = tbl(spark, sf_dir, "lineitem")
+    # spread_scan: lineitem feeds BOTH the HAVING aggregate and the fact
+    # side of the semi/equi join chain; the single-row-group layout runs
+    # both passes on one core. Keyed on l_orderkey, the hash repartition
+    # additionally satisfies the groupBy(l_orderkey) distribution, so the
+    # HAVING aggregate plans as a single (no re-shuffle) HashAggregate.
+    # Measured: 1.48 -> 1.06 s warm floor (sf0.1, local[32], min-of-4).
+    li = spread_scan(spark, sf_dir, "lineitem", "l_orderkey")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("sq"))
@@ -649,7 +662,10 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = tbl(spark, sf_dir, "customer")
     nation = tbl(spark, sf_dir, "nation")
-    orders = tbl(spark, sf_dir, "orders")
+    # spread_scan: parallelizes the anti-join build side's decode over the
+    # single-row-group fixture layout (no-op on a chunked corpus).
+    # Measured: 0.76 -> 0.66 s warm floor (sf0.1, local[32], min-of-4).
+    orders = spread_scan(spark, sf_dir, "orders", "o_custkey")
     # The threshold routes through the decimal exact sum (davg/o_davg):
     # a plain double avg is partial-merge-order dependent, so a boundary
     # customer could land on different sides of the cutoff per engine/
