@@ -911,16 +911,22 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages once per (app, corpus) like the minhash/postings family
     # stages; repeat calls (bench pass 2, future consumers) read the
     # staged (doc_id, sim_lo, sim_hi) rows.
-    # spread_scan: the 64-vote signature aggregation's MAP side (token
-    # explode + partial agg, the dominant cost) is a narrow stage over the
-    # corpus scan; layout-gated rebalance keeps it off the one-core path
-    # the single-row-group fixture would force (measured with the family
-    # spread: warm floor 2.15 -> 1.65 s at sf0.1, local[32]).
+    # spread_scan KEYLESS (round-robin): the 64-vote signature aggregation's
+    # MAP side (token explode + partial agg, the dominant staging cost) is a
+    # narrow stage over the corpus scan; layout-gated rebalance keeps it off
+    # the one-core path the single-row-group fixture would force. Keyless on
+    # purpose: spreading BY doc_id lets the groupBy(doc_id) elide its
+    # exchange and the tiny signature table inherits the pinned 32-way
+    # layout, which AQE can no longer coalesce - every warm downstream pass
+    # then pays 32 near-empty tasks per stage (measured interleaved at
+    # sf0.1, local[32]: warm floor 1.01 s keyed vs 0.40 s keyless/plain).
+    # Round-robin keeps the agg exchange alive, so AQE sizes the staged
+    # output while the build still fans out.
     sig = _family_checkpoint(
         spark,
         sf_dir,
         "simhash_sig",
-        lambda: simhash_signatures(spread_scan(spark, sf_dir, "documents", "doc_id")),
+        lambda: simhash_signatures(spread_scan(spark, sf_dir, "documents")),
     )
     banded = sig.select(
         "doc_id",
