@@ -322,3 +322,38 @@ def test_fixture_quantity_is_integral():
         assert mx <= 2**26, f"{p}: l_quantity {mx} too large for exact sums"
         checked += 1
     assert checked, "no lineitem fixture found to check"
+
+
+def test_spread_scan_gates_on_layout(spark, tmp_path):
+    """spread_scan rebalances ONLY when the parquet layout cannot feed the
+    session's cores (single/few row groups); a properly chunked table must
+    pass through with no added exchange - the gate reads the data layout,
+    not the platform, so warehouse-scale tables are a plan no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bee_proof_spark.queries import scan_splits, spread_scan
+
+    cores = spark.sparkContext.defaultParallelism
+    rows = pa.table({"id": list(range(200)), "v": [float(i) for i in range(200)]})
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir()
+    many.mkdir()
+    pq.write_table(rows, one / "narrow.parquet")  # 1 row group
+    pq.write_table(rows, many / "narrow.parquet", row_group_size=5)  # 40 groups
+
+    assert scan_splits(str(one), "narrow") == 1
+    assert scan_splits(str(many), "narrow") >= max(cores // 2, 2)
+
+    spread = spread_scan(spark, str(one), "narrow", "id")
+    plain = spread_scan(spark, str(many), "narrow", "id")
+    # unsplittable layout: rebalanced across the cores
+    assert spread.rdd.getNumPartitions() == cores
+    assert "RoundRobinPartitioning" in spread._jdf.queryExecution().toString() or (
+        "hashpartitioning" in spread._jdf.queryExecution().toString()
+    )
+    # chunked layout: identical plan to a bare read (no Exchange)
+    assert "Exchange" not in plain._jdf.queryExecution().executedPlan().toString()
+    # both read the same rows
+    assert spread.count() == plain.count() == 200

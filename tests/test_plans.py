@@ -571,3 +571,32 @@ def test_per_doc_text_signals_are_shuffle_free(spark, sf_smoke):
     for qid in ("ext_text_fingerprint", "ext_repetition_ratio", "ext_text_tokens"):
         plan = _plan(spark, qid, sf_smoke, mode="simple")
         assert "Exchange" not in plan, qid
+
+
+def test_simhash_staged_sig_is_aqe_sized(spark, sf_smoke):
+    """The staged signature table must stay AQE-coalescible (r14: a keyed
+    spread let the signature groupBy elide its exchange, pinning the tiny
+    5k-row table at scan-spread width - every warm downstream stage then
+    paid near-empty tasks; keyless round-robin keeps the agg exchange
+    alive). Pin: after staging, the cached sig holds FAR fewer partitions
+    than the cores the spread would have pinned."""
+    from bee_proof_spark.queries import extensions as ext
+
+    ext.ext_dedup_simhash(spark, sf_smoke).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    app = spark.sparkContext.applicationId
+    sig = ext._FAMILY_CACHE[(app, sf_smoke, "simhash_sig")]
+    assert sig.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+
+
+def test_emb_lsh_warm_plan_starts_at_staged_buckets(spark, sf_smoke):
+    """ext_dedup_embedding_lsh's capped bucket table stages once per (app,
+    corpus) (r14): a repeat call's plan must read the staged RDD, not
+    re-run the Arrow bucket UDF + cap window."""
+    load_all()["ext_dedup_embedding_lsh"].builder(spark, sf_smoke).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    warm = _plan(spark, "ext_dedup_embedding_lsh", sf_smoke)
+    assert "ArrowEvalPython" not in warm and "posexplode" not in warm
+    assert "ExistingRDD" in warm
