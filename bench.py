@@ -186,10 +186,12 @@ def calibration_bracket_sample(spark, raw_sink: list[dict]) -> float:
     so later bracket points pay exactly TWO priming passes (prev + first
     cur), not one (r12 ADVICE docstring correction).
 
-    Each raw_sink entry is ``{"priming": [...], "samples": [...]}`` (r12
-    ADVICE): the priming passes are recorded, not discarded silently, so
-    the runs artifact shows whether priming converged or hit the 4-pass
-    cap — the visibility the r11 bracket diagnosis relied on. Only
+    Each raw_sink entry is ``{"priming": [...], "samples": [...],
+    "loadavg": [...]}`` (r12 ADVICE; loadavg added r14): the priming
+    passes are recorded, not discarded silently, so the runs artifact
+    shows whether priming converged or hit the 4-pass cap — the
+    visibility the r11 bracket diagnosis relied on — and the OS load
+    triple timestamps the host regime at this bracket point. Only
     ``samples`` feed the returned min."""
     priming = [calibration_pass(spark)]
     for _ in range(3):
@@ -197,7 +199,17 @@ def calibration_bracket_sample(spark, raw_sink: list[dict]) -> float:
         if priming[-1] <= priming[-2] * 1.2 and priming[-2] <= priming[-1] * 1.2:
             break
     samples = [calibration_pass(spark) for _ in range(5)]
-    raw_sink.append({"priming": priming, "samples": samples})
+    # 1/5/15-min load averages at this bracket point (r14): the round-14
+    # host showed episodic external 2-3x degradations, and a contaminated
+    # pass was only attributable by cross-referencing bracket spreads with
+    # live observation. Recording the OS load beside each bracket point
+    # makes the regime call machine-attributable from the artifact alone
+    # (a 1-min load far above the core-count baseline flags the pass).
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg
+        load = []
+    raw_sink.append({"priming": priming, "samples": samples, "loadavg": load})
     return min(samples)
 
 
@@ -227,8 +239,9 @@ def main() -> None:
     # case) then shows up in that pass's own bracket pair and is
     # machine-attributable from the artifact, no judge microbench needed.
     calib: list[float] = []
-    # each entry {"priming": [...], "samples": [...]} per bracket point
-    # (r12 ADVICE; annotation corrected r13 ADVICE)
+    # each entry {"priming": [...], "samples": [...], "loadavg": [...]}
+    # per bracket point (r12 ADVICE; annotation corrected r13 ADVICE;
+    # loadavg regime stamp added r14)
     calib_samples: list[dict] = []
     calibration_pass(spark)  # codegen/JIT warmup for the calibration shape
 
