@@ -172,6 +172,33 @@ def calibration_pass(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def calibration_scaling_pass(spark) -> float:
+    """One timed pass of a FIXED compute-bound workload whose per-row cost
+    is heavy enough that the wall-clock floor SEPARATES by core count
+    (r14 verdict item 1 / PERF_r14 ``suspect_cpus_ignored``): the original
+    calibration shape is per-task-fixed-cost bound at fixture scale, so its
+    floor reads ~flat 8-vs-32 cores and cannot arbitrate whether the bench
+    honored ``$SPARK_GRAFT_CPUS``. This shape is ~10 CPU-seconds of chained
+    transcendentals over 48M rows in 128 fixed partitions (eight tasks per
+    core at 8 cores, four at 32) with a partial-aggregated global sum - no
+    shuffle volume, no fixture I/O - so its floor tracks 1/cores until the
+    core count, not the per-task overhead, is the binding resource.
+    Emitted as ``calibration_scaling`` beside ``cpus_effective``: together
+    they make the parallelism contract verifiable from the artifact alone
+    (an 8-core run shows cpus_effective 8 AND a ~4x scaling floor)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    i = F.col("id").cast("double")
+    df = spark.range(0, 48_000_000, 1, 128).select(
+        F.sum(
+            F.sin(i) + F.cos(i * 0.5) + F.sqrt(F.abs(F.sin(i * 0.25)))
+        ).alias("s")
+    )
+    materialize(df)
+    return round(time.perf_counter() - t0, 3)
+
+
 def calibration_bracket_sample(spark, raw_sink: list[dict]) -> float:
     """min-of-5 calibration at one bracket point (r10 verdict #3): a single
     sample swung 0.561->0.485 between rounds on identical code, making the
@@ -244,6 +271,11 @@ def main() -> None:
     # loadavg regime stamp added r14)
     calib_samples: list[dict] = []
     calibration_pass(spark)  # codegen/JIT warmup for the calibration shape
+    # Core-count yardstick (r15, additive): one warmup then min-of-3 of the
+    # compute-bound scaling shape. Taken OUTSIDE the query sweep so it can
+    # never perturb a timed pass; ~1-5 s total depending on cores.
+    calibration_scaling_pass(spark)
+    calib_scaling = [calibration_scaling_pass(spark) for _ in range(3)]
 
     def one_pass(name: str) -> None:
         t0 = time.perf_counter()
@@ -291,6 +323,15 @@ def main() -> None:
         # value_normalized is an actionable signal.
         "calibration_bracket": calib,
         "value_normalized": round(sum(per_query.values()) / calib_floor, 2),
+        # Parallelism contract, self-verifying from the artifact (r15,
+        # additive - r14 verdict item 1 / PERF_r14 suspect_cpus_ignored):
+        # the EFFECTIVE core count and master the session actually ran
+        # with, plus the floor of a compute-bound shape that scales ~1/cores
+        # (calibration_scaling_pass docstring) - an 8-core run must show
+        # cpus_effective 8 and a ~4x scaling floor vs 32 cores.
+        "cpus_effective": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+        "calibration_scaling": min(calib_scaling),
         # Whole-run sweep totals, one per pass (r13 verdict #5): the
         # BENCH_r13 tail showed the driver ran an unprimed ~3.5x first
         # bench pass before the recorded line, visible only by parsing the
@@ -325,6 +366,7 @@ def main() -> None:
             "bench_runs": runs,
             "calibration_runs": calib,
             "calibration_samples": calib_samples,
+            "calibration_scaling_samples": calib_scaling,
             "pass_calibration": {
                 "pass1": calib[0:2],
                 "pass2": calib[1:3],

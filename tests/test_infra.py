@@ -357,3 +357,50 @@ def test_spread_scan_gates_on_layout(spark, tmp_path):
     assert "Exchange" not in plain._jdf.queryExecution().executedPlan().toString()
     # both read the same rows
     assert spread.count() == plain.count() == 200
+
+
+def test_scan_splits_early_exit_bounds_footer_reads(tmp_path, monkeypatch):
+    """scan_splits(stop_at=k) must stop opening parquet footers the moment
+    the running count reaches k (r14 verdict item 2: at 100 TB the gate's
+    O(files) metadata pass was pure driver waste - it only needs a
+    threshold boolean), and the cached partial count must (a) serve later
+    gate calls without re-reading and (b) upgrade to the full count when a
+    caller asks for the exact total."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import bee_proof_spark.queries as Q
+
+    table_dir = tmp_path / "wide.parquet"
+    table_dir.mkdir()
+    rows = pa.table({"id": list(range(10))})
+    for i in range(20):  # 20 files x 1 row group each
+        pq.write_table(rows, table_dir / f"part-{i:05d}.parquet")
+
+    opened: list[str] = []
+    real = pq.ParquetFile
+
+    class CountingParquetFile(real):
+        def __init__(self, p, *a, **kw):
+            opened.append(str(p))
+            super().__init__(p, *a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", CountingParquetFile)
+    Q._SPLITS_CACHE.pop((str(tmp_path), "wide"), None)
+
+    got = Q.scan_splits(str(tmp_path), "wide", stop_at=4)
+    assert got is not None and 4 <= got < 20  # lower bound, not the total
+    assert len(opened) == 4  # exactly stop_at footers opened
+
+    # cached lower bound serves an equal-or-smaller gate with ZERO reads
+    opened.clear()
+    assert Q.scan_splits(str(tmp_path), "wide", stop_at=4) >= 4
+    assert Q.scan_splits(str(tmp_path), "wide", stop_at=2) >= 2
+    assert opened == []
+
+    # a caller needing the exact total upgrades the cache in place
+    assert Q.scan_splits(str(tmp_path), "wide") == 20
+    opened.clear()
+    assert Q.scan_splits(str(tmp_path), "wide") == 20  # now fully cached
+    assert Q.scan_splits(str(tmp_path), "wide", stop_at=100) == 20
+    assert opened == []

@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for the benched queries to plans/r14/.
+"""Dump .explain("formatted") for the benched queries to plans/r15/.
 
 Optimization-round evidence artifact (guide section 1: capture the plan
 shape - Exchange count, join strategy, PushedFilters/ReadSchema,
@@ -21,7 +21,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
 )
 
 
