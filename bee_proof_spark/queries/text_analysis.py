@@ -529,28 +529,50 @@ def ext_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     document length, never by gram popularity.
     """
     from pyspark.sql import Window
+
+    from bee_proof_spark.queries.extensions import _family_checkpoint
+
     # spread_scan: the positional 5-gram build (split + transform + slice +
     # array_join per word position) is by far the heaviest narrow stage in
-    # the bench's text family and is evaluated for BOTH gram consumers (df
-    # agg + hit join); over the single-row-group fixture layout it would
-    # run twice on ONE core. Layout-gated no-op on a chunked corpus.
+    # the bench's text family; over the single-row-group fixture layout it
+    # would run on ONE core. Layout-gated no-op on a chunked corpus.
     # Measured: 2.08 -> 0.97 s warm floor (sf0.1, local[32], min-of-4).
     d = spread_scan(spark, sf_dir, "documents", "doc_id")
     words = d.select("doc_id", F.split("text", " ").alias("ws"))
-    # posexplode is 0-based; +1 matches the oracle's 1-based positions.
-    grams = (
-        words.filter(F.size("ws") >= 5)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    "transform(sequence(1, size(ws) - 4),"
-                    " i -> array_join(slice(ws, i, 5), ' '))"
-                )
-            ).alias("p0", "gram"),
+
+    # The gram table feeds BOTH consumers below (the df aggregate and the
+    # hit join), so without materialization the heaviest text stage in the
+    # repo is evaluated twice per call (r14 verdict item 5 "residual
+    # scale-killer": at 100 TB that doubles the dominant stage). Staged
+    # once per (app, corpus) through the family-checkpoint byte gate - the
+    # same contract as the shingle-postings family: lazy localCheckpoint
+    # below _DISK_STAGE_DOC_BYTES (fused into the first consumer's job;
+    # bounded, corpus-token-sized), parquet staging on disk above it (the
+    # r14 sf0.1-only UNGATED localCheckpoint rejection stands - the gate is
+    # exactly what makes the block-manager liability go away at scale).
+    # Measured (sf0.1, local[32], interleaved same-session ABBA A/B with
+    # adjacent calibration controls, min-of-6 warm, identical 5000 rows):
+    # 1.221 double-eval vs 1.110 staged; two earlier noisier runs split
+    # +0.157/-0.122 under 2-3x host episodes (all three recorded in
+    # OPTIMIZATION_r15.md). Plan: ONE posexplode gram build (in the
+    # staging job) instead of two.
+    def build_grams() -> DataFrame:
+        # posexplode is 0-based; +1 matches the oracle's 1-based positions.
+        return (
+            words.filter(F.size("ws") >= 5)
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.expr(
+                        "transform(sequence(1, size(ws) - 4),"
+                        " i -> array_join(slice(ws, i, 5), ' '))"
+                    )
+                ).alias("p0", "gram"),
+            )
+            .select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
         )
-        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
-    )
+
+    grams = _family_checkpoint(spark, sf_dir, "grams5", build_grams)
     hot = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("df"))
