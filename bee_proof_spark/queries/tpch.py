@@ -1035,41 +1035,67 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     "am I the only LATE supplier on it?" (|late suppliers| == 1, the base
     row itself being late). So instead of re-joining the fact table against
     itself twice (three lineitem scans, three orderkey shuffles - measured
-    33x time at 100x data), lineitem joins orders once and a single window
-    partitioned by the join key computes both supplier sets in-place:
-    per-order cardinality is bounded (<= 7 lineitems in TPC-H), the window
-    partitioning matches the join's hash partitioning so no second exchange
-    exists, and supplier/nation broadcast after the filter has already cut
-    the rows. One fact scan, one fact shuffle, no row duplication.
+    33x time at 100x data), lineitem joins orders once and ONE per-order
+    aggregate computes everything the filter and the count need (r15,
+    VERDICT r14 item 5; replaces the r-earlier window form):
+
+    The set questions need no sets - min/max answer them exactly:
+
+    - "another supplier exists" <=> min(l_suppkey) != max(l_suppkey),
+    - "exactly one late supplier" <=> the late-supplier min is non-null
+      (at least one late row) AND equals the late-supplier max (no
+      second distinct late supplier) - min/max ignore the nulls the
+      ``when(late, ...)`` guard produces for on-time rows,
+    - that single late supplier IS max(when(late, l_suppkey)),
+    - every late row of a qualifying order belongs to that supplier, so
+      the original per-row count regroups to sum(count(when(late, 1)))
+      by s_name.
+
+    vs the window form this partial-aggregates map-side with FIXED-WIDTH
+    long buffers (plain codegen HashAggregate): the orderkey exchange
+    ships one 5-long row per order instead of every joined lineitem row,
+    and the per-partition sort the window needed is gone (guide section
+    2.3 "aggregate before you shuffle", section 1.2 step 1) - at scale
+    the sort of the full joined fact stream was the liability. A
+    collect_set formulation of the same rewrite was REJECTED by A/B:
+    ObjectHashAggregate's per-group set objects on a near-unique key
+    cost more than the window it replaced (floors: window 0.875-0.896,
+    collect_set agg 1.062, this form 0.867 - sf0.1, local[32],
+    interleaved same-session ABBA A/Bs, min-of-6 warm, identical 40
+    rows, oracle hash green at sf0.01 AND sf0.1). Supplier/nation still
+    broadcast after the filter has cut the rows; one fact scan, one
+    fact shuffle, no row duplication.
     """
     li = tbl(spark, sf_dir, "lineitem")
     orders_f = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = tbl(spark, sf_dir, "supplier")
     nation = tbl(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_18")
-    from pyspark.sql import Window
 
     late = F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAYS")
-    w = Window.partitionBy("l_orderkey")
-    lo = (
+    late_sk = F.when(late, F.col("l_suppkey"))
+    per_order = (
         li.select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(orders_f.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        # Both sets in ONE select: same window spec -> a single Window exec
-        # (chained withColumn would plan two sequential Window passes).
-        .select(
-            "*",
-            F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
-            F.size(
-                F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)
-            ).alias("n_late_supp"),
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+            F.min(late_sk).alias("min_late"),
+            F.max(late_sk).alias("max_late"),
+            F.count(late_sk).alias("n_late_rows"),
+        )
+        .filter(
+            (F.col("min_supp") != F.col("max_supp"))
+            & F.col("min_late").isNotNull()
+            & (F.col("min_late") == F.col("max_late"))
         )
     )
     return (
-        lo.filter(late & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        per_order.join(F.broadcast(supp), F.col("max_late") == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("bigint").alias("numwait"))
     )
 
 

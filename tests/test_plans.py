@@ -302,16 +302,21 @@ def test_emb_lsh_verify_join_never_sorts(spark, sf_smoke, monkeypatch):
 
 
 def test_q21_single_fact_pass(spark, sf_smoke):
-    """Q21's EXISTS / NOT EXISTS are algebraized into one window over the
-    order key: exactly one lineitem scan (no fact self-joins), one Window
-    exec computing both supplier sets, supplier/nation broadcast, and never
-    a cartesian/BNLJ (fact x fact would be a 100 TB incident)."""
-    plan = _plan(spark, "tpch_q21_waiting", sf_smoke, mode="simple")
-    assert plan.count("lineitem.parquet") == 1, "fact self-join reappeared"
+    """Q21's EXISTS / NOT EXISTS are algebraized into ONE per-order
+    aggregate over min/max/count (r15 rewrite): exactly one lineitem scan
+    (no fact self-joins), no Window (the old window form paid a
+    per-partition sort of the whole joined fact stream), no
+    ObjectHashAggregate (a collect_set formulation was A/B-rejected -
+    fixed-width codegen buffers only), supplier/nation broadcast, and
+    never a cartesian/BNLJ (fact x fact would be a 100 TB incident)."""
     import re
 
-    assert len(re.findall(r"\bWindow \[", plan)) == 1, "window split or duplicated"
-    assert plan.count("collect_set") == 2  # both sets in the one Window
+    plan = _plan(spark, "tpch_q21_waiting", sf_smoke, mode="simple")
+    assert plan.count("lineitem.parquet") == 1, "fact self-join reappeared"
+    assert not re.findall(r"\bWindow \[", plan), "window form reappeared"
+    assert "ObjectHashAggregate" not in plan  # min/max/count stay codegen
+    assert "collect_set" not in plan
+    assert "HashAggregate" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
