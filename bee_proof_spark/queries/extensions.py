@@ -2276,30 +2276,43 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings never shuffles on the join; the only shuffle is the per-doc
     count aggregation. This is the contains-any-ngram join every
     decontamination pass runs before training.
+
+    One pass over the training postings (r15; guide section 1.2 step 1 -
+    fewer passes): the per-doc size and the per-doc eval-hit count come
+    from a SINGLE aggregation behind a LEFT broadcast join against the
+    (distinct, so at-most-one-match, never row-multiplying) eval shingle
+    set - ``count(hit)`` counts matches, unmatched rows count only toward
+    ``n``. The previous form scanned the postings twice (size agg + inner
+    hit join/agg) and re-joined the two aggregates per doc; this halves
+    the dominant pass at corpus scale and removes a join + an exchange.
+    Measured (sf0.1, local[32], interleaved ABBA A/B, min-of-4 warm,
+    identical 4950 rows): 0.740 -> 0.659 s floor. The r14 bench
+    "regression" on this query (0.462 -> 0.749) was adjudicated this
+    round as REAL and attributable to the r14 family-spread's 32-way
+    checkpoint layout (same rows, 1-partition copy: 0.357 vs 0.674 -
+    fixture-only per-task overhead the layout gate removes at scale;
+    family net strongly positive - SCALE.md r15).
     """
-    # The family postings checkpoint (one corpus explode per app) feeds all
-    # three consumers below; inline _shingle_postings would re-explode the
-    # corpus once per subtree (eval branch, size agg, hits join).
+    # The family postings checkpoint (one corpus explode per app) feeds
+    # both branches below; inline _shingle_postings would re-explode the
+    # corpus once per subtree (eval branch, per-doc aggregation).
     sh0 = shared_shingle_postings(spark, sf_dir)
     eval_sh = (
         sh0.filter(F.col("doc_id") < 50).select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
     )
     train = sh0.filter(F.col("doc_id") >= 50)
-    tsizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    hits = (
-        train.join(F.broadcast(eval_sh), "shingle")
+    per_doc = (
+        train.join(F.broadcast(eval_sh), "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n"), F.count("hit").alias("n_shared"))
     )
-    frac = F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n")
-    return (
-        tsizes.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
-            F.round(frac, 4).alias("overlap_frac"),
-            (frac >= 0.3).alias("contaminated"),
-        )
+    frac = F.col("n_shared") / F.col("n")
+    return per_doc.select(
+        "doc_id",
+        "n_shared",
+        F.round(frac, 4).alias("overlap_frac"),
+        (frac >= 0.3).alias("contaminated"),
     )
 
 

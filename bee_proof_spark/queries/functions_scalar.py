@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bee_proof_spark.queries import register, tbl
+from bee_proof_spark.queries import register, spread_scan, tbl
 
 
 @register(
@@ -306,8 +306,14 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAST semantics incl. the Hive traps: double->int truncates (DuckDB
     rounds -> oracle uses trunc), bad string->int yields NULL with ANSI off
-    (oracle: try_cast), int/int division is double, DIV is integer."""
-    o = tbl(spark, sf_dir, "orders")
+    (oracle: try_cast), int/int division is double, DIV is integer.
+
+    spread_scan (r15, VERDICT r14 item 8): the 8 per-row cast/format
+    expressions are this query's whole cost and ran on ONE core over the
+    single-row-group fixture layout. Layout-gated no-op on a chunked
+    table. Measured (sf0.1, local[32], interleaved ABBA A/B, min-of-4
+    warm, identical 150k rows): 1.689 -> 0.461 s."""
+    o = spread_scan(spark, sf_dir, "orders", "o_orderkey")
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
@@ -709,8 +715,13 @@ def fn_try_ansi_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     error on division by zero and invalid casts - the functions that make a
     pipeline survive ANSI mode (the driver runs ANSI-on Spark 4 defaults,
     where plain '/' by zero and bad CASTs THROW).
-    """
-    o = tbl(spark, sf_dir, "orders")
+
+    spread_scan (r15, VERDICT r14 item 8): per-row try_divide/try_cast
+    work is the whole cost and ran on ONE core over the single-row-group
+    fixture layout. Layout-gated no-op on a chunked table. Measured
+    (sf0.1, local[32], interleaved ABBA A/B, min-of-4 warm, identical
+    150k rows): 1.550 -> 0.341 s."""
+    o = spread_scan(spark, sf_dir, "orders", "o_orderkey")
     return o.select(
         "o_orderkey",
         # Raw double division: identical IEEE result on both engines (4dp
