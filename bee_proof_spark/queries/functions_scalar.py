@@ -402,7 +402,11 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = tbl(spark, sf_dir, "events")
+    """spread_scan (r15, the VERDICT item-8 rule applied consistently):
+    per-row JSON parsing is the whole cost and ran on ONE core over the
+    single-row-group fixture. Measured (sf0.1, interleaved ABBA, min-of-4
+    warm, identical 100k rows): 0.654 -> 0.410 s."""
+    e = spread_scan(spark, sf_dir, "events", "event_id")
     return e.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
@@ -457,8 +461,13 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_url_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parse_url + xpath_* over synthesized URLs/XML. DuckDB has neither
     function, but the URLs/XML are synthesized from table columns, so every
-    extraction has a closed-form oracle."""
-    c = tbl(spark, sf_dir, "customer")
+    extraction has a closed-form oracle.
+
+    spread_scan (r15, VERDICT item-8 rule): per-row URL/XML parsing is
+    the whole cost and ran on ONE core over the single-row-group fixture.
+    Measured (sf0.1, interleaved ABBA, min-of-4 warm, identical 15k
+    rows): 1.307 -> 0.734 s."""
+    c = spread_scan(spark, sf_dir, "customer", "c_custkey")
     url = F.concat(
         F.lit("https://example.com/seg/"),
         F.col("c_mktsegment"),
@@ -687,7 +696,11 @@ def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-unhashable); the oracle derives the same value from the original
     JSON. All codegen scan expressions: no shuffle, no UDF.
     """
-    e = tbl(spark, sf_dir, "events")
+    # spread_scan (r15, VERDICT item-8 rule): per-row JSON->XML render +
+    # parse is the whole cost and ran on ONE core over the single-row-group
+    # fixture. Measured (sf0.1, interleaved ABBA, min-of-4 warm, identical
+    # 100k rows): 0.575 -> 0.423 s.
+    e = spread_scan(spark, sf_dir, "events", "event_id")
     xml = F.concat(
         F.lit("<r><k>"),
         F.get_json_object("props", "$.k"),
